@@ -1,0 +1,99 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.collection.concurrent.TrieMap
+
+/** The reference's MongoDB collections re-expressed as a thin keyed-table
+  * sink abstraction (SURVEY.md §7.1 `graft.sink`): `tiles` is an
+  * unconditionally-replaced keyed upsert (`heatmap_stream.py:176-196`),
+  * `positions_latest` adds a monotonic event-time guard
+  * (`heatmap_stream.py:217-228`). Both are idempotent under micro-batch
+  * replay, which is what makes at-least-once foreachBatch delivery exact.
+  */
+trait KeyedTable {
+  /** Merge one micro-batch (at-least-once; must be replay-idempotent). */
+  def merge(batch: DataFrame): Unit
+  /** Current table state. */
+  def snapshot(spark: SparkSession): DataFrame
+}
+
+/** Driver-memory implementation mirroring the reference's driver-side
+  * `toLocalIterator` + bulk-upsert loop (W9/W5, `heatmap_stream.py:163,
+  * 191-196,210,230-235`). Fine at reference scale; the 100 TB path is
+  * [[ParquetKeyedTable]] (fully distributed merge).
+  *
+  * @param keyCols  composite key (reference synthesizes `a|b|c` ids — P9)
+  * @param guardCol if set, an incoming row only replaces the stored row
+  *                 when its guard value is strictly greater (monotonic
+  *                 event-time guard); when None, last writer wins
+  *                 (tiles semantics: update-mode re-emissions overwrite).
+  */
+final class InMemoryKeyedTable(keyCols: Seq[String], guardCol: Option[String])
+    extends KeyedTable {
+  private val store = TrieMap.empty[String, Row]
+  @volatile private var schema: StructType = _
+
+  override def merge(batch: DataFrame): Unit = {
+    if (schema == null) schema = batch.schema
+    val keyIdx = keyCols.map(batch.schema.fieldIndex)
+    val guardIdx = guardCol.map(batch.schema.fieldIndex)
+    // Reference-faithful driver-side iteration (W9); chunking is implicit in
+    // toLocalIterator's partition streaming.
+    batch.toLocalIterator().forEachRemaining { row =>
+      val key = keyIdx.map(i => String.valueOf(row.get(i))).mkString("|")
+      store.updateWith(key) {
+        case None => Some(row)
+        case Some(old) =>
+          guardIdx match {
+            case None => Some(row)
+            case Some(g) =>
+              val o = old.get(g); val n = row.get(g)
+              val newer = (o, n) match {
+                case (null, _) => true
+                case (_, null) => false
+                case (a: java.sql.Timestamp, b: java.sql.Timestamp) => b.after(a)
+                case (a: java.lang.Comparable[Any] @unchecked, b) => a.compareTo(b) < 0
+              }
+              if (newer) Some(row) else Some(old)
+          }
+      }
+    }
+  }
+
+  override def snapshot(spark: SparkSession): DataFrame = {
+    require(schema != null, "no batch merged yet")
+    spark.createDataFrame(java.util.List.copyOf(
+      scala.jdk.CollectionConverters.IterableHasAsJava(store.values).asJavaCollection), schema)
+  }
+
+  def size: Int = store.size
+}
+
+/** Distributed keyed table: state lives in parquet, merged per epoch with
+  * [[Upsert.merge]] (one shuffle, executor-side, no driver loop) — the
+  * design that survives 1000 executors. Double-buffered directories make
+  * the overwrite safe while readers exist.
+  */
+final class ParquetKeyedTable(spark: SparkSession, path: String,
+                              keyCols: Seq[String], orderCols: Seq[String],
+                              payload: Seq[String]) extends KeyedTable {
+  private var gen = 0
+  private def cur = s"$path/gen$gen"
+
+  override def merge(batch: DataFrame): Unit = {
+    val merged =
+      if (gen == 0 && !new java.io.File(cur).exists()) {
+        Upsert.merge(batch.limit(0), batch, keyCols, orderCols, payload)
+      } else {
+        Upsert.merge(spark.read.parquet(cur), batch, keyCols, orderCols, payload)
+      }
+    val next = s"$path/gen${gen + 1}"
+    merged.write.mode("overwrite").parquet(next)
+    gen += 1
+  }
+
+  override def snapshot(s: SparkSession): DataFrame =
+    if (gen == 0) throw new IllegalStateException("no batch merged yet")
+    else s.read.parquet(cur)
+}

@@ -1,0 +1,79 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sink.KeyedTable
+
+/** The reference's core streaming program (`heatmap_stream.py:79-249`)
+  * re-expressed Spark-first: one streaming query multiplexing the windowed
+  * tile aggregate with raw positions (SO1), split per epoch in
+  * `foreachBatch` (W4) into two keyed sinks (W5). Kafka is the production
+  * source (`spark.readStream.format("kafka")` — same API); offline the
+  * source is injected as any streaming DataFrame of `value: String`
+  * (MemoryStream / file / rate), per SURVEY.md §2.1 S1.
+  *
+  * @param source streaming DataFrame with a `value` string column of JSON
+  *               position events (Kafka value payloads)
+  */
+final class StreamingJob(
+    spark: SparkSession,
+    source: DataFrame,
+    tilesSink: KeyedTable,
+    latestSink: KeyedTable,
+    res: Int = 8,
+    windowMinutes: Int = 5,
+    watermarkDelay: String = "10 minutes",
+    city: String = "city",
+    ttlMinutes: Int = 45,
+    checkpointDir: Option[String] = None,
+    trigger: Option[Trigger] = None) {
+
+  /** Build the multiplexed logical plan (lazy — same shape as
+    * `heatmap_stream.py:88-146`). */
+  def plan(): DataFrame = {
+    val clean = Pipeline.snap(Pipeline.sanitize(Pipeline.parse(source)), res)
+    val tiles = Pipeline.tileKeys(
+      Pipeline.tiles(clean, windowMinutes, watermarkDelay), city, res, ttlMinutes)
+    val latestRaw = clean.select("provider", "vehicleId", "eventTs", "lat", "lon")
+    Pipeline.multiplex(tiles, latestRaw)
+  }
+
+  /** Per-epoch callback (W4): split the union, reduce raw positions to
+    * per-key argmax (A2/A3 via max_by — executor-side), upsert both sinks.
+    * Batch-replay safety comes from the sinks (W5). */
+  private[stream] def processBatch(df: DataFrame, epochId: Long): Unit = {
+    val tiles = Pipeline.route(df, "tiles")
+      .select("tileKey", "cellId", "windowStart", "windowEnd", "cnt",
+        "avgSpeedKmh", "avgLon", "avgLat", "staleAt")
+    tilesSink.merge(tiles)
+    val latest = Pipeline.latestByKeyMaxBy(
+      Pipeline.route(df, "latest"), Seq("lat", "lon"))
+    latestSink.merge(latest)
+  }
+
+  def start(): StreamingQuery = {
+    var w = plan().writeStream
+      .outputMode("update")
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     epochId: Long) => processBatch(df, epochId))
+    checkpointDir.foreach(c => w = w.option("checkpointLocation", c))
+    trigger.foreach(t => w = w.trigger(t))
+    w.start()
+  }
+}
+
+object StreamingJob {
+  /** Production-shape source (requires the kafka connector jar on the
+    * classpath at deploy time — not present offline; see SURVEY §7.5). */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+
+  /** File-drop source with the same contract (each line one JSON event). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).withColumnRenamed("value", "value")
+}
