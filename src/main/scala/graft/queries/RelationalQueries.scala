@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Relational capability extensions over the shared star schema
+  * (SURVEY.md §7.4): multi-way joins with broadcast dims, rollup/grouping
+  * sets, distinct and approximate aggregation, window functions, semi/anti
+  * joins, and an as-of join built the scale-correct way (union + ordered
+  * window, no range-explosion join).
+  *
+  * Money columns are integer-ized to cents (`floor(x*100 + 0.5)`) before
+  * summing so results are exact integers — immune to FP summation-order
+  * differences between engines at any scale factor.
+  */
+object RelationalQueries {
+
+  private def centsCol(c: String) = floor(col(c) * 100 + 0.5)
+  private def cents(c: String) = s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+
+  /** Synthetic epoch mapping events (2024) into the orders era (1997+):
+    * 1997-01-01 + (ts − 2024-01-01)×20, in exact integer seconds. */
+  private val eAsofEpoch = "852076800 + (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) * 20"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── TPC-H Q1-shaped pricing summary (partial+final hash agg, pushdown
+    //    filter reaches the parquet scan).
+    QueryDef("q_tpch_pricing",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .withColumn("cents", centsCol("l_extendedprice"))
+        .withColumn("discpct", centsCol("l_discount"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(col("cents")).as("sum_base_cents"),
+          sum(col("cents") * (lit(100L) - col("discpct"))).as("sum_disc_cp"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("cnt")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+              |       sum(${cents("l_extendedprice")}) AS sum_base_cents,
+              |       sum(${cents("l_extendedprice")} * (100 - ${cents("l_discount")})) AS sum_disc_cp,
+              |       round(avg(l_quantity), 4) AS avg_qty,
+              |       count(*) AS cnt
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── Five-way star join: fact shuffles once; all dims broadcast.
+    QueryDef("q_star_join",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("cents", centsCol("l_extendedprice"))
+        .withColumn("discpct", centsCol("l_discount"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("cents") * (lit(100L) - col("discpct"))).as("rev_cp")),
+      Some(s"""SELECT n_name, r_name, count(*) AS cnt,
+              |       sum(${cents("l_extendedprice")} * (100 - ${cents("l_discount")})) AS rev_cp
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation   ON c_nationkey = n_nationkey
+              |JOIN region   ON n_regionkey = r_regionkey
+              |GROUP BY n_name, r_name""".stripMargin)),
+
+    // ── Top-k with deterministic tie-break (TakeOrderedAndProject).
+    QueryDef("q_topk_orders",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), centsCol("o_totalprice").as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+        .limit(10),
+      Some(s"""SELECT o_orderkey, ${cents("o_totalprice")} AS price_cents
+              |FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ── ROLLUP with grouping indicators.
+    QueryDef("q_rollup",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("price_cents", centsCol("o_totalprice"))
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_cents")).as("sum_cents"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              |       sum(${cents("o_totalprice")}) AS sum_cents,
+              |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+              |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ── Explicit GROUPING SETS (SQL surface).
+    QueryDef("q_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).withColumn("price_cents", centsCol("o_totalprice"))
+          .createOrReplaceTempView("orders_pc")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                |       sum(price_cents) AS sum_cents
+                |FROM orders_pc
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              |       sum(${cents("o_totalprice")}) AS sum_cents
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // ── Window functions: row_number, lag, running sum (sequential frame —
+    //    bit-identical across engines before the safety rounding).
+    QueryDef("q_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("run_sum", round(sum(col("value"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_es"), col("rn"), col("prev_value"), col("run_sum"))
+      },
+      Some("""SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_es,
+             |       row_number() OVER w AS rn,
+             |       lag(value, 1) OVER w AS prev_value,
+             |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // ── As-of join (events ↦ most recent order at-or-before the mapped
+    //    event time). Scale path: tag + union + one ordered window pass —
+    //    never a t1.t >= t2.t range join, which explodes at 100 TB.
+    QueryDef("q_asof_join",
+      (s, d) => {
+        val queries = Tables.events(s, d).select(
+          col("user_id").as("k"),
+          (lit(852076800L) + (unix_timestamp(col("ts")) - lit(1704067200L)) * 20).as("t"),
+          lit(1).as("tag"), col("event_id"),
+          lit(null).cast("long").as("o_orderkey"))
+        val refs = Tables.orders(s, d).select(
+          col("o_custkey").as("k"),
+          unix_timestamp(col("o_orderdate")).as("t"),
+          lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey"))
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("tag"), coalesce(col("o_orderkey"), col("event_id")))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        refs.unionByName(queries)
+          .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("k").as("user_id"), col("t").as("t_es"),
+            col("asof_orderkey"))
+      },
+      Some(s"""SELECT e.event_id, e.user_id, $eAsofEpoch AS t_es,
+              |  (SELECT o.o_orderkey FROM orders o
+              |    WHERE o.o_custkey = e.user_id
+              |      AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) <= $eAsofEpoch
+              |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey
+              |FROM events e""".stripMargin)),
+
+    // ── Semi/anti joins (EXISTS / NOT EXISTS).
+    QueryDef("q_semi_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+          .withColumn("kind", lit("with"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+          .withColumn("kind", lit("without"))
+        semi.unionByName(anti)
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt, 'with' AS kind FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |GROUP BY c_nationkey
+             |UNION ALL
+             |SELECT c_nationkey, count(*) AS cnt, 'without' AS kind FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |GROUP BY c_nationkey""".stripMargin)),
+
+    // ── Exact distinct aggregation (expand + two-phase agg).
+    QueryDef("q_distinct_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("dparts"),
+          countDistinct(col("l_suppkey")).as("dsupps"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS dparts,
+             |       count(DISTINCT l_suppkey) AS dsupps, count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ── HLL approximate distinct — sketch output is engine-specific, so no
+    //    SQL oracle (driver records rows-only); the exact twin above is the
+    //    correctness anchor.
+    QueryDef("q_approx_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("cnt")),
+      None)
+  )
+}
