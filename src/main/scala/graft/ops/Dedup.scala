@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * (content-hash groupBy), MinHash+LSH (shingle → k minhashes → banded
+  * buckets → candidate-pair join), SimHash fingerprints, and exact n-gram
+  * Jaccard. All engines' favorite text-dedup stack, expressed as
+  * shuffle-lean DataFrame transforms:
+  *
+  *  - exact dedup: one hash-aggregate on md5(text) — the 100 TB baseline.
+  *  - MinHash/LSH: per-doc work is narrow (explode → hash → min); the only
+  *    shuffles are the per-(doc,hash) min aggregate and the band-bucket
+  *    self-join, which touches candidate buckets only — never all-pairs.
+  *  - SimHash: narrow explode + one aggregate; fingerprints join on equal
+  *    (or near) values downstream.
+  *
+  * The 48-bit hash is the first 12 hex chars of md5, parsed as an integer —
+  * chosen because it is portable: any ANSI engine can reproduce it from
+  * md5 hex with string ops, so dedup decisions are auditable outside Spark.
+  */
+object Dedup {
+
+  /** 48-bit integer hash of a string column (salted). */
+  def hash48(c: Column, salt: Column): Column =
+    conv(substring(md5(concat(salt, lit("|"), c)), 1, 12), 16, 10).cast("long")
+
+  /** Exact dedup: keep the smallest doc_id per distinct text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Word k-shingles (docs with fewer than k words are dropped — they have
+    * no k-shingle). */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    val arrEls = (0 until k).map(i => s"ws[i + $i]").mkString(", ")
+    docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $arrEls))"))
+        .as("shingle"))
+  }
+
+  /** MinHash signatures: k independent salted hashes, min per doc.
+    * Output: (doc_id, j, mh) — long format scales better than a wide
+    * signature array (no 100-col row, groupBy stays partial-aggregable). */
+  def minhash(sh: DataFrame, k: Int = 8): DataFrame =
+    sh.select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("j"), col("shingle"))
+      .select(col("doc_id"), col("j"),
+        hash48(col("shingle"), concat(lit("s"), col("j").cast("string"))).as("h"))
+      .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("mh"))
+
+  /** LSH banding (rows-per-band = 2): band value joins equal buckets. */
+  def lshBands(sig: DataFrame): DataFrame =
+    sig.groupBy(col("doc_id"), expr("j div 2").as("band"))
+      .agg(concat(
+        min(when(col("j") % 2 === 0, col("mh"))).cast("string"), lit(":"),
+        min(when(col("j") % 2 === 1, col("mh"))).cast("string")).as("bv"))
+
+  /** Candidate pairs: docs sharing ≥1 LSH bucket, with #shared bands and
+    * #equal minhashes (estimated Jaccard = n_eq / k). */
+  def candidates(sig: DataFrame, k: Int = 8): DataFrame = {
+    val bands = lshBands(sig)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val sa = sig.select(col("doc_id").as("doc_a"), col("j"), col("mh").as("mha"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("j"), col("mh").as("mhb"))
+    pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "j"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_bands"))
+      .agg(sum(when(col("mha") === col("mhb"), 1L).otherwise(0L)).as("n_eq"))
+  }
+
+  /** SimHash fingerprint over word unigrams, `bits` wide (default 16).
+    * Bit j is the sign of Σ±1 over words (bit j of word hash). */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("h", hash48(col("w"), lit("sim")))
+    val sums = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+    val fp = (0 until bits).map(j =>
+      when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+    w.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Exact word-set Jaccard for all pairs in `docs` (quadratic — callers
+    * must pre-restrict, e.g. to LSH candidates or a bounded id range). */
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+    val sizes = w.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = w.as("a").join(w.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("uni"),
+        round(col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")), 6).as("jacc"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.Dedup
+
+/** Deduplication over the `documents` table (SURVEY.md §7.4 / the
+  * training-data-pipeline extensions). The shared corpus has no duplicates,
+  * so queries that need them inject deterministic copies (exact dups for
+  * exact dedup, one-word-tail edits for near-dup) — the same injection on
+  * both the Spark and oracle sides keeps the gate honest.
+  */
+object DedupQueries {
+  import PortableSql.{hash48 => hash48Sql}
+
+  /** documents ∪ exact copies of every 10th doc (re-keyed +1e6). */
+  private def exactAug(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+  private val exactAugSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** documents ∪ near-dup copies of every 7th doc (tail words appended). */
+  private def nearAug(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graft extra tail")).as("text")))
+  }
+  private val nearAugSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, concat(text, ' graft extra tail') AS text
+      | FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Exact dedup: hash-groupBy on content, keep smallest id.
+    QueryDef("q_dedup_exact",
+      (s, d) => Dedup.exact(exactAug(s, d)),
+      Some(s"""SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+              |       count(*) AS dup_cnt
+              |FROM $exactAugSql docs GROUP BY md5(text)""".stripMargin)),
+
+    // ── MinHash + LSH candidate pairs with band counts and estimated
+    //    Jaccard (n_eq of 8 minhashes).
+    QueryDef("q_dedup_minhash",
+      (s, d) => Dedup.candidates(Dedup.minhash(Dedup.shingles(nearAug(s, d)))),
+      Some {
+        val mh = hash48Sql("shingle", "concat('s', CAST(j AS VARCHAR))")
+        s"""WITH docs AS $nearAugSql,
+           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+           |sh AS (SELECT doc_id,
+           |              unnest(list_transform(range(1, len(ws) - 1),
+           |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+           |       FROM w WHERE len(ws) >= 3),
+           |sig AS (SELECT doc_id, j, min($mh) AS mh
+           |        FROM sh CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) hj(j)
+           |        GROUP BY doc_id, j),
+           |bands AS (SELECT doc_id, j // 2 AS band,
+           |                 concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ':',
+           |                        CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bv
+           |          FROM sig GROUP BY doc_id, j // 2),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+           |          FROM bands a JOIN bands b
+           |            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT p.doc_a, p.doc_b, p.n_bands,
+           |       CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+           |FROM pairs p
+           |JOIN sig x ON x.doc_id = p.doc_a
+           |JOIN sig y ON y.doc_id = p.doc_b AND y.j = x.j
+           |GROUP BY 1, 2, 3""".stripMargin
+      }),
+
+    // ── SimHash 16-bit fingerprints over word unigrams.
+    QueryDef("q_dedup_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d)),
+      Some {
+        val h = hash48Sql("wd", "'sim'")
+        val sums = (0 until 16).map(j =>
+          s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
+          .mkString(",\n              ")
+        val fp = (0 until 16).map(j =>
+          s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+           |h AS (SELECT doc_id, $h AS h FROM w WHERE wd <> ''),
+           |s AS (SELECT doc_id,
+           |              $sums
+           |      FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s""".stripMargin
+      }),
+
+    // ── Exact n-gram (word-set) Jaccard on a bounded candidate set.
+    QueryDef("q_ngram_jaccard",
+      (s, d) => Dedup.jaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 50).select(col("doc_id"), col("text"))),
+      Some("""WITH w AS (SELECT DISTINCT doc_id, wd AS word
+             |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+             |                 FROM documents WHERE doc_id < 50) u
+             |           WHERE wd <> ''),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT i.doc_a, i.doc_b, i.inter,
+             |       sa.sz + sb.sz - i.inter AS uni,
+             |       round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jacc
+             |FROM inter i
+             |JOIN sizes sa ON sa.doc_id = i.doc_a
+             |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin))
+  )
+}

@@ -41,8 +41,8 @@ object RelationalQueries {
           count(lit(1)).as("cnt")),
       Some(s"""SELECT l_returnflag, l_linestatus,
               |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-              |       sum(${cents("l_extendedprice")}) AS sum_base_cents,
-              |       sum(${cents("l_extendedprice")} * (100 - ${cents("l_discount")})) AS sum_disc_cp,
+              |       CAST(sum(${cents("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+              |       CAST(sum(${cents("l_extendedprice")} * (100 - ${cents("l_discount")})) AS BIGINT) AS sum_disc_cp,
               |       round(avg(l_quantity), 4) AS avg_qty,
               |       count(*) AS cnt
               |FROM lineitem
@@ -62,7 +62,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("cents") * (lit(100L) - col("discpct"))).as("rev_cp")),
       Some(s"""SELECT n_name, r_name, count(*) AS cnt,
-              |       sum(${cents("l_extendedprice")} * (100 - ${cents("l_discount")})) AS rev_cp
+              |       CAST(sum(${cents("l_extendedprice")} * (100 - ${cents("l_discount")})) AS BIGINT) AS rev_cp
               |FROM lineitem
               |JOIN orders   ON l_orderkey = o_orderkey
               |JOIN customer ON o_custkey = c_custkey
@@ -88,7 +88,7 @@ object RelationalQueries {
           grouping(col("o_orderstatus")).cast("int").as("g_status"),
           grouping(col("o_orderpriority")).cast("int").as("g_prio")),
       Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-              |       sum(${cents("o_totalprice")}) AS sum_cents,
+              |       CAST(sum(${cents("o_totalprice")}) AS BIGINT) AS sum_cents,
               |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
               |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
               |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)),
@@ -104,7 +104,7 @@ object RelationalQueries {
                 |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
       },
       Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-              |       sum(${cents("o_totalprice")}) AS sum_cents
+              |       CAST(sum(${cents("o_totalprice")}) AS BIGINT) AS sum_cents
               |FROM orders
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
 
