@@ -11,7 +11,8 @@ case class QueryDef(name: String,
 /** Registry of every implemented operator query (SURVEY.md §2 coverage). */
 object Registry {
   def all: Seq[QueryDef] =
-    queries.CoreQueries.defs ++ queries.RelationalQueries.defs ++ queries.DedupQueries.defs
+    queries.CoreQueries.defs ++ queries.RelationalQueries.defs ++
+      queries.DedupQueries.defs ++ queries.SimilarityQueries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

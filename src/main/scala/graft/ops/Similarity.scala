@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`, dim 64):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * LSH bucketing as the scale path (candidates only ever join within a
+  * bucket — all-pairs never materializes).
+  *
+  * All vector math runs on codegen'd higher-order functions
+  * (`zip_with` + `aggregate` — sequential fold, deterministic order), no
+  * UDFs. Embeddings are cast float→double once up front so accumulation
+  * is double everywhere.
+  *
+  * 100 TB notes: brute-force top-k against one query is a single narrow
+  * pass + TakeOrdered (no shuffle of the corpus). LSH bucketing shuffles
+  * once on (bucket) — bucket width (bits) trades recall for partition
+  * fan-in, and skewed buckets can be salted. A full IVF index (k-means
+  * coarse quantizer) drops into the same shape: assign → shuffle on
+  * centroid id → search probed lists.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Corpus with embeddings cast to double. */
+  def cast(df: DataFrame): DataFrame =
+    df.withColumn("ev", col("embedding").cast("array<double>"))
+
+  /** Exact cosine top-k of `corpus` against the single-row `query`
+    * (column `qv`). Broadcast the query; corpus streams through narrow. */
+  def topK(corpus: DataFrame, query: DataFrame, k: Int): DataFrame =
+    corpus.crossJoin(broadcast(query))
+      .select(col("vec_id"), round(cosine(col("ev"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** Sign-bit LSH bucket id from `planes` fixed hyperplanes. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Deterministic pseudo-random hyperplanes in [-1, 1] (seeded; embedded
+    * as literals in both the plan and the oracle SQL — no RNG at runtime). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Bucketed candidate pairs with exact cosine, computed only within
+    * buckets. */
+  def lshPairs(corpus: DataFrame, planes: Seq[Seq[Double]]): DataFrame = {
+    val b = corpus.withColumn("bucket", lshBucket(col("ev"), planes))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        round(cosine(col("a.ev"), col("b.ev")), 6).as("cos"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.Similarity
+
+/** Similarity-search queries over `embeddings` (SURVEY.md §7.4): exact
+  * brute-force cosine top-k, random-hyperplane LSH candidate pairs
+  * (integer-valued hyperplanes so bucket assignment is exact in any
+  * engine), and per-label centroid statistics.
+  */
+object SimilarityQueries {
+
+  /** 8 integer hyperplanes in [-1000,1000]^64, seeded — embedded as
+    * literals in both the Spark plan and the oracle SQL. */
+  private val planesInt: Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(8)(Seq.fill(64)(rnd.nextInt(2001) - 1000))
+  }
+  private val planes: Seq[Seq[Double]] = planesInt.map(_.map(_.toDouble))
+
+  private val planesSqlValues: String =
+    planesInt.zipWithIndex.map { case (p, j) =>
+      s"($j, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[]))"
+    }.mkString(",\n            ")
+
+  /** Embeddings with near-dup injection: every 20th vector re-keyed +1e6
+    * and scaled ×1.001 (cos ≈ 1 → same LSH bucket, found as candidate). */
+  private def augmented(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = Similarity.cast(Tables.embeddings(s, d)).select(col("vec_id"), col("ev"))
+    e.unionByName(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("ev"), x => x * lit(1001.0) / lit(1000.0)).as("ev")))
+  }
+  private val augmentedSql =
+    """(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+      | UNION ALL
+      | SELECT vec_id + 1000000 AS vec_id,
+      |        list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1001 / 1000) AS ev
+      | FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── The vector primitive in isolation: squared norms.
+    QueryDef("q_embedding_norms",
+      (s, d) => Similarity.cast(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("label"),
+          round(Similarity.dot(col("ev"), col("ev")), 6).as("norm_sq")),
+      Some("""SELECT vec_id, label,
+             |       round(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                              CAST(embedding AS DOUBLE[])), 6) AS norm_sq
+             |FROM embeddings""".stripMargin)),
+
+    // ── Exact brute-force cosine top-10 against the vec_id=0 query vector.
+    QueryDef("q_sim_topk_brute",
+      (s, d) => {
+        val e = Similarity.cast(Tables.embeddings(s, d))
+        val q = e.filter(col("vec_id") === 0).select(col("ev").as("qv"))
+        Similarity.topK(e.filter(col("vec_id") > 0).select(col("vec_id"), col("ev")), q, 10)
+      },
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id > 0)
+             |SELECT vec_id,
+             |       round(list_dot_product(ev, qv) /
+             |             (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+             |FROM e, q
+             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)),
+
+    // ── LSH-bucketed ANN candidate pairs (the 100 TB path: pairs only ever
+    //    form inside a bucket). Injected scaled copies land in the same
+    //    bucket with cos ≈ 1.
+    QueryDef("q_sim_lsh_pairs",
+      (s, d) => Similarity.lshPairs(augmented(s, d), planes),
+      Some(s"""WITH e AS $augmentedSql,
+              |planes(j, p) AS (VALUES
+              |            $planesSqlValues),
+              |bk AS (SELECT vec_id,
+              |              CAST(sum(CASE WHEN list_dot_product(e.ev, planes.p) > 0
+              |                            THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+              |       FROM e CROSS JOIN planes GROUP BY vec_id),
+              |b AS (SELECT e.vec_id, e.ev, bk.bucket FROM e JOIN bk USING (vec_id))
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+              |       round(list_dot_product(a.ev, b.ev) /
+              |             (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos
+              |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin)),
+
+    // ── Per-label centroid statistics (element-wise mean via explode —
+    //    groupBy(label, i) keeps partial aggregation; no wide-row pivot).
+    QueryDef("q_label_centroids",
+      (s, d) => {
+        val e = Similarity.cast(Tables.embeddings(s, d))
+        val el = e.select(col("label"), posexplode(col("ev")).as(Seq("i", "v")))
+        val cent = el.groupBy(col("label"), col("i")).agg(avg(col("v")).as("c"))
+        val norm = cent.groupBy(col("label"))
+          .agg(round(sum(col("c") * col("c")), 4).as("centroid_norm_sq"))
+        norm.join(e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs")), Seq("label"))
+      },
+      Some("""WITH el AS (SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+             |                   unnest(CAST(embedding AS DOUBLE[])) AS v
+             |            FROM embeddings),
+             |cent AS (SELECT label, i, avg(v) AS c FROM el GROUP BY label, i),
+             |norm AS (SELECT label, round(sum(c * c), 4) AS centroid_norm_sq FROM cent GROUP BY label),
+             |sizes AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+             |SELECT norm.label, centroid_norm_sq, n_vecs FROM norm JOIN sizes USING (label)""".stripMargin))
+  )
+}
