@@ -12,7 +12,8 @@ case class QueryDef(name: String,
 object Registry {
   def all: Seq[QueryDef] =
     queries.CoreQueries.defs ++ queries.RelationalQueries.defs ++
-      queries.DedupQueries.defs ++ queries.SimilarityQueries.defs
+      queries.DedupQueries.defs ++ queries.SimilarityQueries.defs ++
+      queries.TextQueries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
+  * columns with typed metadata, exactly as a 100 TB curation pipeline
+  * carries them (decode happens late, next to the consumer, never in the
+  * shuffle path).
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode step is stubbed behind [[MultimodalDecoder]]: the Spark-side
+  * plumbing — schema, binary payloads, batched partition-wise decode shape,
+  * metadata struct — is real and tested; the codec body is a deterministic
+  * fake (or throws, for the real seam).
+  */
+object Multimodal {
+
+  /** Decoder seam. A production impl wraps an actual codec (e.g. JNI
+    * image lib) and is called once per partition over batched payloads —
+    * the Spark shape (mapPartitions, lazy iterator, no per-row setup cost)
+    * is what matters at scale. */
+  trait MultimodalDecoder extends Serializable {
+    def decodeDims(payload: Array[Byte]): (Int, Int)
+  }
+
+  /** Deterministic fake codec: dims derived from payload length. */
+  object FakeDecoder extends MultimodalDecoder {
+    def decodeDims(p: Array[Byte]): (Int, Int) =
+      (64 + (p.length * 7) % 192, 64 + (p.length * 13) % 192)
+  }
+
+  /** Real-codec placeholder: intentionally unimplemented offline. */
+  object RealDecoder extends MultimodalDecoder {
+    def decodeDims(p: Array[Byte]): (Int, Int) =
+      throw new UnsupportedOperationException(
+        "media codecs are not available in this environment; use FakeDecoder")
+  }
+
+  /** Attach an opaque binary payload + mime metadata to documents (the
+    * corpus ships no real media; UTF-8 bytes stand in — the column type
+    * and everything downstream is the real shape). */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("mime", concat(lit("bin/"), col("source")))
+
+  /** Declarative metadata extraction (codegen path): byte size + fake
+    * decoded dims via exact integer arithmetic. */
+  def extractMeta(df: DataFrame): DataFrame =
+    df.withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("meta", struct(
+        col("mime").as("mime"),
+        (lit(64) + col("n_bytes") * 7 % 192).cast("int").as("width"),
+        (lit(64) + col("n_bytes") * 13 % 192).cast("int").as("height")))
+
+  /** Imperative decode seam: batched partition-wise decode through a
+    * [[MultimodalDecoder]] — the shape a real codec plugs into. */
+  def decodePartitions(df: DataFrame, decoder: MultimodalDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, p) =>
+        val (w, h) = decoder.decodeDims(p)
+        (id, p.length, w, h)
+      }
+    }.toDF("doc_id", "n_bytes", "width", "height")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: heuristic language
+  * ID, quality scoring, token counting, and document fingerprinting — all
+  * pure `functions._` column expressions (codegen'd, shuffle-free per-row
+  * work; the only shuffles are callers' aggregations).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+    * Order matters: ties break toward the earlier entry. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine"))
+
+  private def hitsFor(ws: Column, words: Seq[String]): Column =
+    size(filter(ws, w => array_contains(array(words.map(lit): _*), w))).cast("long")
+
+  /** Adds `ws` (word array), per-language hit counts and `pred_lang`. */
+  def langId(df: DataFrame): DataFrame = {
+    val withWs = df.withColumn("ws", split(col("text"), " "))
+    val withHits = stopwords.foldLeft(withWs) { case (d, (l, words)) =>
+      d.withColumn(s"hits_$l", hitsFor(col("ws"), words))
+    }
+    withHits.withColumn("pred_lang",
+      when(col("hits_en") + col("hits_es") + col("hits_de") === 0, lit("unknown"))
+        .when(col("hits_en") >= col("hits_es") && col("hits_en") >= col("hits_de"), lit("en"))
+        .when(col("hits_es") >= col("hits_de"), lit("es"))
+        .otherwise(lit("de")))
+  }
+
+  /** Quality features: word count, mean word length, stopword ratio,
+    * alphabetic ratio, and a weighted composite score (integer-scaled
+    * weights so the arithmetic is engine-portable). */
+  def quality(df: DataFrame): DataFrame = {
+    val d = langId(df)
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("w_chars", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+    d.withColumn("mean_wlen", round(col("w_chars").cast("double") / col("n_words").cast("double"), 4))
+      .withColumn("stop_ratio", round(col("hits_en").cast("double") / col("n_words").cast("double"), 6))
+      .withColumn("alpha_ratio", round(col("alpha_chars").cast("double") / length(col("text")).cast("double"), 6))
+      .withColumn("quality", round(
+        (col("alpha_ratio") * 4 + col("stop_ratio") * 3 +
+          least(lit(1.0), col("n_words").cast("double") / lit(100.0)) * 3) / 10, 4))
+  }
+
+  /** Whitespace tokens vs a BPE-ish regex token count (letter runs, digit
+    * runs, single other non-space chars). */
+  def tokenCounts(df: DataFrame): DataFrame =
+    df.withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("re_tokens",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^ ]', 0)")).cast("long"))
+
+  /** 48-bit content fingerprint of the normalized text (lowercase, punct
+    * stripped, whitespace collapsed) — the md5-prefix hash shared with
+    * [[Dedup.hash48]] so fingerprints are reproducible anywhere. */
+  def fingerprint(df: DataFrame): DataFrame = {
+    val norm = regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    df.withColumn("fp48", conv(substring(md5(norm), 1, 12), 16, 10).cast("long"))
+  }
+}

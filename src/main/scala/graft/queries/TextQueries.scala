@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.{Multimodal, TextAnalysis}
+
+/** Text-analysis and multimodal-plumbing queries over `documents`. */
+object TextQueries {
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val en = TextAnalysis.stopwords.toMap.apply("en")
+  private val es = TextAnalysis.stopwords.toMap.apply("es")
+  private val de = TextAnalysis.stopwords.toMap.apply("de")
+
+  private val hitsSql =
+    s"""SELECT doc_id, lang, text,
+       |       CAST(len(list_filter(ws, w -> list_contains(${inList(en)}, w))) AS BIGINT) AS hits_en,
+       |       CAST(len(list_filter(ws, w -> list_contains(${inList(es)}, w))) AS BIGINT) AS hits_es,
+       |       CAST(len(list_filter(ws, w -> list_contains(${inList(de)}, w))) AS BIGINT) AS hits_de,
+       |       CAST(len(ws) AS BIGINT) AS n_words
+       |FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents) t""".stripMargin
+
+  private val predSql =
+    """CASE WHEN hits_en + hits_es + hits_de = 0 THEN 'unknown'
+      |     WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+      |     WHEN hits_es >= hits_de THEN 'es'
+      |     ELSE 'de' END""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Heuristic language ID, reported as a confusion matrix against the
+    //    corpus labels.
+    QueryDef("q_text_langid",
+      (s, d) => TextAnalysis.langId(Tables.documents(s, d))
+        .groupBy(col("lang").as("actual_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt")),
+      Some(s"""SELECT lang AS actual_lang, $predSql AS pred_lang, count(*) AS cnt
+              |FROM ($hitsSql) h GROUP BY 1, 2""".stripMargin)),
+
+    // ── Quality features + weighted composite score.
+    QueryDef("q_text_quality",
+      (s, d) => TextAnalysis.quality(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+          col("stop_ratio"), col("alpha_ratio"), col("quality")),
+      Some(s"""SELECT doc_id, n_words, mean_wlen, stop_ratio, alpha_ratio,
+              |       round((alpha_ratio * 4 + stop_ratio * 3 +
+              |              least(CAST('1.0' AS DOUBLE),
+              |                    CAST(n_words AS DOUBLE) / CAST('100.0' AS DOUBLE)) * 3) / 10, 4) AS quality
+              |FROM (SELECT doc_id, n_words,
+              |             round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS mean_wlen,
+              |             round(CAST(hits_en AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+              |             round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+              |                   / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+              |      FROM ($hitsSql) h) q""".stripMargin)),
+
+    // ── Token counting: whitespace vs BPE-ish regex tokens.
+    QueryDef("q_text_tokens",
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))
+        .select(col("doc_id"), col("ws_tokens"), col("re_tokens"), col("n_chars")),
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^ ]')) AS BIGINT) AS re_tokens,
+             |       n_chars
+             |FROM documents""".stripMargin)),
+
+    // ── 48-bit normalized-content fingerprint.
+    QueryDef("q_text_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))
+        .select(col("doc_id"), col("fp48")),
+      Some(s"""SELECT doc_id,
+              |       ${PortableSql.hexToLong(
+                "md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")} AS fp48
+              |FROM documents""".stripMargin)),
+
+    // ── Multimodal metadata over opaque binary payloads (decode stubbed;
+    //    plumbing real — see graft.ops.Multimodal).
+    QueryDef("q_multimodal_meta",
+      (s, d) => Multimodal.extractMeta(Multimodal.attachPayload(Tables.documents(s, d)))
+        .select(col("doc_id"), col("meta.mime").as("mime"), col("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height")),
+      Some("""SELECT doc_id, concat('bin/', source) AS mime,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       CAST(64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 192 AS INTEGER) AS width,
+             |       CAST(64 + (CAST(octet_length(encode(text)) AS BIGINT) * 13) % 192 AS INTEGER) AS height
+             |FROM documents""".stripMargin))
+  )
+}
