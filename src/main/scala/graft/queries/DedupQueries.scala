@@ -51,15 +51,16 @@ object DedupQueries {
     QueryDef("q_dedup_minhash",
       (s, d) => Dedup.candidates(Dedup.minhash(Dedup.shingles(nearAug(s, d)))),
       Some {
-        val mh = hash48Sql("shingle", "concat('s', CAST(j AS VARCHAR))")
+        val mh = PortableSql.hexSliceToLong("hx", "j * 8")
         s"""WITH docs AS $nearAugSql,
            |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
            |sh AS (SELECT doc_id,
            |              unnest(list_transform(range(1, len(ws) - 1),
            |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
            |       FROM w WHERE len(ws) >= 3),
+           |sh2 AS (SELECT doc_id, concat(md5(shingle), md5(concat('x', shingle))) AS hx FROM sh),
            |sig AS (SELECT doc_id, j, min($mh) AS mh
-           |        FROM sh CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) hj(j)
+           |        FROM sh2 CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) hj(j)
            |        GROUP BY doc_id, j),
            |bands AS (SELECT doc_id, j // 2 AS band,
            |                 concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ':',

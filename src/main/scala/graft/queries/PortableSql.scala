@@ -15,4 +15,11 @@ object PortableSql {
   /** 48-bit salted string hash (twin of Dedup.hash48). */
   def hash48(expr: String, saltExpr: String): String =
     hexToLong(s"md5(concat($saltExpr, '|', $expr))")
+
+  /** Parse 8 hex chars of `hexExpr` starting at 1-based offset
+    * `offsetExpr + 1` as BIGINT (twin of Dedup.minhash's digest slicing). */
+  def hexSliceToLong(hexExpr: String, offsetExpr: String): String =
+    "(" + (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substr($hexExpr, ($offsetExpr) + $i, 1)) - 1) * ${BigInt(16).pow(8 - i)}"
+    }.mkString(" + ") + ")"
 }
