@@ -61,7 +61,7 @@ object CoreQueries {
     Pipeline.latestByKeyMaxBy(Pipeline.sanitize(Tables.positions(s, d)),
       Seq("event_id", "lat", "lon"))
 
-  private val latestOracle: String =
+  private[queries] val latestOracle: String =
     s"""SELECT provider, vehicleId AS vehicle_id,
        |       CAST(floor(epoch(eventTs)) AS BIGINT) AS ts_es, event_id, lat, lon
        |FROM (SELECT *, row_number() OVER (PARTITION BY provider, vehicleId
