@@ -1,0 +1,112 @@
+package graft.stream
+
+import java.nio.file.Files
+import graft.{SparkSpec, Tables}
+import graft.sink.{InMemoryKeyedTable, ParquetKeyedTable}
+import graft.sources.Replayer
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingHardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-source e2e: replayed chunks reproduce the batch argmax") {
+    val watch = Files.createTempDirectory("graft-watch").toString
+    val tilesSink = new InMemoryKeyedTable(Seq("tileKey"), None)
+    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Some("eventTs"))
+    val job = new StreamingJob(spark, StreamingJob.fileSource(spark, watch),
+      tilesSink, latestSink,
+      checkpointDir = Some(Files.createTempDirectory("ckpt").toString))
+    val q = job.start()
+    try {
+      (0 until 3).foreach { c =>
+        Replayer.emitChunk(spark, sf(), watch, c, 3)
+        q.processAllAvailable()
+      }
+      // streaming result == batch argmax over second-truncated timestamps
+      // (the replayer emits whole-second ISO strings, per the reference
+      // producer contract)
+      val batch = Pipeline.latestByKeyMaxBy(
+        Pipeline.sanitize(Tables.positions(spark, sf())
+          .withColumn("eventTs", date_trunc("second", col("eventTs")))),
+        Seq("lat", "lon"))
+        .select("provider", "vehicleId", "eventTs", "lat", "lon")
+      val streamed = latestSink.snapshot(spark)
+        .select("provider", "vehicleId", "eventTs", "lat", "lon")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
+  test("checkpoint recovery: a restarted query does not reprocess committed chunks") {
+    val watch = Files.createTempDirectory("graft-watch2").toString
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    val sink1 = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Some("eventTs"))
+    val job1 = new StreamingJob(spark, StreamingJob.fileSource(spark, watch),
+      new InMemoryKeyedTable(Seq("tileKey"), None), sink1, checkpointDir = Some(ckpt))
+    val q1 = job1.start()
+    Replayer.emitChunk(spark, sf(), watch, 0, 3)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(sink1.size > 0)
+
+    // fresh sinks + same checkpoint: only NEW files may flow
+    val sink2 = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Some("eventTs"))
+    val job2 = new StreamingJob(spark, StreamingJob.fileSource(spark, watch),
+      new InMemoryKeyedTable(Seq("tileKey"), None), sink2, checkpointDir = Some(ckpt))
+    val q2 = job2.start()
+    try {
+      q2.processAllAvailable()
+      assert(sink2.size == 0, "restart replayed an already-committed chunk")
+      Replayer.emitChunk(spark, sf(), watch, 1, 3)
+      q2.processAllAvailable()
+      assert(sink2.size > 0)
+    } finally q2.stop()
+  }
+
+  test("ParquetKeyedTable: distributed merge honors guard and replay") {
+    val dir = Files.createTempDirectory("pkt").toString
+    val t = new ParquetKeyedTable(spark, dir, Seq("provider", "vehicleId"),
+      Seq("eventTs"), Seq("event_id", "lat", "lon"))
+    val pos = Pipeline.sanitize(Tables.positions(spark, sf()))
+      .select("provider", "vehicleId", "eventTs", "event_id", "lat", "lon")
+    val epoch1 = pos.filter(col("event_id") % 2 === 0)
+    val epoch2 = pos.filter(col("event_id") % 2 === 1)
+    t.merge(epoch1)
+    t.merge(epoch2)
+    val afterBoth = t.snapshot(spark).collect().toSet
+    t.merge(epoch2) // replay
+    assert(t.snapshot(spark).collect().toSet == afterBoth)
+    // equals the all-data argmax
+    val expect = Pipeline.latestByKeyMaxBy(pos, Seq("event_id", "lat", "lon"))
+      .select("provider", "vehicleId", "eventTs", "event_id", "lat", "lon").collect().toSet
+    assert(afterBoth == expect)
+  }
+
+  test("flatMapGroupsWithState latest: emits only changed keys, guards stale rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val clean = Pipeline.snap(Pipeline.sanitize(Pipeline.parse(mem.toDF())), 8)
+      .withColumn("event_id", lit(0L))
+    val out = StatefulLatest.latest(clean)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("stateful_latest").start()
+    def ev(v: String, lat: Double, ts: String) =
+      s"""{"provider":"p","vehicleId":"$v","lat":$lat,"lon":10.0,"speedKmh":1.0,"bearing":0,"accuracyM":null,"ts":"$ts"}"""
+    try {
+      mem.addData(ev("v1", 11.0, "2024-01-01T10:00:00Z"), ev("v2", 12.0, "2024-01-01T10:01:00Z"))
+      q.processAllAvailable()
+      assert(spark.table("stateful_latest").count() == 2)
+      // stale v1 + unchanged v2 → only... stale emits nothing, v2 not sent
+      mem.addData(ev("v1", 99.0, "2024-01-01T09:00:00Z"))
+      q.processAllAvailable()
+      assert(spark.table("stateful_latest").count() == 2, "stale update leaked an emission")
+      mem.addData(ev("v1", 13.0, "2024-01-01T10:05:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_latest")
+        .groupBy("vehicleId").agg(max_by(col("lat"), col("ts_us")).as("lat"))
+        .as[(String, Double)].collect().toMap
+      assert(rows("v1") == 13.0 && rows("v2") == 12.0)
+    } finally q.stop()
+  }
+}
