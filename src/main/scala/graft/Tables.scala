@@ -41,7 +41,7 @@ object Tables {
     * (`heatmap_stream.py:52-61` schema): the shared testdata carries no
     * coordinates, so lat/lon derive deterministically from integer columns
     * (exact modular arithmetic, then one double division — reproducible
-    * bit-for-bat in any engine; SQL twin in [[HexSql.eventLatSql]]).
+    * bit-for-bit in any engine; SQL twin in [[HexSql.eventLatSql]]).
     */
   def positions(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
