@@ -13,7 +13,8 @@ object Registry {
   def all: Seq[QueryDef] =
     queries.CoreQueries.defs ++ queries.RelationalQueries.defs ++
       queries.DedupQueries.defs ++ queries.SimilarityQueries.defs ++
-      queries.TextQueries.defs ++ queries.ExtensionQueries.defs
+      queries.TextQueries.defs ++ queries.ExtensionQueries.defs ++
+      queries.WindowingQueries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -43,6 +43,33 @@ object ExtensionQueries {
             expr("m.ts_us div 1000000").as("ts_es"),
             col("m.event_id").as("event_id"), col("m.lat").as("lat"), col("m.lon").as("lon"))
       },
-      Some(CoreQueries.latestOracle))
+      Some(CoreQueries.latestOracle)),
+
+    // ── Bounded-heap top-k Aggregator: O(k) state per partition instead
+    //    of a global sort; same oracle as the brute-force TakeOrdered form.
+    QueryDef("q_sim_topk_agg",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.{Scored, TopKAgg}
+        import graft.ops.Similarity
+        val e = Similarity.cast(Tables.embeddings(s, d))
+        val q = e.filter(col("vec_id") === 0).select(col("ev").as("qv"))
+        val scored = e.filter(col("vec_id") > 0).select(col("vec_id"), col("ev"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(Similarity.cosine(col("ev"), col("qv")), 6).as("cos"))
+          .as[Scored]
+        // the Aggregator's product output is flattened: column `items`
+        scored.select(new TopKAgg(10).toColumn.name("top"))
+          .select(explode(col("items")).as("x"))
+          .select(col("x.vec_id").as("vec_id"), col("x.cos").as("cos"))
+      },
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id > 0)
+             |SELECT vec_id,
+             |       round(list_dot_product(ev, qv) /
+             |             (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+             |FROM e, q
+             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin))
   )
 }
