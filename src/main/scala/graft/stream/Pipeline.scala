@@ -19,16 +19,10 @@ import graft.geo.hexfunctions._
   */
 object Pipeline {
 
-  /** Declared input schema — fixed, not inferred (`heatmap_stream.py:52-61`). */
-  val positionSchema: StructType = StructType(Seq(
-    StructField("provider", StringType),
-    StructField("vehicleId", StringType),
-    StructField("lat", DoubleType),
-    StructField("lon", DoubleType),
-    StructField("speedKmh", DoubleType),
-    StructField("bearing", IntegerType),
-    StructField("accuracyM", IntegerType),
-    StructField("ts", StringType)))
+  /** Declared input schema — fixed, not inferred (`heatmap_stream.py:52-61`);
+    * derived from the typed model so case class and wire schema can't
+    * drift. */
+  val positionSchema: StructType = graft.model.Model.positionSchema
 
   /** P1–P4: Kafka-style binary/string `value` → typed columns.
     * PERMISSIVE `from_json` nulls out type-mismatched fields exactly like
@@ -37,6 +31,27 @@ object Pipeline {
     raw.select(from_json(col("value").cast("string"), positionSchema).as("j"))
       .select(col("j.*"))
       .withColumn("eventTs", to_timestamp(col("ts")))
+
+  /** [[parse]] with corrupt-record capture: malformed JSON keeps its raw
+    * text in `_corrupt` instead of silently nulling — the dead-letter-queue
+    * pattern a production ingest needs (the reference's producer skips
+    * malformed rows with a log line, `mbta_to_kafka.py:75-77`; an engine
+    * should retain them). */
+  def parseAudited(raw: DataFrame): DataFrame = {
+    val schemaWithCorrupt = positionSchema.add("_corrupt", StringType)
+    raw.select(from_json(col("value").cast("string"), schemaWithCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .select(col("j.*"))
+      .withColumn("eventTs", to_timestamp(col("ts")))
+  }
+
+  /** The dead-letter leg of [[parseAudited]]. */
+  def deadLetters(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw"))
+
+  /** The well-formed leg of [[parseAudited]]. */
+  def wellFormed(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt").isNull).drop("_corrupt")
 
   /** F1–F2: null guards + coordinate range predicates
     * (`heatmap_stream.py:97-104`). */
