@@ -70,6 +70,16 @@ object ExtensionQueries {
              |       round(list_dot_product(ev, qv) /
              |             (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
              |FROM e, q
-             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin))
+             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)),
+
+    // ── TypedImperativeAggregate surface: exact-distinct sketch with a
+    //    serialized imperative buffer, checked against count(DISTINCT).
+    QueryDef("q_distinct_sketch",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.ExactDistinct.exact_distinct(col("user_id")).as("dusers"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS dusers, count(*) AS cnt
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }
