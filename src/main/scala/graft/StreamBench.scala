@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sink.InMemoryKeyedTable
+import graft.stream.StreamingJob
+
+/** Single-node streaming throughput: pushes synthetic position-event JSON
+  * through the full pipeline (parse → sanitize → snap → windowed agg →
+  * multiplex → foreachBatch → both sinks) via MemoryStream and reports
+  * events/sec. The reference's operating envelope is ≤200 events per 3 s
+  * poll (~67 events/s); this records our single-JVM headroom.
+  *
+  * Env: SPARK_GRAFT_EVENTS (default 200000), SPARK_GRAFT_BATCHES (20).
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_EVENTS", "200000").toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "20").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    def ev(i: Int): String = {
+      val lat = -80.0 + (i % 16000) / 100.0
+      val lon = -170.0 + (i % 34000) / 100.0
+      val min = (i / 1000) % 60
+      f"""{"provider":"p${i % 3}","vehicleId":"v${i % 5000}","lat":$lat%.2f,"lon":$lon%.2f,"speedKmh":${(i % 120)}.5,"bearing":${i % 360},"accuracyM":null,"ts":"2024-01-01T10:$min%02d:${i % 60}%02dZ"}"""
+    }
+
+    val mem = MemoryStream[String]
+    val tilesSink = new InMemoryKeyedTable(Seq("tileKey"), None)
+    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Some("eventTs"))
+    val job = new StreamingJob(spark, mem.toDF(), tilesSink, latestSink)
+    val q = job.start()
+    // warm one batch before timing
+    mem.addData(ev(0)); q.processAllAvailable()
+
+    val batchSize = nEvents / nBatches
+    val t0 = System.nanoTime()
+    (0 until nBatches).foreach { b =>
+      mem.addData((0 until batchSize).map(i => ev(b * batchSize + i)): _*)
+      q.processAllAvailable()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    println(s"""{"metric":"stream_events_per_sec","value":${(nEvents / sec).round},"unit":"events/sec","events":$nEvents,"batches":$nBatches,"sec":$sec,"tiles":${tilesSink.size},"latest":${latestSink.size}}""")
+    spark.stop()
+  }
+}

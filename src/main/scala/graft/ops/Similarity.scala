@@ -55,6 +55,33 @@ object Similarity {
     Seq.fill(bits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
 
+  /** IVF coarse assignment: each vector goes to its highest-cosine
+    * centroid (ties → smallest centroid id). `centroids` carries
+    * (c_id, cv). A production index k-means-trains the centroids; the
+    * assignment/probe machinery is identical. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("ev"), col("cv")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ev"), col("c_id"))
+  }
+
+  /** IVF probe: route the query to its nearest centroid, then search only
+    * that cell — the corpus-wide scan never happens. */
+  def ivfProbe(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
+               k: Int): DataFrame = {
+    val qCell = ivfAssign(query.select(lit(-1L).as("vec_id"), col("qv").as("ev")),
+        centroids)
+      .select(col("c_id").as("q_cell"), col("ev").as("qv"))
+    assigned.join(broadcast(qCell), col("c_id") === col("q_cell"))
+      .select(col("vec_id"), round(cosine(col("ev"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Bucketed candidate pairs with exact cosine, computed only within
     * buckets. */
   def lshPairs(corpus: DataFrame, planes: Seq[Seq[Double]]): DataFrame = {

@@ -84,6 +84,35 @@ object SimilarityQueries {
               |             (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos
               |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin)),
 
+    // ── IVF-style ANN: coarse-quantize to 8 fixed centroids, probe only
+    //    the query's cell (corpus-wide scan never happens — the index
+    //    path for 100 TB; a production index k-means-trains centroids).
+    QueryDef("q_sim_ivf",
+      (s, d) => {
+        val e = Similarity.cast(Tables.embeddings(s, d)).select(col("vec_id"), col("ev"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("ev").as("cv"))
+        val q = e.filter(col("vec_id") === 0).select(col("ev").as("qv"))
+        Similarity.ivfProbe(Similarity.ivfAssign(e, cents), cents, q, 5)
+      },
+      Some("""WITH cents AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+             |               FROM embeddings WHERE vec_id < 8),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+             |asn AS (SELECT vec_id, ev, c_id FROM (
+             |          SELECT e.vec_id, e.ev, c.c_id,
+             |                 row_number() OVER (PARTITION BY e.vec_id
+             |                   ORDER BY list_dot_product(e.ev, c.cv) /
+             |                     (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |                   c.c_id ASC) AS rn
+             |          FROM e CROSS JOIN cents c) t
+             |        WHERE rn = 1),
+             |q AS (SELECT ev AS qv, c_id AS q_cell FROM asn WHERE vec_id = 0)
+             |SELECT a.vec_id,
+             |       round(list_dot_product(a.ev, q.qv) /
+             |             (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+             |FROM asn a, q WHERE a.c_id = q.q_cell
+             |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin)),
+
     // ── Per-label centroid statistics (element-wise mean via explode —
     //    groupBy(label, i) keeps partial aggregation; no wide-row pivot).
     QueryDef("q_label_centroids",

@@ -60,6 +60,22 @@ object WindowingQueries {
       Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ── Salted equi-join: hot join keys fan across 8 salts (small side
+    //    replicated), result provably identical to the plain join.
+    QueryDef("q_salted_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.select(col("event_type")).distinct()
+          .withColumn("w", length(col("event_type")).cast("long"))
+        graft.ops.Skew.saltedJoin(ev, dim, "event_type", 8, col("event_id"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("value") * col("w")), 4).as("wsum"))
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |       round(sum(value * length(event_type)), 4) AS wsum
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // ── CUBE over two dims with grouping indicators.
     QueryDef("q_cube",
       (s, d) => Tables.events(s, d)
