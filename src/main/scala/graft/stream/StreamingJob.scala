@@ -43,13 +43,19 @@ final class StreamingJob(
     * per-key argmax (A2/A3 via max_by — executor-side), upsert both sinks.
     * Batch-replay safety comes from the sinks (W5). */
   private[stream] def processBatch(df: DataFrame, epochId: Long): Unit = {
-    val tiles = Pipeline.route(df, "tiles")
-      .select("tileKey", "cellId", "windowStart", "windowEnd", "cnt",
-        "avgSpeedKmh", "avgLon", "avgLat", "staleAt")
-    tilesSink.merge(tiles)
-    val latest = Pipeline.latestByKeyMaxBy(
-      Pipeline.route(df, "latest"), Seq("lat", "lon"))
-    latestSink.merge(latest)
+    // Two sinks = two actions on this epoch frame; cache so the multiplexed
+    // plan (incl. the stateful aggregate subtree) executes once, not per
+    // sink — mirrors the reference's per-batch reuse.
+    df.persist()
+    try {
+      val tiles = Pipeline.route(df, "tiles")
+        .select("tileKey", "cellId", "windowStart", "windowEnd", "cnt",
+          "avgSpeedKmh", "avgLon", "avgLat", "staleAt")
+      tilesSink.merge(tiles)
+      val latest = Pipeline.latestByKeyMaxBy(
+        Pipeline.route(df, "latest"), Seq("lat", "lon"))
+      latestSink.merge(latest)
+    } finally df.unpersist()
   }
 
   def start(): StreamingQuery = {
