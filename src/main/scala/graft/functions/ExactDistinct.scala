@@ -33,8 +33,15 @@ case class ExactDistinct(child: Expression,
     new java.util.HashSet[Long]()
 
   override def update(buf: java.util.HashSet[Long], input: InternalRow): java.util.HashSet[Long] = {
-    val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Long])
+    child.eval(input) match {
+      case null => ()
+      case l: java.lang.Long => buf.add(l)
+      case i: java.lang.Integer => buf.add(i.longValue())
+      case sh: java.lang.Short => buf.add(sh.longValue())
+      case b: java.lang.Byte => buf.add(b.longValue())
+      case other => throw new IllegalArgumentException(
+        s"exact_distinct_sketch requires an integral column, got ${other.getClass.getSimpleName}")
+    }
     buf
   }
 

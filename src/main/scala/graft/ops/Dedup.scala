@@ -79,6 +79,7 @@ object Dedup {
     pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "j"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_bands"))
       .agg(sum(when(col("mha") === col("mhb"), 1L).otherwise(0L)).as("n_eq"))
+      .withColumn("est_jaccard", round(col("n_eq").cast("double") / k, 6))
   }
 
   /** SimHash fingerprint over word unigrams, `bits` wide (default 16).

@@ -48,11 +48,13 @@ object Similarity {
       when(dot(v, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Deterministic pseudo-random hyperplanes in [-1, 1] (seeded; embedded
-    * as literals in both the plan and the oracle SQL — no RNG at runtime). */
-  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+  /** Deterministic seeded integer hyperplanes in [-1000, 1000]^dim —
+    * integer-valued so sign-bit bucket assignment is exact in ANY engine
+    * (embedded as literals in both the plan and the oracle SQL; no RNG at
+    * runtime). */
+  def hyperplanesInt(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Int]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(bits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextInt(2001) - 1000))
   }
 
   /** IVF coarse assignment: each vector goes to its highest-cosine

@@ -21,11 +21,18 @@ case class HexCenterDirect(lat: Expression, lon: Expression, res: Expression,
   override def third: Expression = res
   override def dataType: DataType = DoubleType
 
+  // Out-of-range coords must stay NULL, exactly like the unfused
+  // HexCellId → HexCenter chain — a rule must be semantics-preserving.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(latV: Any, lonV: Any, resV: Any): Any = {
     val la = latV.asInstanceOf[Double]; val lo = lonV.asInstanceOf[Double]
     val r = resV.asInstanceOf[Int]
-    val q = HexGrid.axialQ(la, lo, r); val rr = HexGrid.axialR(la, lo, r)
-    if (isLat) HexGrid.centerLat(q, rr, r) else HexGrid.centerLon(q, rr, r)
+    if (la < -90.0 || la > 90.0 || lo < -180.0 || lo > 180.0) null
+    else {
+      val q = HexGrid.axialQ(la, lo, r); val rr = HexGrid.axialR(la, lo, r)
+      if (isLat) HexGrid.centerLat(q, rr, r) else HexGrid.centerLon(q, rr, r)
+    }
   }
 
   override protected def withNewChildrenInternal(

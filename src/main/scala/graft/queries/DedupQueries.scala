@@ -71,7 +71,8 @@ object DedupQueries {
            |            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
            |          GROUP BY 1, 2)
            |SELECT p.doc_a, p.doc_b, p.n_bands,
-           |       CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+           |       CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+           |       round(CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8, 6) AS est_jaccard
            |FROM pairs p
            |JOIN sig x ON x.doc_id = p.doc_a
            |JOIN sig y ON y.doc_id = p.doc_b AND y.j = x.j

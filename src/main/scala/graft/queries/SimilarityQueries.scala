@@ -13,10 +13,7 @@ object SimilarityQueries {
 
   /** 8 integer hyperplanes in [-1000,1000]^64, seeded — embedded as
     * literals in both the Spark plan and the oracle SQL. */
-  private val planesInt: Seq[Seq[Int]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(8)(Seq.fill(64)(rnd.nextInt(2001) - 1000))
-  }
+  private val planesInt: Seq[Seq[Int]] = Similarity.hyperplanesInt(8, 64)
   private val planes: Seq[Seq[Double]] = planesInt.map(_.map(_.toDouble))
 
   private val planesSqlValues: String =

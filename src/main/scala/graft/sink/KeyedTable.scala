@@ -23,40 +23,46 @@ trait KeyedTable {
   * 191-196,210,230-235`). Fine at reference scale; the 100 TB path is
   * [[ParquetKeyedTable]] (fully distributed merge).
   *
-  * @param keyCols  composite key (reference synthesizes `a|b|c` ids — P9)
-  * @param guardCol if set, an incoming row only replaces the stored row
-  *                 when its guard value is strictly greater (monotonic
-  *                 event-time guard); when None, last writer wins
-  *                 (tiles semantics: update-mode re-emissions overwrite).
+  * @param keyCols   composite key (reference synthesizes `a|b|c` ids — P9)
+  * @param guardCols if non-empty, an incoming row only replaces the stored
+  *                  row when its guard tuple compares lexicographically
+  *                  strictly greater (monotonic event-time guard with
+  *                  deterministic tie-break — use the SAME column list the
+  *                  in-batch argmax orders by, so results don't depend on
+  *                  micro-batch boundaries); when empty, last writer wins
+  *                  (tiles semantics: update-mode re-emissions overwrite).
   */
-final class InMemoryKeyedTable(keyCols: Seq[String], guardCol: Option[String])
+final class InMemoryKeyedTable(keyCols: Seq[String], guardCols: Seq[String])
     extends KeyedTable {
+  def this(keyCols: Seq[String], guardCol: Option[String]) =
+    this(keyCols, guardCol.toSeq)
+
   private val store = TrieMap.empty[String, Row]
   @volatile private var schema: StructType = _
+
+  private def cmp(o: Any, n: Any): Int = (o, n) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b)
+    case (a: java.lang.Comparable[Any] @unchecked, b) => a.compareTo(b)
+  }
 
   override def merge(batch: DataFrame): Unit = {
     if (schema == null) schema = batch.schema
     val keyIdx = keyCols.map(batch.schema.fieldIndex)
-    val guardIdx = guardCol.map(batch.schema.fieldIndex)
+    val guardIdx = guardCols.map(batch.schema.fieldIndex)
     // Reference-faithful driver-side iteration (W9); chunking is implicit in
     // toLocalIterator's partition streaming.
     batch.toLocalIterator().forEachRemaining { row =>
       val key = keyIdx.map(i => String.valueOf(row.get(i))).mkString("|")
       store.updateWith(key) {
         case None => Some(row)
+        case Some(old) if guardIdx.isEmpty => Some(row)
         case Some(old) =>
-          guardIdx match {
-            case None => Some(row)
-            case Some(g) =>
-              val o = old.get(g); val n = row.get(g)
-              val newer = (o, n) match {
-                case (null, _) => true
-                case (_, null) => false
-                case (a: java.sql.Timestamp, b: java.sql.Timestamp) => b.after(a)
-                case (a: java.lang.Comparable[Any] @unchecked, b) => a.compareTo(b) < 0
-              }
-              if (newer) Some(row) else Some(old)
-          }
+          val c = guardIdx.iterator.map(g => cmp(old.get(g), row.get(g)))
+            .find(_ != 0).getOrElse(0)
+          if (c < 0) Some(row) else Some(old)
       }
     }
   }
@@ -78,19 +84,34 @@ final class InMemoryKeyedTable(keyCols: Seq[String], guardCol: Option[String])
 final class ParquetKeyedTable(spark: SparkSession, path: String,
                               keyCols: Seq[String], orderCols: Seq[String],
                               payload: Seq[String]) extends KeyedTable {
-  private var gen = 0
+  // Recover the newest committed generation on (re)construction so a
+  // restarted process resumes from durable state instead of silently
+  // starting empty.
+  private var gen: Int = listGens.maxOption.getOrElse(0)
+
+  private def listGens: Seq[Int] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("gen").toInt).toOption
+        .filter(_ => f.getName.startsWith("gen") && f.isDirectory))
+
   private def cur = s"$path/gen$gen"
 
   override def merge(batch: DataFrame): Unit = {
     val merged =
-      if (gen == 0 && !new java.io.File(cur).exists()) {
-        Upsert.merge(batch.limit(0), batch, keyCols, orderCols, payload)
-      } else {
-        Upsert.merge(spark.read.parquet(cur), batch, keyCols, orderCols, payload)
-      }
+      if (gen == 0) Upsert.merge(batch.limit(0), batch, keyCols, orderCols, payload)
+      else Upsert.merge(spark.read.parquet(cur), batch, keyCols, orderCols, payload)
     val next = s"$path/gen${gen + 1}"
     merged.write.mode("overwrite").parquet(next)
+    val old = gen
     gen += 1
+    // Retire superseded generations (keep only the newly committed one) —
+    // otherwise a long-running stream leaks one table copy per epoch.
+    listGens.filter(_ <= old).foreach(g => deleteRec(new java.io.File(s"$path/gen$g")))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete()
   }
 
   override def snapshot(s: SparkSession): DataFrame =

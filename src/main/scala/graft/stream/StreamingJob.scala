@@ -81,5 +81,5 @@ object StreamingJob {
 
   /** File-drop source with the same contract (each line one JSON event). */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir).withColumnRenamed("value", "value")
+    spark.readStream.text(dir)
 }

@@ -37,6 +37,17 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("fused center preserves NULL for out-of-range coordinates (rule is semantics-preserving)") {
+    Graft.install(spark)
+    // parquet-backed with injected out-of-range lat so the rule fires and
+    // the guard must survive the fusion
+    val df = graft.Tables.positions(spark, sf()).select(col("lat"), col("lon")).limit(5)
+      .withColumn("lat", when(col("lon") > -1000, lit(95.0)).otherwise(col("lat")))
+    val q = df.select(hex_center_lat(hex_cell_id(col("lat"), col("lon"), 8)).as("clat"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("hex_center_lat_direct"))
+    assert(q.collect().forall(_.isNullAt(0)), "out-of-range lat must fuse to NULL")
+  }
+
   test("fresh session via withExtensions gets the rule and functions") {
     val fresh = spark.newSession()
     // newSession shares extensions only if built with them; install runtime-side

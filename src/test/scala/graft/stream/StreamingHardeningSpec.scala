@@ -12,8 +12,8 @@ class StreamingHardeningSpec extends SparkSpec {
 
   test("file-source e2e: replayed chunks reproduce the batch argmax") {
     val watch = Files.createTempDirectory("graft-watch").toString
-    val tilesSink = new InMemoryKeyedTable(Seq("tileKey"), None)
-    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Some("eventTs"))
+    val tilesSink = new InMemoryKeyedTable(Seq("tileKey"), Nil)
+    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Seq("eventTs", "lat", "lon"))
     val job = new StreamingJob(spark, StreamingJob.fileSource(spark, watch),
       tilesSink, latestSink,
       checkpointDir = Some(Files.createTempDirectory("ckpt").toString))
@@ -41,9 +41,9 @@ class StreamingHardeningSpec extends SparkSpec {
   test("checkpoint recovery: a restarted query does not reprocess committed chunks") {
     val watch = Files.createTempDirectory("graft-watch2").toString
     val ckpt = Files.createTempDirectory("ckpt2").toString
-    val sink1 = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Some("eventTs"))
+    val sink1 = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Seq("eventTs", "lat", "lon"))
     val job1 = new StreamingJob(spark, StreamingJob.fileSource(spark, watch),
-      new InMemoryKeyedTable(Seq("tileKey"), None), sink1, checkpointDir = Some(ckpt))
+      new InMemoryKeyedTable(Seq("tileKey"), Nil), sink1, checkpointDir = Some(ckpt))
     val q1 = job1.start()
     Replayer.emitChunk(spark, sf(), watch, 0, 3)
     q1.processAllAvailable()
@@ -51,9 +51,9 @@ class StreamingHardeningSpec extends SparkSpec {
     assert(sink1.size > 0)
 
     // fresh sinks + same checkpoint: only NEW files may flow
-    val sink2 = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Some("eventTs"))
+    val sink2 = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Seq("eventTs", "lat", "lon"))
     val job2 = new StreamingJob(spark, StreamingJob.fileSource(spark, watch),
-      new InMemoryKeyedTable(Seq("tileKey"), None), sink2, checkpointDir = Some(ckpt))
+      new InMemoryKeyedTable(Seq("tileKey"), Nil), sink2, checkpointDir = Some(ckpt))
     val q2 = job2.start()
     try {
       q2.processAllAvailable()
@@ -81,6 +81,15 @@ class StreamingHardeningSpec extends SparkSpec {
     val expect = Pipeline.latestByKeyMaxBy(pos, Seq("event_id", "lat", "lon"))
       .select("provider", "vehicleId", "eventTs", "event_id", "lat", "lon").collect().toSet
     assert(afterBoth == expect)
+    // a RESTARTED table on the same path resumes from durable state and
+    // old generations are retired
+    val t2 = new ParquetKeyedTable(spark, dir, Seq("provider", "vehicleId"),
+      Seq("eventTs"), Seq("event_id", "lat", "lon"))
+    assert(t2.snapshot(spark).collect().toSet == afterBoth)
+    val gens = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("gen"))
+    assert(gens.length == 1, s"old generations not retired: ${gens.mkString(",")}")
+    t2.merge(epoch1) // older rows: guard keeps everything
+    assert(t2.snapshot(spark).collect().toSet == afterBoth)
   }
 
   test("flatMapGroupsWithState latest: emits only changed keys, guards stale rows") {

@@ -14,8 +14,8 @@ class StreamingJobSpec extends SparkSpec {
   test("end-to-end micro-batch flow: window agg + latest with guard + late-data drop") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
-    val tilesSink = new InMemoryKeyedTable(Seq("tileKey"), guardCol = None)
-    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), guardCol = Some("eventTs"))
+    val tilesSink = new InMemoryKeyedTable(Seq("tileKey"), Nil)
+    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Seq("eventTs", "lat", "lon"))
     val job = new StreamingJob(spark, mem.toDF(), tilesSink, latestSink,
       checkpointDir = Some(java.nio.file.Files.createTempDirectory("ckpt").toString))
     val q = job.start()
@@ -60,8 +60,8 @@ class StreamingJobSpec extends SparkSpec {
   test("replaying a batch leaves sinks unchanged (at-least-once idempotency)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
-    val tilesSink = new InMemoryKeyedTable(Seq("tileKey"), guardCol = None)
-    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), guardCol = Some("eventTs"))
+    val tilesSink = new InMemoryKeyedTable(Seq("tileKey"), Nil)
+    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Seq("eventTs", "lat", "lon"))
     val job = new StreamingJob(spark, mem.toDF(), tilesSink, latestSink)
     val q = job.start()
     try {
