@@ -192,6 +192,30 @@ object RelationalQueries {
              |       count(DISTINCT l_suppkey) AS dsupps, count(*) AS cnt
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ── Exact row-level dedup via dropDuplicates (projection-level DISTINCT;
+    //    the streaming twin dropDuplicatesWithinWatermark is spec-covered).
+    QueryDef("q_drop_duplicates",
+      (s, d) => Tables.events(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates(),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
+    // ── Pivot: per-user-bucket counts fanned across event types (explicit
+    //    value list keeps the plan single-pass; oracle via CASE aggregation).
+    QueryDef("q_pivot",
+      (s, d) => Tables.events(s, d)
+        .withColumn("ub", col("user_id") % 5)
+        .groupBy(col("ub"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1))),
+      Some("""SELECT user_id % 5 AS ub,
+             |       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+             |       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+             |       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+             |       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+             |       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+             |FROM events GROUP BY user_id % 5""".stripMargin)),
+
     // ── HLL approximate distinct — sketch output is engine-specific, so no
     //    SQL oracle (driver records rows-only); the exact twin above is the
     //    correctness anchor.

@@ -92,6 +92,27 @@ class StreamingHardeningSpec extends SparkSpec {
     assert(t2.snapshot(spark).collect().toSet == afterBoth)
   }
 
+  test("dropDuplicatesWithinWatermark suppresses cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    def ev(v: String, ts: String) =
+      s"""{"provider":"p","vehicleId":"$v","lat":1.0,"lon":2.0,"speedKmh":1.0,"bearing":0,"accuracyM":null,"ts":"$ts"}"""
+    val parsed = Pipeline.parse(mem.toDF())
+      .withWatermark("eventTs", "10 minutes")
+      .dropDuplicatesWithinWatermark("provider", "vehicleId", "eventTs")
+    val q = parsed.writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    try {
+      mem.addData(ev("v1", "2024-01-01T10:00:00Z"), ev("v1", "2024-01-01T10:00:00Z"))
+      q.processAllAvailable()
+      mem.addData(ev("v1", "2024-01-01T10:00:00Z"), // replayed duplicate
+                  ev("v1", "2024-01-01T10:02:00Z")) // genuinely new
+      q.processAllAvailable()
+      val vs = spark.table("stream_dedup").select("vehicleId", "ts").collect()
+      assert(vs.length == 2, s"expected dedup to 2 rows, got ${vs.length}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState latest: emits only changed keys, guards stale rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
