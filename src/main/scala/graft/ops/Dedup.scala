@@ -67,8 +67,13 @@ object Dedup {
 
   /** Candidate pairs: docs sharing ≥1 LSH bucket, with #shared bands and
     * #equal minhashes (estimated Jaccard = n_eq / k). */
-  def candidates(sig: DataFrame, k: Int = 8): DataFrame = {
-    val bands = lshBands(sig)
+  def candidates(sigIn: DataFrame, k: Int = 8): DataFrame = {
+    // sig feeds three plan branches (bands self-join + two signature
+    // joins): without caching the whole shingle+hash subtree executes 4x
+    // (verified via explain). Signatures are k rows/doc — tiny vs the
+    // recompute.
+    val sig = sigIn.persist()
+    val bands = lshBands(sig).persist()
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
