@@ -216,6 +216,25 @@ object RelationalQueries {
              |       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
              |FROM events GROUP BY user_id % 5""".stripMargin)),
 
+    // ── Statistical aggregates: exact interpolated percentiles, sample
+    //    stddev, Pearson correlation (identical definitions both engines).
+    QueryDef("q_stats_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_vu"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.5), 4) AS p50,
+             |       round(quantile_cont(value, 0.9), 4) AS p90,
+             |       round(stddev_samp(value), 4) AS sd,
+             |       round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+             |       count(*) AS cnt
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // ── HLL approximate distinct — sketch output is engine-specific, so no
     //    SQL oracle (driver records rows-only); the exact twin above is the
     //    correctness anchor.
