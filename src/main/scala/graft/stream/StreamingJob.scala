@@ -58,6 +58,32 @@ final class StreamingJob(
     } finally df.unpersist()
   }
 
+  /** Idiomatic alternative to the union multiplex (SURVEY.md §2.7 SO1
+    * note): two independent streaming queries sharing the source — each
+    * leg gets its own trigger/checkpoint lifecycle, at the cost of reading
+    * the source twice. Returns (tilesQuery, latestQuery). */
+  def startSplit(): (StreamingQuery, StreamingQuery) = {
+    val clean = Pipeline.snap(Pipeline.sanitize(Pipeline.parse(source)), res)
+    val tiles = Pipeline.tileKeys(
+      Pipeline.tiles(clean, windowMinutes, watermarkDelay), city, res, ttlMinutes)
+    var tw = tiles.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        tilesSink.merge(df.select("tileKey", "cellId", "windowStart", "windowEnd",
+          "cnt", "avgSpeedKmh", "avgLon", "avgLat", "staleAt"))
+      }
+    var lw = clean.select("provider", "vehicleId", "eventTs", "lat", "lon")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        latestSink.merge(Pipeline.latestByKeyMaxBy(df, Seq("lat", "lon")))
+      }
+    checkpointDir.foreach { c =>
+      tw = tw.option("checkpointLocation", s"$c/tiles")
+      lw = lw.option("checkpointLocation", s"$c/latest")
+    }
+    trigger.foreach { t => tw = tw.trigger(t); lw = lw.trigger(t) }
+    (tw.start(), lw.start())
+  }
+
   def start(): StreamingQuery = {
     var w = plan().writeStream
       .outputMode("update")

@@ -92,6 +92,44 @@ class StreamingHardeningSpec extends SparkSpec {
     assert(t2.snapshot(spark).collect().toSet == afterBoth)
   }
 
+  test("split dual-query mode matches the multiplexed single-query results") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val tilesSink = new InMemoryKeyedTable(Seq("tileKey"), Nil)
+    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Seq("eventTs", "lat", "lon"))
+    val job = new StreamingJob(spark, mem.toDF(), tilesSink, latestSink)
+    val (qt, ql) = job.startSplit()
+    def ev(v: String, lat: Double, ts: String) =
+      s"""{"provider":"p","vehicleId":"$v","lat":$lat,"lon":-71.0,"speedKmh":5.0,"bearing":0,"accuracyM":null,"ts":"$ts"}"""
+    try {
+      mem.addData(ev("v1", 42.1, "2024-01-01T10:00:00Z"), ev("v2", 42.1, "2024-01-01T10:01:00Z"))
+      qt.processAllAvailable(); ql.processAllAvailable()
+      assert(tilesSink.snapshot(spark).agg(sum("cnt")).head().getLong(0) == 2)
+      assert(latestSink.size == 2)
+    } finally { qt.stop(); ql.stop() }
+  }
+
+  test("Trigger.AvailableNow backfills all pending chunks then terminates") {
+    val watch = Files.createTempDirectory("graft-backfill").toString
+    // drop ALL chunks before the query exists — the backlog/backfill shape
+    Replayer.replayAll(spark, sf(), watch, 3)
+    val tilesSink = new InMemoryKeyedTable(Seq("tileKey"), Nil)
+    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Seq("eventTs", "lat", "lon"))
+    val job = new StreamingJob(spark, StreamingJob.fileSource(spark, watch),
+      tilesSink, latestSink,
+      checkpointDir = Some(Files.createTempDirectory("ckpt-bf").toString),
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    val q = job.start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      val expect = Pipeline.latestByKeyMaxBy(
+        Pipeline.sanitize(Tables.positions(spark, sf())
+          .withColumn("eventTs", date_trunc("second", col("eventTs")))),
+        Seq("lat", "lon")).count()
+      assert(latestSink.size == expect)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses cross-batch duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
