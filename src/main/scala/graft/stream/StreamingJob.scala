@@ -30,9 +30,17 @@ final class StreamingJob(
     trigger: Option[Trigger] = None) {
 
   /** Build the multiplexed logical plan (lazy — same shape as
-    * `heatmap_stream.py:88-146`). */
+    * `heatmap_stream.py:88-146`). Observed metrics (`graft_ingest`: rows
+    * parsed / rows surviving sanitize+snap) surface per micro-batch in
+    * `StreamingQueryProgress.observedMetrics` — the ops counter a
+    * production pipeline alarms on (drop-rate spikes mean a producer
+    * schema broke). */
   def plan(): DataFrame = {
-    val clean = Pipeline.snap(Pipeline.sanitize(Pipeline.parse(source)), res)
+    val parsed = Pipeline.parse(source)
+      .observe("graft_ingest",
+        count(lit(1)).as("rows_parsed"),
+        count(col("provider")).as("rows_with_provider"))
+    val clean = Pipeline.snap(Pipeline.sanitize(parsed), res)
     val tiles = Pipeline.tileKeys(
       Pipeline.tiles(clean, windowMinutes, watermarkDelay), city, res, ttlMinutes)
     val latestRaw = clean.select("provider", "vehicleId", "eventTs", "lat", "lon")
@@ -105,7 +113,13 @@ object StreamingJob {
       .option("startingOffsets", "latest")
       .load()
 
-  /** File-drop source with the same contract (each line one JSON event). */
-  def fileSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir)
+  /** File-drop source with the same contract (each line one JSON event).
+    * `maxFilesPerTrigger` bounds per-batch intake — the file-source
+    * backpressure knob (Kafka's equivalent is maxOffsetsPerTrigger). */
+  def fileSource(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(dir)
+  }
 }

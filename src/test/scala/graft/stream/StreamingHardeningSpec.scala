@@ -92,6 +92,44 @@ class StreamingHardeningSpec extends SparkSpec {
     assert(t2.snapshot(spark).collect().toSet == afterBoth)
   }
 
+  test("observed ingest metrics report parse/drop counts per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val job = new StreamingJob(spark, mem.toDF(),
+      new InMemoryKeyedTable(Seq("tileKey"), Nil),
+      new InMemoryKeyedTable(Seq("provider", "vehicleId"), Seq("eventTs", "lat", "lon")))
+    val q = job.start()
+    try {
+      mem.addData(
+        """{"provider":"p","vehicleId":"v","lat":1.0,"lon":2.0,"speedKmh":1.0,"bearing":0,"accuracyM":null,"ts":"2024-01-01T00:00:00Z"}""",
+        "garbage", // parses to all-null struct → provider null
+        """{"provider":"p2","vehicleId":"v2","lat":999.0,"lon":2.0,"speedKmh":1.0,"bearing":0,"accuracyM":null,"ts":"2024-01-01T00:00:01Z"}""")
+      q.processAllAvailable()
+      val ms = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("graft_ingest")))
+      assert(ms.nonEmpty, "graft_ingest metrics missing from progress")
+      // sum across batches (trailing empty batches report zeros)
+      assert(ms.map(_.getAs[Long]("rows_parsed")).sum == 3)
+      assert(ms.map(_.getAs[Long]("rows_with_provider")).sum == 2) // garbage nulled out
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger paces file-source intake one chunk per batch") {
+    val watch = Files.createTempDirectory("graft-paced").toString
+    Replayer.replayAll(spark, sf(), watch, 3)
+    val latestSink = new InMemoryKeyedTable(Seq("provider", "vehicleId"), Seq("eventTs", "lat", "lon"))
+    val job = new StreamingJob(spark,
+      StreamingJob.fileSource(spark, watch, maxFilesPerTrigger = Some(1)),
+      new InMemoryKeyedTable(Seq("tileKey"), Nil), latestSink,
+      checkpointDir = Some(Files.createTempDirectory("ckpt-paced").toString))
+    val q = job.start()
+    try {
+      q.processAllAvailable()
+      // 3 pending chunks × 1 file/trigger → at least 3 distinct batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("split dual-query mode matches the multiplexed single-query results") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
