@@ -31,8 +31,11 @@ object StreamBench {
     def ev(i: Int): String = {
       val lat = -80.0 + (i % 16000) / 100.0
       val lon = -170.0 + (i % 34000) / 100.0
-      val min = (i / 1000) % 60
-      f"""{"provider":"p${i % 3}","vehicleId":"v${i % 5000}","lat":$lat%.2f,"lon":$lon%.2f,"speedKmh":${(i % 120)}.5,"bearing":${i % 360},"accuracyM":null,"ts":"2024-01-01T10:$min%02d:${i % 60}%02dZ"}"""
+      // monotonic event time (1 s per event): a wrapping clock would let the
+      // watermark drop most events, silently skipping the aggregation leg
+      val day = 1 + i / 86400; val hh = (i / 3600) % 24
+      val mm = (i / 60) % 60; val ss = i % 60
+      f"""{"provider":"p${i % 3}","vehicleId":"v${i % 5000}","lat":$lat%.2f,"lon":$lon%.2f,"speedKmh":${(i % 120)}.5,"bearing":${i % 360},"accuracyM":null,"ts":"2024-01-$day%02dT$hh%02d:$mm%02d:$ss%02dZ"}"""
     }
 
     val mem = MemoryStream[String]

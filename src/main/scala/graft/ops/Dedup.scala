@@ -67,13 +67,11 @@ object Dedup {
 
   /** Candidate pairs: docs sharing ≥1 LSH bucket, with #shared bands and
     * #equal minhashes (estimated Jaccard = n_eq / k). */
-  def candidates(sigIn: DataFrame, k: Int = 8): DataFrame = {
-    // sig feeds three plan branches (bands self-join + two signature
-    // joins): without caching the whole shingle+hash subtree executes 4x
-    // (verified via explain). Signatures are k rows/doc — tiny vs the
-    // recompute.
-    val sig = sigIn.persist()
-    val bands = lshBands(sig).persist()
+  def candidates(sig: DataFrame, k: Int = 8): DataFrame = {
+    // sig feeds multiple plan branches; Spark's ReuseExchange dedupes the
+    // identical shuffle subtrees (profiled: explicit persist gained
+    // nothing and leaks cached blocks for the session's lifetime)
+    val bands = lshBands(sig)
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -207,7 +207,8 @@ object RelationalQueries {
         .withColumn("ub", col("user_id") % 5)
         .groupBy(col("ub"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1))),
+        .agg(count(lit(1)))
+        .na.fill(0L), // empty combos: pivot yields NULL, the oracle's count(CASE) yields 0
       Some("""SELECT user_id % 5 AS ub,
              |       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
              |       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,

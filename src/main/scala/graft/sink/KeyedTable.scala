@@ -89,10 +89,13 @@ final class ParquetKeyedTable(spark: SparkSession, path: String,
   // starting empty.
   private var gen: Int = listGens.maxOption.getOrElse(0)
 
+  // a generation counts only when its _SUCCESS marker exists — a crash
+  // mid-write leaves a partial dir that must not shadow the durable state
   private def listGens: Seq[Int] =
     Option(new java.io.File(path).listFiles()).toSeq.flatten
       .flatMap(f => scala.util.Try(f.getName.stripPrefix("gen").toInt).toOption
-        .filter(_ => f.getName.startsWith("gen") && f.isDirectory))
+        .filter(_ => f.getName.startsWith("gen") && f.isDirectory &&
+          new java.io.File(f, "_SUCCESS").exists()))
 
   private def cur = s"$path/gen$gen"
 

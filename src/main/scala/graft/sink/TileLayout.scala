@@ -22,7 +22,10 @@ object TileLayout {
   def write(tiles: DataFrame, path: String): Unit =
     tiles.withColumn("window_date", to_date(col("windowStart")))
       .repartition(col("window_date"))
-      .sortWithinPartitions(col("cellId"), col("windowStart"))
+      // window_date leads so the sort satisfies the writer's required
+      // ordering (otherwise FileFormatWriter re-sorts on the partition col
+      // alone and the cellId clustering is lost)
+      .sortWithinPartitions(col("window_date"), col("cellId"), col("windowStart"))
       .write.mode("overwrite").partitionBy("window_date").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =

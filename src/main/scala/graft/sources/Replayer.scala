@@ -37,7 +37,9 @@ object Replayer {
                 chunk: Int, chunks: Int): Unit = {
     val dir = Paths.get(watchDir)
     Files.createDirectories(dir)
-    val tmp = Files.createTempFile("graft-replay", ".tmp")
+    // stage INSIDE the watch dir: ATOMIC_MOVE across filesystems throws
+    // (default tmpdir is often tmpfs), and same-dir moves are always atomic
+    val tmp = Files.createTempFile(dir, ".graft-replay", ".tmp")
     Files.write(tmp, String.join("\n",
       chunkJson(spark, sfDir, chunk, chunks): _*).getBytes("UTF-8"))
     Files.move(tmp, dir.resolve(f"chunk-$chunk%05d.json"),

@@ -41,6 +41,7 @@ final class StreamingJob(
         count(lit(1)).as("rows_parsed"),
         count(col("provider")).as("rows_with_provider"))
     val clean = Pipeline.snap(Pipeline.sanitize(parsed), res)
+      .observe("graft_clean", count(lit(1)).as("rows_clean"))
     val tiles = Pipeline.tileKeys(
       Pipeline.tiles(clean, windowMinutes, watermarkDelay), city, res, ttlMinutes)
     val latestRaw = clean.select("provider", "vehicleId", "eventTs", "lat", "lon")

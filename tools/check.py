@@ -18,7 +18,7 @@ def norm(v):
         return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return (1, "NaN")
+            return (2, "NaN")
         return (1, round(v, 9))
     return (1, str(v)) if not isinstance(v, (int, str, bool, bytes)) else (1, v)
 
