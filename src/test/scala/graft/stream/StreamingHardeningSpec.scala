@@ -92,6 +92,33 @@ class StreamingHardeningSpec extends SparkSpec {
     assert(t2.snapshot(spark).collect().toSet == afterBoth)
   }
 
+  test("stateful sessionizer closes sessions via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    def ev(u: String, ts: String) =
+      s"""{"provider":"p","vehicleId":"$u","lat":1.0,"lon":2.0,"speedKmh":1.0,"bearing":0,"accuracyM":null,"ts":"$ts"}"""
+    val parsed = Pipeline.parse(mem.toDF())
+    val sessions = StatefulSessions.sessions(parsed, "vehicleId", "eventTs", gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("closed_sessions").start()
+    try {
+      // session 1: two events 5 min apart
+      mem.addData(ev("u1", "2024-01-01T10:00:00Z"), ev("u1", "2024-01-01T10:05:00Z"))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").count() == 0) // still open
+      // watermark jumps past 10:05 + 30min via another key's event
+      mem.addData(ev("u2", "2024-01-01T11:00:00Z"))
+      q.processAllAvailable()
+      mem.addData(ev("u2", "2024-01-01T11:01:00Z")) // extra batch lets timeout fire
+      q.processAllAvailable()
+      import spark.implicits._
+      val closed = spark.table("closed_sessions").as[StatefulSessions.ClosedSession].collect()
+      assert(closed.length == 1, s"expected u1's session closed, got ${closed.toSeq}")
+      assert(closed.head.user == "u1" && closed.head.cnt == 2)
+      assert(closed.head.end_us - closed.head.start_us == 5L * 60 * 1000000)
+    } finally q.stop()
+  }
+
   test("observed ingest metrics report parse/drop counts per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
