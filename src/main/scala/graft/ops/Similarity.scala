@@ -87,9 +87,10 @@ object Similarity {
   /** Bucketed candidate pairs with exact cosine, computed only within
     * buckets. */
   def lshPairs(corpus: DataFrame, planes: Seq[Seq[Double]]): DataFrame = {
-    // the self-join reads b twice; ReuseExchange dedupes the identical
-    // bucket-assignment subtrees, so no explicit (leak-prone) persist
-    val b = corpus.withColumn("bucket", lshBucket(col("ev"), planes))
+    // the self-join reads b twice under different aliases; cache so bucket
+    // assignment (bits x dim dot products per row) runs once. ContextCleaner
+    // releases the blocks once the result frame is unreachable.
+    val b = corpus.withColumn("bucket", lshBucket(col("ev"), planes)).persist()
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
