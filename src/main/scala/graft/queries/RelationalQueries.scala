@@ -236,6 +236,34 @@ object RelationalQueries {
              |       count(*) AS cnt
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ── Array collection ops (§2.10): collect_set canonicalized by
+    //    sort_array so the set-valued result is deterministic cross-engine.
+    QueryDef("q_collect_ops",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(sort_array(collect_set(col("event_type"))), ",").as("types_str"),
+          size(collect_set(col("event_type"))).cast("long").as("n_types"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT user_id,
+             |       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_str,
+             |       count(DISTINCT event_type) AS n_types,
+             |       count(*) AS cnt
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ── Map-typed columns (§2.10): props parsed as map<string,int>,
+    //    observed via scalar projections (sorted keys + value sum).
+    QueryDef("q_map_ops",
+      (s, d) => Tables.events(s, d)
+        .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+        .select(col("event_id"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_str"),
+          aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x).as("vals_sum")),
+      Some("""SELECT event_id, 'k' AS keys_str,
+             |       CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT) AS vals_sum
+             |FROM events""".stripMargin)),
+
     // ── HLL approximate distinct — sketch output is engine-specific, so no
     //    SQL oracle (driver records rows-only); the exact twin above is the
     //    correctness anchor.
