@@ -81,6 +81,28 @@ object SimilarityQueries {
               |             (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos
               |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin)),
 
+    // ── Embedding-cosine near-duplicate detection: LSH candidates filtered
+    //    at cos ≥ 0.999 — recovers exactly the injected scaled copies
+    //    without an all-pairs pass (the embedding leg of the dedup suite).
+    QueryDef("q_dedup_embedding",
+      (s, d) => Similarity.lshPairs(augmented(s, d), planes)
+        .filter(col("cos") >= 0.999)
+        .select(col("vec_a"), col("vec_b"), col("cos")),
+      Some(s"""WITH e AS $augmentedSql,
+              |planes(j, p) AS (VALUES
+              |            $planesSqlValues),
+              |bk AS (SELECT vec_id,
+              |              CAST(sum(CASE WHEN list_dot_product(e.ev, planes.p) > 0
+              |                            THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+              |       FROM e CROSS JOIN planes GROUP BY vec_id),
+              |b AS (SELECT e.vec_id, e.ev, bk.bucket FROM e JOIN bk USING (vec_id))
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |       round(list_dot_product(a.ev, b.ev) /
+              |             (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos
+              |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |WHERE round(list_dot_product(a.ev, b.ev) /
+              |            (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.999""".stripMargin)),
+
     // ── IVF-style ANN: coarse-quantize to 8 fixed centroids, probe only
     //    the query's cell (corpus-wide scan never happens — the index
     //    path for 100 TB; a production index k-means-trains centroids).
