@@ -56,21 +56,21 @@ case class HexCellId(lat: Expression, lon: Expression, res: Expression)
 }
 
 /** U2 inverse: cell id → closed boundary ring [[lon,lat],…] (7 points,
-  * first == last), mirroring `app.py:19-41`. Eval-only (CodegenFallback):
-  * it sits on small serving-path projections, never in the hot aggregation
-  * path, so codegen is not worth the complexity. */
-case class HexBoundary(cell: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * first == last), mirroring `app.py:19-41`. Codegen'd (a static call into
+  * HexGrid) so boundary projection stays inside whole-stage codegen next
+  * to the exploding Generate it usually feeds. */
+case class HexBoundary(cell: Expression) extends UnaryExpression {
 
   override def child: Expression = cell
   override def dataType: DataType =
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
 
-  override def nullSafeEval(cellV: Any): Any = {
-    val ring = HexGrid.boundary(cellV.toString)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      ring.map(p => new org.apache.spark.sql.catalyst.util.GenericArrayData(p)))
-  }
+  override def nullSafeEval(cellV: Any): Any =
+    HexGrid.boundaryArrayData(cellV.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.geo.HexGrid.boundaryArrayData($c.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(cell = newChild)

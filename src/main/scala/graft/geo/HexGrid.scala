@@ -111,4 +111,18 @@ object HexGrid {
     val (res, q, r) = parse(cell)
     Array.tabulate(7)(i => Array(cornerLon(q, r, res, i), cornerLat(q, r, res, i)))
   }
+
+  /** Catalyst-shaped boundary (called from generated code — see
+    * HexBoundary.doGenCode). */
+  def boundaryArrayData(cell: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (res, q, r) = parse(cell)
+    val pts = new Array[Any](7)
+    var i = 0
+    while (i < 7) {
+      pts(i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](cornerLon(q, r, res, i), cornerLat(q, r, res, i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(pts)
+  }
 }
