@@ -72,6 +72,22 @@ object ExtensionQueries {
              |FROM e, q
              |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)),
 
+    // ── Column-level data profiling (single-pass wide aggregation) — the
+    //    pre-ingest quality gate of a training-data pipeline.
+    QueryDef("q_data_profile",
+      (s, d) => graft.ops.Profile.profile(Tables.events(s, d)),
+      Some {
+        val numeric = Map("event_id" -> true, "ts" -> false, "user_id" -> true,
+          "event_type" -> false, "value" -> true, "props" -> false)
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props").map { c =>
+          val mn = if (numeric(c)) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          val mx = if (numeric(c)) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS col_name, count(*) AS rows_total, count($c) AS non_null,
+             |       count(DISTINCT $c) AS n_distinct, $mn AS min_d, $mx AS max_d
+             |FROM events""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      }),
+
     // ── TypedImperativeAggregate surface: exact-distinct sketch with a
     //    serialized imperative buffer, checked against count(DISTINCT).
     QueryDef("q_distinct_sketch",
