@@ -10,11 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (parquet footers, codegen, JIT) so the first timed
-    // query doesn't absorb startup cost; then run in stable sorted order.
-    try Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm the session (parquet footers/page cache, codegen, JIT): load every
+    // table, then run each query once untimed. The timed pass below then
+    // measures steady-state execution rather than one-time JVM/compiler cost —
+    // the number that actually predicts sustained throughput on a long-lived
+    // cluster. Disable with SPARK_GRAFT_WARMUP=0.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      try Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
+      catch { case _: Throwable => () }
+      ordered.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
