@@ -264,14 +264,31 @@ object RelationalQueries {
              |       CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT) AS vals_sum
              |FROM events""".stripMargin)),
 
-    // ── HLL approximate distinct — sketch output is engine-specific, so no
-    //    SQL oracle (driver records rows-only); the exact twin above is the
-    //    correctness anchor.
+    // ── Approximate distinct via the KMV sketch ([[graft.functions.KmvDistinct]]):
+    //    integer-only estimator over the portable 48-bit hash, so unlike
+    //    HLL the sketch output itself is oracle-checkable bit-for-bit.
+    //    (Spark's builtin HLL approx_count_distinct is exercised in the
+    //    spec suite with a tolerance assert — its sketch is engine-specific.)
     QueryDef("q_approx_distinct",
       (s, d) => Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(graft.functions.KmvDistinct.kmv_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("cnt")),
-      None)
+      Some {
+        val h = PortableSql.hash48("CAST(user_id AS VARCHAR)", "'kmv'")
+        s"""WITH b AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+           |hs AS (SELECT DISTINCT event_type, $h AS h FROM events),
+           |r AS (SELECT event_type, h,
+           |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+           |             count(*) OVER (PARTITION BY event_type) AS nh
+           |      FROM hs),
+           |e AS (SELECT event_type,
+           |             CAST(CASE WHEN max(nh) < 64 THEN max(nh)
+           |                  ELSE 63 * 281474976710656 // min(CASE WHEN rn = 64 THEN h END)
+           |                  END AS BIGINT) AS approx_users
+           |      FROM r GROUP BY 1)
+           |SELECT b.event_type, e.approx_users, b.cnt
+           |FROM b JOIN e USING (event_type)""".stripMargin
+      })
   )
 }
