@@ -102,6 +102,50 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Connected components over an undirected edge list — the pairs→clusters
+    * step of a dedup pipeline (LSH emits candidate PAIRS; keep-one-per-
+    * cluster needs the transitive closure). Iterative min-label
+    * propagation: every node starts labeled with its own id; each round a
+    * node takes the min label among itself and its neighbors; converged
+    * when no label shrinks. Rounds needed = graph diameter, which for
+    * near-dup clusters is tiny (chains of edited copies).
+    *
+    * Scale notes: each round is one join + one min-aggregate on the
+    * (node,label) frame — all partial-aggregable, no driver-side state
+    * beyond the convergence counter. Each round's result is eagerly
+    * local-checkpointed: without the lineage cut the logical plan doubles
+    * per round and analysis cost grows exponentially (on a cluster with
+    * lineage-loss concerns, point `spark.sparkContext.setCheckpointDir` at
+    * durable storage and swap in `checkpoint()`). For graphs with large
+    * diameter at 100 TB, swap the round body for the alternating
+    * large-star/small-star rewrite (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond") — same loop skeleton, O(log n) rounds.
+    *
+    * @param nodes single column `id`; @param edges columns `a`, `b`.
+    * @return (id, cluster_id) with cluster_id = min node id in component.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bi = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val msgs = bi.as("e").join(labels.as("l"), col("e.a") === col("l.id"))
+        .select(col("e.b").as("id"), col("l.label").as("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    bi.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Exact word-set Jaccard for all pairs in `docs` (quadratic — callers
     * must pre-restrict, e.g. to LSH candidates or a bounded id range). */
   def jaccardPairs(docs: DataFrame): DataFrame = {

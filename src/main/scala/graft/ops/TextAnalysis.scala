@@ -63,4 +63,48 @@ object TextAnalysis {
     val norm = regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
     df.withColumn("fp48", conv(substring(md5(norm), 1, 12), 16, 10).cast("long"))
   }
+
+  /** Per-document term frequencies: one (doc_id, word, tf) row per distinct
+    * word per doc. Narrow explode + one partial-aggregable count. */
+  def termFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF top-`k` terms per document. idf is the rational `N/df` (no
+    * logarithm — bias toward rare terms is preserved and every score is a
+    * single IEEE multiply+divide, so any engine reproduces it bit-for-bit;
+    * ln() implementations are NOT portable across runtimes).
+    *
+    * Scale shape: tf and df are two partial-aggregable counts; df joins
+    * back via broadcast (vocab ≪ corpus); top-k is a per-doc window over
+    * (doc_id)-partitioned data — no global sort.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val tf = termFreq(docs)
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .withColumn("score", round((col("tf") * lit(n)).cast("double") / col("df").cast("double"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Inverted index: word → document-frequency + the first `cap` doc ids
+    * of the sorted posting list (csv). `dfMin`/`dfMax` cut the useless
+    * bands (hapaxes / stopwords); `cap` bounds the per-word payload the
+    * way real indexes page posting lists — without it one hot word's list
+    * is a single unsplittable giant row at corpus scale. */
+  def invertedIndex(docs: DataFrame, dfMin: Long = 2, dfMax: Long = 1000000L,
+                    cap: Int = 10): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        expr(s"array_join(transform(slice(sort_array(collect_set(doc_id)), 1, $cap), x -> cast(x as string)), ',')")
+          .as("postings_head"))
+      .filter(col("df").between(dfMin, dfMax))
 }

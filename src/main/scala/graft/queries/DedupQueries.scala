@@ -37,6 +37,37 @@ object DedupQueries {
       | SELECT doc_id + 1000000 AS doc_id, concat(text, ' graft extra tail') AS text
       | FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
+  /** Oracle twin of Dedup.candidates∘minhash∘shingles over `docsSql` —
+    * shared by the candidate-pair and cluster queries. */
+  private def candSql(docsSql: String): String = {
+    val mh = PortableSql.hexSliceToLong("hx", "j * 8")
+    s"""(WITH docs AS $docsSql,
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+       |sh AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, len(ws) - 1),
+       |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |       FROM w WHERE len(ws) >= 3),
+       |sh2 AS (SELECT doc_id, concat(md5(shingle), md5(concat('x', shingle))) AS hx FROM sh),
+       |sig AS (SELECT doc_id, j, min($mh) AS mh
+       |        FROM sh2 CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) hj(j)
+       |        GROUP BY doc_id, j),
+       |bands AS (SELECT doc_id, j // 2 AS band,
+       |                 concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ':',
+       |                        CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bv
+       |          FROM sig GROUP BY doc_id, j // 2),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.n_bands,
+       |       CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+       |       round(CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8, 6) AS est_jaccard
+       |FROM pairs p
+       |JOIN sig x ON x.doc_id = p.doc_a
+       |JOIN sig y ON y.doc_id = p.doc_b AND y.j = x.j
+       |GROUP BY 1, 2, 3)""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: hash-groupBy on content, keep smallest id.
@@ -50,34 +81,36 @@ object DedupQueries {
     //    Jaccard (n_eq of 8 minhashes).
     QueryDef("q_dedup_minhash",
       (s, d) => Dedup.candidates(Dedup.minhash(Dedup.shingles(nearAug(s, d)))),
-      Some {
-        val mh = PortableSql.hexSliceToLong("hx", "j * 8")
-        s"""WITH docs AS $nearAugSql,
-           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
-           |sh AS (SELECT doc_id,
-           |              unnest(list_transform(range(1, len(ws) - 1),
-           |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-           |       FROM w WHERE len(ws) >= 3),
-           |sh2 AS (SELECT doc_id, concat(md5(shingle), md5(concat('x', shingle))) AS hx FROM sh),
-           |sig AS (SELECT doc_id, j, min($mh) AS mh
-           |        FROM sh2 CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) hj(j)
-           |        GROUP BY doc_id, j),
-           |bands AS (SELECT doc_id, j // 2 AS band,
-           |                 concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ':',
-           |                        CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bv
-           |          FROM sig GROUP BY doc_id, j // 2),
-           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-           |          FROM bands a JOIN bands b
-           |            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-           |          GROUP BY 1, 2)
-           |SELECT p.doc_a, p.doc_b, p.n_bands,
-           |       CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
-           |       round(CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8, 6) AS est_jaccard
-           |FROM pairs p
-           |JOIN sig x ON x.doc_id = p.doc_a
-           |JOIN sig y ON y.doc_id = p.doc_b AND y.j = x.j
-           |GROUP BY 1, 2, 3""".stripMargin
-      }),
+      Some(s"SELECT * FROM ${candSql(nearAugSql)} cand")),
+
+    // ── Pairs → clusters: connected components over strong candidate pairs
+    //    (n_eq ≥ 6 of 8), per-doc cluster assignment + cluster size. Oracle:
+    //    min-label transitive closure as a recursive CTE.
+    QueryDef("q_dedup_clusters",
+      (s, d) => {
+        val docs = nearAug(s, d)
+        val cand = Dedup.candidates(Dedup.minhash(Dedup.shingles(docs)))
+        val edges = cand.filter(col("n_eq") >= 6)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val cc = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+          .withColumnRenamed("id", "doc_id")
+        val sz = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_sz"))
+        cc.join(sz, "cluster_id").select("doc_id", "cluster_id", "cluster_sz")
+      },
+      Some(s"""WITH RECURSIVE cand AS (SELECT * FROM ${candSql(nearAugSql)} c0),
+              |e2 AS (SELECT doc_a AS a, doc_b AS b FROM cand WHERE n_eq >= 6
+              |       UNION ALL
+              |       SELECT doc_b AS a, doc_a AS b FROM cand WHERE n_eq >= 6),
+              |nodes AS (SELECT doc_id FROM $nearAugSql docs),
+              |reach(id, label) AS (
+              |  SELECT doc_id, doc_id FROM nodes
+              |  UNION
+              |  SELECT e2.b, r.label FROM reach r JOIN e2 ON e2.a = r.id
+              |),
+              |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+              |sz AS (SELECT cluster_id, count(*) AS cluster_sz FROM cc GROUP BY 1)
+              |SELECT cc.doc_id, cc.cluster_id, sz.cluster_sz
+              |FROM cc JOIN sz USING (cluster_id)""".stripMargin)),
 
     // ── SimHash 16-bit fingerprints over word unigrams.
     QueryDef("q_dedup_simhash",

@@ -264,6 +264,29 @@ object RelationalQueries {
              |       CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT) AS vals_sum
              |FROM events""".stripMargin)),
 
+    // ── Deterministic stratified sampling ([[graft.ops.Sampling]]): keep
+    //    10% of 'view' events, 50% of everything else, decided by the
+    //    portable content hash — observable via per-stratum counts/sums.
+    QueryDef("q_sample_stratified",
+      (s, d) => {
+        val rate = when(col("event_type") === "view", lit(10)).otherwise(lit(50))
+        val kept = graft.ops.Sampling.keepHash(col("event_id").cast("string"), "samp", rate)
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("total"),
+            sum(when(kept, 1L).otherwise(0L)).as("sampled"),
+            round(sum(when(kept, col("value"))), 4).as("sampled_value"))
+      },
+      Some {
+        val h = PortableSql.hash48("CAST(event_id AS VARCHAR)", "'samp'")
+        s"""SELECT event_type, count(*) AS total,
+           |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+           |       round(sum(CASE WHEN kept THEN value END), 4) AS sampled_value
+           |FROM (SELECT event_type, value,
+           |             $h % 100 < CASE WHEN event_type = 'view' THEN 10 ELSE 50 END AS kept
+           |      FROM events) t
+           |GROUP BY event_type""".stripMargin
+      }),
+
     // ── Approximate distinct via the KMV sketch ([[graft.functions.KmvDistinct]]):
     //    integer-only estimator over the portable 48-bit hash, so unlike
     //    HLL the sketch output itself is oracle-checkable bit-for-bit.

@@ -72,6 +72,41 @@ object TextQueries {
                 "md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")} AS fp48
               |FROM documents""".stripMargin)),
 
+    // ── TF-IDF top-3 terms per doc (rational idf = N/df — no ln(), which
+    //    is not FP-portable across engines; see TextAnalysis.tfidfTopK).
+    QueryDef("q_tfidf_topk",
+      (s, d) => TextAnalysis.tfidfTopK(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), 3),
+      Some("""WITH tf AS (SELECT doc_id, wd AS word, count(*) AS tf
+             |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+             |                  FROM documents) u
+             |            WHERE wd <> '' GROUP BY 1, 2),
+             |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             |              round(CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE), 6) AS score
+             |       FROM tf JOIN df USING (word) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |                                   ORDER BY score DESC, word ASC) AS rk
+             |      FROM sc)
+             |SELECT doc_id, rk, word, tf, df, score FROM r WHERE rk <= 3""".stripMargin)),
+
+    // ── Inverted index: word → df + head of the sorted posting list (the
+    //    per-word payload cap real indexes use — see TextAnalysis).
+    QueryDef("q_inverted_index",
+      (s, d) => TextAnalysis.invertedIndex(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), 2),
+      Some("""WITH w AS (SELECT DISTINCT doc_id, wd AS word
+             |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+             |                 FROM documents) u
+             |           WHERE wd <> ''),
+             |g AS (SELECT word, count(*) AS df,
+             |             array_to_string(list_transform(
+             |               (list(doc_id ORDER BY doc_id))[1:10],
+             |               x -> CAST(x AS VARCHAR)), ',') AS postings_head
+             |      FROM w GROUP BY word)
+             |SELECT word, df, postings_head FROM g WHERE df BETWEEN 2 AND 1000000""".stripMargin)),
+
     // ── Multimodal metadata over opaque binary payloads (decode stubbed;
     //    plumbing real — see graft.ops.Multimodal).
     QueryDef("q_multimodal_meta",

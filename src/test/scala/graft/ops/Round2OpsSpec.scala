@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class Round2OpsSpec extends SparkSpec {
+
+  test("connectedComponents: chains, triangles, singletons converge to min label") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} (isolated)
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents: long chain needs multiple rounds, still converges") {
+    import spark.implicits._
+    val n = 12
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(nodes, edges).collect()
+    assert(cc.forall(_.getLong(1) === 0L))
+  }
+
+  test("stratified sampling is deterministic and rate-plausible") {
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val rate = when(col("event_type") === "view", lit(10)).otherwise(lit(50))
+    val s1 = Sampling.stratified(ev, col("event_id").cast("string"), "samp", rate)
+    val s2 = Sampling.stratified(ev, col("event_id").cast("string"), "samp", rate)
+    assert(s1.count() === s2.count())
+    val counts = s1.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~10% of view, ~50% of others; binomial 5-sigma bounds at n~2000
+    val viewFrac = counts("view").toDouble / totals("view")
+    val clickFrac = counts("click").toDouble / totals("click")
+    assert(viewFrac > 0.06 && viewFrac < 0.14, s"view frac $viewFrac")
+    assert(clickFrac > 0.44 && clickFrac < 0.56, s"click frac $clickFrac")
+  }
+
+  test("tfidf: k rows per doc, rarer words outscore common ones at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common other words"),
+      (3L, "common more words")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, 2)
+    val d1 = out.filter($"doc_id" === 1).orderBy($"rk").collect()
+    assert(d1.length === 2)
+    // doc1: 'common' tf=2 df=3 → score 2*3/3=2 ; 'rare1' tf=1 df=1 → 3
+    assert(d1.head.getAs[String]("word") === "rare1")
+    assert(d1.head.getAs[Double]("score") === 3.0)
+    assert(d1(1).getAs[String]("word") === "common")
+    assert(d1(1).getAs[Double]("score") === 2.0)
+  }
+
+  test("inverted index: postings sorted, capped, df bounds applied") {
+    import spark.implicits._
+    val docs = (1 to 30).map(i => (i.toLong, if (i <= 25) "hot word" else "cold word"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, 2, 1000000L, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    val byWord = out.map(t => t._1 -> t).toMap
+    assert(byWord("word")._2 === 30L)
+    assert(byWord("word")._3 === (1 to 10).mkString(","))  // capped at 10
+    assert(byWord("hot")._2 === 25L)
+    assert(byWord("cold")._3 === (26 to 30).map(_.toString).mkString(","))
+  }
+}
