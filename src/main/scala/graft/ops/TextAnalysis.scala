@@ -64,6 +64,22 @@ object TextAnalysis {
     df.withColumn("fp48", conv(substring(md5(norm), 1, 12), 16, 10).cast("long"))
   }
 
+  /** PII redaction patterns (dialect-portable: character classes, `+`,
+    * `{n}` only — valid and identical under both Java regex and RE2). */
+  val phonePattern = "[0-9]{3}-[0-9]{4}"
+  val emailPattern = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+
+  /** Scrub phone/email PII from `text`: per-doc match counts + the
+    * redacted text. Pure per-row regexp expressions — codegen'd, no
+    * shuffle, safe to run as the first narrow stage of an ingest. */
+  def redact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_phone", size(expr(s"regexp_extract_all(text, '$phonePattern', 0)")).cast("long"))
+      .withColumn("n_email", size(expr(s"regexp_extract_all(text, '$emailPattern', 0)")).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), phonePattern, "[PHONE]"),
+          emailPattern, "[EMAIL]"))
+
   /** Per-document term frequencies: one (doc_id, word, tf) row per distinct
     * word per doc. Narrow explode + one partial-aggregable count. */
   def termFreq(docs: DataFrame): DataFrame =
@@ -82,7 +98,11 @@ object TextAnalysis {
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     val n = docs.count()
-    val tf = termFreq(docs)
+    // tf feeds two plan branches (scores + df); uncached, Catalyst re-scans
+    // and re-aggregates the whole corpus for the df branch (verified in
+    // .explain — same aliased-branch duplication as Dedup.candidates).
+    // ContextCleaner frees the blocks when the result frame is unreachable.
+    val tf = termFreq(docs).persist()
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word").asc)
@@ -100,11 +120,15 @@ object TextAnalysis {
     * is a single unsplittable giant row at corpus scale. */
   def invertedIndex(docs: DataFrame, dfMin: Long = 2, dfMax: Long = 1000000L,
                     cap: Int = 10): DataFrame =
+    // One exchange: collect_set dedups map-side (partial set-union), so a
+    // separate distinct-then-count pass would just shuffle twice for the
+    // same result; df falls out of the set we already need for postings.
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "").distinct()
+      .filter(col("word") =!= "")
       .groupBy(col("word"))
-      .agg(count(lit(1)).as("df"),
-        expr(s"array_join(transform(slice(sort_array(collect_set(doc_id)), 1, $cap), x -> cast(x as string)), ',')")
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .select(col("word"), size(col("docs")).cast("long").as("df"),
+        expr(s"array_join(transform(slice(sort_array(docs), 1, $cap), x -> cast(x as string)), ',')")
           .as("postings_head"))
       .filter(col("df").between(dfMin, dfMax))
 }

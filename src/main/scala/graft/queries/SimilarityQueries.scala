@@ -132,6 +132,50 @@ object SimilarityQueries {
              |FROM asn a, q WHERE a.c_id = q.q_cell
              |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin)),
 
+    // ── ANN self-evaluation: recall@5 of the IVF probe against the exact
+    //    brute-force top-5 over the same corpus — the metric that decides
+    //    whether an index's speed/recall trade is acceptable before it
+    //    ships. Both legs reuse the library operators.
+    QueryDef("q_sim_recall",
+      (s, d) => {
+        val e = Similarity.cast(Tables.embeddings(s, d)).select(col("vec_id"), col("ev"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("ev").as("cv"))
+        val q = e.filter(col("vec_id") === 0).select(col("ev").as("qv"))
+        val ivf = Similarity.ivfProbe(Similarity.ivfAssign(e, cents), cents, q, 5)
+          .select(col("vec_id"))
+        val brute = Similarity.topK(e, q, 5).select(col("vec_id"))
+        ivf.join(brute, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(5L).as("k"), col("n_hits"),
+            round(col("n_hits").cast("double") / 5.0, 2).as("recall"))
+      },
+      Some("""WITH cents AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+             |               FROM embeddings WHERE vec_id < 8),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+             |asn AS (SELECT vec_id, ev, c_id FROM (
+             |          SELECT e.vec_id, e.ev, c.c_id,
+             |                 row_number() OVER (PARTITION BY e.vec_id
+             |                   ORDER BY list_dot_product(e.ev, c.cv) /
+             |                     (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |                   c.c_id ASC) AS rn
+             |          FROM e CROSS JOIN cents c) t
+             |        WHERE rn = 1),
+             |q AS (SELECT ev AS qv, c_id AS q_cell FROM asn WHERE vec_id = 0),
+             |ivf AS (SELECT a.vec_id,
+             |               round(list_dot_product(a.ev, q.qv) /
+             |                     (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+             |        FROM asn a, q WHERE a.c_id = q.q_cell
+             |        ORDER BY cos DESC, vec_id ASC LIMIT 5),
+             |brute AS (SELECT e.vec_id,
+             |                 round(list_dot_product(e.ev, q.qv) /
+             |                       (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+             |          FROM e, q
+             |          ORDER BY cos DESC, vec_id ASC LIMIT 5)
+             |SELECT CAST(5 AS BIGINT) AS k, count(*) AS n_hits,
+             |       round(CAST(count(*) AS DOUBLE) / CAST('5.0' AS DOUBLE), 2) AS recall
+             |FROM ivf JOIN brute USING (vec_id)""".stripMargin)),
+
     // ── Per-label centroid statistics (element-wise mean via explode —
     //    groupBy(label, i) keeps partial aggregation; no wide-row pivot).
     QueryDef("q_label_centroids",

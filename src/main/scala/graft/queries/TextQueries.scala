@@ -107,6 +107,30 @@ object TextQueries {
              |      FROM w GROUP BY word)
              |SELECT word, df, postings_head FROM g WHERE df BETWEEN 2 AND 1000000""".stripMargin)),
 
+    // ── PII redaction: scrub injected phone/email patterns, report match
+    //    counts + redacted text (patterns restricted to the Java-regex ∩
+    //    RE2 common dialect so the oracle reproduces them).
+    QueryDef("q_text_redact",
+      (s, d) => TextAnalysis.redact(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" or u"), col("doc_id").cast("string"),
+            lit("@example.com now")).as("text")))
+        .select(col("doc_id"), col("n_phone"), col("n_email"), col("redacted")),
+      Some(s"""WITH aug AS (SELECT doc_id,
+              |              concat(text, ' call 555-',
+              |                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+              |                     ' or u', CAST(doc_id AS VARCHAR),
+              |                     '@example.com now') AS text
+              |             FROM documents)
+              |SELECT doc_id,
+              |       CAST(len(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS BIGINT) AS n_phone,
+              |       CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS BIGINT) AS n_email,
+              |       regexp_replace(regexp_replace(text, '${TextAnalysis.phonePattern}', '[PHONE]', 'g'),
+              |                      '${TextAnalysis.emailPattern}', '[EMAIL]', 'g') AS redacted
+              |FROM aug""".stripMargin)),
+
     // ── Multimodal metadata over opaque binary payloads (decode stubbed;
     //    plumbing real — see graft.ops.Multimodal).
     QueryDef("q_multimodal_meta",
