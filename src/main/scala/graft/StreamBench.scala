@@ -17,7 +17,7 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_EVENTS", "200000").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "20").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
