@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for LLM training pipelines: deterministic
+  * split assignment, token-budget sequence packing, and benchmark
+  * decontamination. All decisions derive from content/id hashes or stable
+  * orderings — rebuilding the dataset reproduces the exact same splits,
+  * packs, and exclusions (the property RNG-based curation loses).
+  */
+object Curation {
+
+  /** Train/val/test assignment from the portable id hash:
+    * `[0,trainPct) → train, [trainPct,trainPct+valPct) → val, rest → test`.
+    * Per-row expression — no shuffle; the split survives re-partitioning,
+    * engine swaps, and incremental re-runs. */
+  def splitAssign(key: Column, trainPct: Int = 90, valPct: Int = 5,
+                  salt: String = "split"): Column = {
+    val b = pmod(Dedup.hash48(key, lit(salt)), lit(100))
+    when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+  }
+
+  /** Greedy sequence packing: assign docs to `budget`-token bins in stable
+    * (shard, doc order) — a doc goes to the bin its RUNNING PREFIX of
+    * tokens falls in, so one oversized doc overflows its own bin without
+    * shifting later assignments.
+    *
+    * Packing is per-shard (`nShards` via id hash-mod), NOT global: a
+    * global ordered cumulative sum is a single-partition window — the
+    * classic unscalable plan — while per-shard packing is how distributed
+    * training data is actually laid out (each writer packs its shard).
+    * One shuffle on shard, window inside the shard.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long = 4096, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("shard", pmod(col(idCol), lit(nShards)))
+      .withColumn("run_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("bin", ((col("run_tokens") - col(tokensCol)) / budget).cast("long"))
+  }
+
+  /** Benchmark decontamination: per corpus doc, the number of distinct
+    * `k`-shingles shared with `bench` (the eval set). Corpus-side work is
+    * narrow (shingle + hash); the join hits only colliding shingles and
+    * the bench side is tiny — broadcast it. Flag and drop docs with
+    * `n_shared ≥ threshold` upstream of training. */
+  def contamination(corpus: DataFrame, bench: DataFrame, k: Int = 3): DataFrame = {
+    val cs = Dedup.shingles(corpus, k).distinct()
+    val bs = Dedup.shingles(bench, k).select(col("shingle")).distinct()
+    cs.join(broadcast(bs), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+}
