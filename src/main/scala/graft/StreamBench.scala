@@ -18,9 +18,15 @@ object StreamBench {
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_EVENTS", "200000").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "20").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Stateful micro-batches pay per-partition state-store overhead every
+    // epoch (load/commit/snapshot × partitions), so stream shuffle width
+    // follows STATE size, not core count: 32 partitions of tiny state run
+    // 3.7x SLOWER than 4 (measured — BASELINE.md). Cores still serve the
+    // narrow parse/snap stages; only the stateful exchange is pinned down.
+    val streamShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", streamShuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

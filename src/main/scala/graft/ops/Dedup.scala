@@ -129,17 +129,23 @@ object Dedup {
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var changed = 1L
+    // Convergence via the label-sum invariant: labels only ever shrink, so
+    // Σlabel strictly decreases until the fixpoint — a single tiny aggregate
+    // per round instead of a join-and-compare against the previous frame.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val msgs = bi.as("e").join(labels.as("l"), col("e.a") === col("l.id"))
         .select(col("e.b").as("id"), col("l.label").as("label"))
-      val next = labels.unionByName(msgs)
+      labels = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label")).count()
-      labels = next
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     bi.unpersist()
