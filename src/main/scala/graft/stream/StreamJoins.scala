@@ -1,0 +1,30 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins (absent from the reference — SURVEY.md §2.6 — but
+  * table stakes for a streaming engine). Structured Streaming requires
+  * BOTH sides watermarked plus an event-time range in the join condition
+  * so each side's buffered state is provably prunable; an unbounded
+  * equi-join would buffer both streams forever.
+  *
+  * Scale: state per side is (watermark + tolerance) worth of rows, hash-
+  * partitioned on the key — the same shuffle a batch equi-join does, plus
+  * the state store. Widen `tolerance` and state grows linearly; that is
+  * the knob to surface, not hide.
+  */
+object StreamJoins {
+
+  /** Inner interval join: rows match when keys are equal and `rightTs` is
+    * within ±`tolerance` of `leftTs`. Both inputs must already carry
+    * watermarks on their respective time columns. */
+  def joinWithin(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String, tolerance: String): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"interval $tolerance") &&
+        col(rightTs) <= col(leftTs) + expr(s"interval $tolerance"),
+      "inner")
+      .drop(right(key))
+}
