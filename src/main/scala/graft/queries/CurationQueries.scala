@@ -5,10 +5,32 @@ import graft.{QueryDef, Tables}
 import graft.ops.Curation
 
 /** Dataset-curation queries (LLM training-data pipeline): deterministic
-  * splits, token-budget sequence packing, benchmark decontamination. */
+  * splits, token-budget sequence packing, benchmark decontamination —
+  * plus time-series regularization (resample + gap fill). */
 object CurationQueries {
 
   def defs: Seq[QueryDef] = Seq(
+
+    // ── Resample events to a dense 5-min grid per user-group with
+    //    forward-filled averages ([[graft.ops.TimeSeries]]).
+    QueryDef("q_resample_fill",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("grp", col("user_id") % 3)
+        graft.ops.TimeSeries.fillGaps(
+          graft.ops.TimeSeries.resample(ev, "grp", "ts", "value", 300L), "grp", 300L)
+      },
+      Some("""WITH r AS (SELECT user_id % 3 AS grp,
+             |                  (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_es,
+             |                  count(*) AS cnt, round(avg(value), 4) AS avg_value
+             |           FROM events GROUP BY 1, 2),
+             |span AS (SELECT grp, min(bucket_es) AS b0, max(bucket_es) AS b1 FROM r GROUP BY 1),
+             |spine AS (SELECT grp, unnest(range(b0, b1 + 300, 300)) AS bucket_es FROM span),
+             |j AS (SELECT s.grp, s.bucket_es, coalesce(r.cnt, 0) AS cnt, r.avg_value
+             |      FROM spine s LEFT JOIN r USING (grp, bucket_es))
+             |SELECT grp, bucket_es, cnt,
+             |       last_value(avg_value IGNORE NULLS) OVER (PARTITION BY grp ORDER BY bucket_es
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
+             |FROM j""".stripMargin)),
 
     // ── Deterministic train/val/test split (90/5/5 by id hash), observed
     //    via per-split doc/token totals.

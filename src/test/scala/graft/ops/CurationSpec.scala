@@ -31,6 +31,20 @@ class CurationSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("fillGaps: dense spine per key, zero counts, forward-filled averages") {
+    import spark.implicits._
+    val r = Seq(
+      ("a", 0L, 2L, 10.0), ("a", 900L, 1L, 30.0),  // gap at 300, 600
+      ("b", 300L, 1L, 5.0))
+      .toDF("k", "bucket_es", "cnt", "avg_value")
+    val filled = TimeSeries.fillGaps(r, "k", 300L)
+      .orderBy($"k", $"bucket_es")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(filled.toSeq === Seq(
+      ("a", 0L, 2L, 10.0), ("a", 300L, 0L, 10.0), ("a", 600L, 0L, 10.0),
+      ("a", 900L, 1L, 30.0), ("b", 300L, 1L, 5.0)))
+  }
+
   test("contamination counts distinct shared shingles only") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
