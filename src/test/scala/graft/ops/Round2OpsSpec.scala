@@ -26,6 +26,29 @@ class Round2OpsSpec extends SparkSpec {
     assert(cc.forall(_.getLong(1) === 0L))
   }
 
+  test("connectedComponents: empty edge set leaves every node a singleton") {
+    import spark.implicits._
+    val nodes = Seq(5L, 6L, 7L).toDF("id")
+    val edges = spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    val cc = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(5L -> 5L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("contamination: disjoint corpora produce no rows") {
+    import spark.implicits._
+    val bench = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "ee ff gg hh")).toDF("doc_id", "text")
+    assert(Curation.contamination(corpus, bench).count() === 0L)
+  }
+
+  test("sampling at 0 and 100 percent keeps none/all") {
+    import spark.implicits._
+    val df = (1 to 500).map(_.toLong).toDF("id")
+    assert(Sampling.stratified(df, $"id".cast("string"), "s", lit(0)).count() === 0L)
+    assert(Sampling.stratified(df, $"id".cast("string"), "s", lit(100)).count() === 500L)
+  }
+
   test("stratified sampling is deterministic and rate-plausible") {
     val ev = Tables.events(spark, sf("sf0.01"))
     val rate = when(col("event_type") === "view", lit(10)).otherwise(lit(50))
