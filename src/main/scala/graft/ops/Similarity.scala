@@ -84,6 +84,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** One Lloyd's k-means recompute step: element-wise mean of each
+    * cluster's vectors, from an [[ivfAssign]] output. Means are rounded to
+    * 4 dp so the centroid VALUES are engine-portable (FP summation order
+    * inside avg differs across engines; 4 dp absorbs it) — which makes a
+    * whole train round (assign → recompute) oracle-checkable.
+    *
+    * Shape: posexplode → groupBy(c_id, i) keeps the aggregate partial
+    * (never a wide-row pivot); the array rebuilds via sort_array(struct)
+    * so element order is deterministic. Iterate assign→recompute under a
+    * driver loop with per-round localCheckpoint for full training (same
+    * lineage discipline as [[Dedup.connectedComponents]]). */
+  def kmeansRecompute(assigned: DataFrame): DataFrame =
+    assigned.select(col("c_id"), posexplode(col("ev")).as(Seq("i", "v")))
+      .groupBy(col("c_id"), col("i")).agg(round(avg(col("v")), 4).as("c"))
+      .groupBy(col("c_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, c))), x -> x.c)").as("cv"))
+
   /** Bucketed candidate pairs with exact cosine, computed only within
     * buckets. */
   def lshPairs(corpus: DataFrame, planes: Seq[Seq[Double]]): DataFrame = {

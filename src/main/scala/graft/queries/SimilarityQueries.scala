@@ -176,6 +176,47 @@ object SimilarityQueries {
              |       round(CAST(count(*) AS DOUBLE) / CAST('5.0' AS DOUBLE), 2) AS recall
              |FROM ivf JOIN brute USING (vec_id)""".stripMargin)),
 
+    // ── One full k-means training round (assign → recompute → re-assign):
+    //    the centroid-training step q_sim_ivf's Scaladoc points at, oracle-
+    //    checked with the iteration unrolled. Output: post-round cluster
+    //    sizes + recomputed-centroid norms.
+    QueryDef("q_kmeans_round",
+      (s, d) => {
+        val e = Similarity.cast(Tables.embeddings(s, d)).select(col("vec_id"), col("ev"))
+        val c0 = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("ev").as("cv"))
+        val c1 = Similarity.kmeansRecompute(Similarity.ivfAssign(e, c0))
+        val asn1 = Similarity.ivfAssign(e, c1)
+        asn1.groupBy(col("c_id")).agg(count(lit(1)).as("n_vecs"))
+          .join(c1.select(col("c_id"),
+            round(Similarity.dot(col("cv"), col("cv")), 4).as("centroid_norm_sq")), "c_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+             |c0 AS (SELECT vec_id AS c_id, ev AS cv FROM e WHERE vec_id < 8),
+             |a0 AS (SELECT vec_id, ev, c_id FROM (
+             |         SELECT e.vec_id, e.ev, c.c_id,
+             |                row_number() OVER (PARTITION BY e.vec_id
+             |                  ORDER BY list_dot_product(e.ev, c.cv) /
+             |                    (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |                  c.c_id ASC) AS rn
+             |         FROM e CROSS JOIN c0 c) t WHERE rn = 1),
+             |c1e AS (SELECT c_id, i, round(avg(v), 4) AS c
+             |        FROM (SELECT c_id, generate_subscripts(ev, 1) AS i, unnest(ev) AS v
+             |              FROM a0) x
+             |        GROUP BY 1, 2),
+             |c1 AS (SELECT c_id, list(c ORDER BY i) AS cv FROM c1e GROUP BY 1),
+             |a1 AS (SELECT vec_id, c_id FROM (
+             |         SELECT e.vec_id, c.c_id,
+             |                row_number() OVER (PARTITION BY e.vec_id
+             |                  ORDER BY list_dot_product(e.ev, c.cv) /
+             |                    (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |                  c.c_id ASC) AS rn
+             |         FROM e CROSS JOIN c1 c) t WHERE rn = 1),
+             |sz AS (SELECT c_id, count(*) AS n_vecs FROM a1 GROUP BY 1)
+             |SELECT sz.c_id, sz.n_vecs,
+             |       round(list_dot_product(c1.cv, c1.cv), 4) AS centroid_norm_sq
+             |FROM sz JOIN c1 ON sz.c_id = c1.c_id""".stripMargin)),
+
     // ── Per-label centroid statistics (element-wise mean via explode —
     //    groupBy(label, i) keeps partial aggregation; no wide-row pivot).
     QueryDef("q_label_centroids",
