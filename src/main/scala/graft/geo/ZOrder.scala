@@ -1,0 +1,47 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) linearization of the axial hex grid — the physical
+  * layout primitive for spatial locality: sorting/range-partitioning tile
+  * data by `z` keeps geographically-near cells in the same file/partition,
+  * so a map-viewport range scan touches few files instead of all of them
+  * (the multi-dimensional generalization of `sink.TileLayout`'s
+  * date+cell sort; same idea as Delta/Iceberg Z-ordering).
+  *
+  * The z-value is pure integer bit-interleaving of the two (offset) axial
+  * coordinates — exactly reproducible in any engine; [[zvalueSql]] emits
+  * the identical formula for the DuckDB oracle.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` of signed q/r (offset to non-negative):
+    * bit b of q lands at 2b, bit b of r at 2b+1. */
+  def zvalue(q: Column, r: Column, bits: Int = 16): Column = {
+    val off = 1L << (bits - 1)
+    val qo = q + lit(off)
+    val ro = r + lit(off)
+    (0 until bits).map { b =>
+      shiftright(qo, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
+        shiftright(ro, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+  }
+
+  /** SQL twin of [[zvalue]] over column names (DuckDB `>>`/`&`). */
+  def zvalueSql(qCol: String, rCol: String, bits: Int = 16): String = {
+    val off = 1L << (bits - 1)
+    "(" + (0 until bits).map { b =>
+      s"((($qCol + $off) >> $b) & 1) * ${1L << (2 * b)} + " +
+        s"((($rCol + $off) >> $b) & 1) * ${1L << (2 * b + 1)}"
+    }.mkString(" + ") + ")"
+  }
+
+  /** Range-partition and sort `df` by its z-value — the write-side layout
+    * step: each output file covers one contiguous z-range ≈ one spatial
+    * blob, so reads prune by z-range predicates. */
+  def layoutByZ(df: DataFrame, q: Column, r: Column, partitions: Int = 32): DataFrame = {
+    val withZ = df.withColumn("z", zvalue(q, r))
+    withZ.repartitionByRange(partitions, col("z")).sortWithinPartitions(col("z"))
+  }
+}

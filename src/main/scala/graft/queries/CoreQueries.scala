@@ -246,6 +246,33 @@ object CoreQueries {
               |       ${HexSql.cornerLatSql("g_qi", "g_ri", "i", res)} AS lat
               |FROM cells CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) c(i)""".stripMargin)),
 
+    // ── Z-order spatial layout: occupied cells linearized by Morton code,
+    //    bucketed into z-ranges (≈ output files) — per-bucket cell counts
+    //    and z bounds show each bucket covers one contiguous spatial blob.
+    QueryDef("q_zorder_layout",
+      (s, d) => {
+        val cells = Pipeline.snap(Pipeline.sanitize(Tables.positions(s, d)), res)
+          .groupBy(col("cellId")).agg(count(lit(1)).as("cnt"))
+          .withColumn("parts", split(col("cellId"), ":"))
+          .select(col("cnt"),
+            element_at(col("parts"), 2).cast("long").as("qi"),
+            element_at(col("parts"), 3).cast("long").as("ri"))
+        cells.withColumn("z", graft.geo.ZOrder.zvalue(col("qi"), col("ri")))
+          .groupBy((col("z") / lit(1L << 12)).cast("long").as("z_bucket"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_events"),
+            min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+      },
+      Some {
+        val zv = graft.geo.ZOrder.zvalueSql("g_qi", "g_ri")
+        s"""WITH cells AS (SELECT g_qi, g_ri, count(*) AS cnt FROM $posCell t
+           |               GROUP BY g_qi, g_ri),
+           |z AS (SELECT cnt, $zv AS z FROM cells)
+           |SELECT z // ${1L << 12} AS z_bucket, count(*) AS n_cells,
+           |       CAST(sum(cnt) AS BIGINT) AS n_events,
+           |       min(z) AS z_min, max(z) AS z_max
+           |FROM z GROUP BY 1""".stripMargin
+      }),
+
     // ── P12: GeoJSON Point construction (struct+array ctor, flattened for
     //    the oracle; the nested form is unit-tested).
     QueryDef("q_geojson_points",

@@ -1,0 +1,48 @@
+package graft.geo
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zvalue interleaves bits: known values") {
+    // q=0,r=0 with 16-bit offset 32768: both have only bit 15 set →
+    // z bits 30 (q) and 31 (r) → 2^30 + 2^31
+    val z = Seq((0L, 0L)).toDF("q", "r")
+      .select(ZOrder.zvalue($"q", $"r").as("z")).head().getLong(0)
+    assert(z === (1L << 30) + (1L << 31))
+    // q=1,r=0 adds bit 0 of q → +1 ; q=0,r=1 adds bit 1 → +2
+    val z10 = Seq((1L, 0L)).toDF("q", "r").select(ZOrder.zvalue($"q", $"r")).head().getLong(0)
+    val z01 = Seq((0L, 1L)).toDF("q", "r").select(ZOrder.zvalue($"q", $"r")).head().getLong(0)
+    assert(z10 === z + 1 && z01 === z + 2)
+  }
+
+  test("z-order locality: neighbors are closer in z than far cells, on average") {
+    val grid = for (q <- -20L to 20L; r <- -20L to 20L) yield (q, r)
+    val df = grid.toDF("q", "r").select($"q", $"r", ZOrder.zvalue($"q", $"r").as("z"))
+    val zmap = df.collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    def dz(a: (Long, Long), b: (Long, Long)) = math.abs(zmap(a) - zmap(b)).toDouble
+    val neighborAvg = grid.collect { case (q, r) if q < 20 => dz((q, r), (q + 1, r)) }
+      .sum / grid.count(_._1 < 20)
+    val farAvg = grid.collect { case (q, r) if q <= 0 => dz((q, r), (q + 20, r)) }
+      .sum / grid.count(_._1 <= 0)
+    assert(neighborAvg < farAvg / 3,
+      s"neighbor dz $neighborAvg should be far below far-cell dz $farAvg")
+  }
+
+  test("layoutByZ: files cover disjoint contiguous z ranges") {
+    val grid = (for (q <- -50L to 50L; r <- -50L to 50L) yield (q, r)).toDF("q", "r")
+    val laid = ZOrder.layoutByZ(grid, $"q", $"r", 8)
+    val ranges = laid.rdd.mapPartitions { it =>
+      val zs = it.map(_.getAs[Long]("z")).toSeq
+      if (zs.isEmpty) Iterator.empty
+      else Iterator((zs.min, zs.max, zs == zs.sorted))
+    }.collect().sortBy(_._1)
+    assert(ranges.forall(_._3), "each partition sorted by z")
+    ranges.sliding(2).foreach {
+      case Array((_, max1, _), (min2, _, _)) => assert(max1 <= min2, "ranges disjoint")
+      case _ => ()
+    }
+  }
+}
