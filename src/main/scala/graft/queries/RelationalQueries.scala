@@ -236,6 +236,32 @@ object RelationalQueries {
              |       count(*) AS cnt
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ── Histogram-sketch quantiles ([[graft.ops.Quantiles]]): the
+    //    mergeable O(bins) scale path next to q_stats_agg's exact
+    //    percentile (which buffers every value per group).
+    QueryDef("q_quantile_hist",
+      (s, d) => graft.ops.Quantiles.fromHistogram(
+        graft.ops.Quantiles.histogram(Tables.events(s, d), "event_type", "value"),
+        "event_type", Seq(0.5, 0.9)),
+      Some("""WITH h AS (SELECT event_type,
+             |                  least(CAST(floor(value / 2.0) AS BIGINT), 255) AS bin,
+             |                  count(*) AS cnt
+             |           FROM events GROUP BY 1, 2),
+             |c AS (SELECT event_type, bin, cnt,
+             |             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |             sum(cnt) OVER (PARTITION BY event_type) AS total
+             |      FROM h),
+             |x AS (SELECT c.*, p.p, p.p * c.total AS target
+             |      FROM c CROSS JOIN (VALUES (CAST('0.5' AS DOUBLE)),
+             |                                (CAST('0.9' AS DOUBLE))) p(p)
+             |      WHERE c.cum >= p.p * c.total),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, p ORDER BY bin) AS rn
+             |      FROM x)
+             |SELECT event_type, p,
+             |       round(bin * 2.0 + 2.0 * (target - (cum - cnt)) / cnt, 4) AS q_est
+             |FROM r WHERE rn = 1""".stripMargin)),
+
     // ── Array collection ops (§2.10): collect_set canonicalized by
     //    sort_array so the set-valued result is deterministic cross-engine.
     QueryDef("q_collect_ops",

@@ -66,6 +66,20 @@ class Round2OpsSpec extends SparkSpec {
     assert(clickFrac > 0.44 && clickFrac < 0.56, s"click frac $clickFrac")
   }
 
+  test("histogram quantiles approximate exact percentiles within bin width") {
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val est = Quantiles.fromHistogram(
+        Quantiles.histogram(ev, "event_type", "value"), "event_type", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"), expr("percentile(value, 0.9)").as("p90"))
+      .collect().flatMap(r => Seq(
+        (r.getString(0), 0.5) -> r.getDouble(1), (r.getString(0), 0.9) -> r.getDouble(2))).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(est(k) - v) <= 2.5, s"$k est=${est(k)} exact=$v") // bin width 2 + interp slack
+    }
+  }
+
   test("tfidf: k rows per doc, rarer words outscore common ones at equal tf") {
     import spark.implicits._
     val docs = Seq(
