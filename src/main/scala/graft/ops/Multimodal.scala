@@ -53,6 +53,26 @@ object Multimodal {
         (lit(64) + col("n_bytes") * 7 % 192).cast("int").as("width"),
         (lit(64) + col("n_bytes") * 13 % 192).cast("int").as("height")))
 
+  /** Partition-batched feature extraction over raw payload bytes: an
+    * 8-bucket byte histogram per payload (bucket = byte % 8) — the same
+    * mapPartitions shape a real embedding/feature model runs in (batch the
+    * partition through the model, emit fixed-width features), with a
+    * deterministic integer featurizer standing in for the model so the
+    * whole path is oracle-checkable. */
+  def featurizePartitions(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, p) =>
+        val f = new Array[Long](8)
+        p.foreach(b => f((b & 0xff) % 8) += 1)
+        (id, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+    }.toDF("doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
+  }
+
   /** Imperative decode seam: batched partition-wise decode through a
     * [[MultimodalDecoder]] — the shape a real codec plugs into. */
   def decodePartitions(df: DataFrame, decoder: MultimodalDecoder): DataFrame = {

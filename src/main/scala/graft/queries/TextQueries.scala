@@ -131,6 +131,24 @@ object TextQueries {
               |                      '${TextAnalysis.emailPattern}', '[EMAIL]', 'g') AS redacted
               |FROM aug""".stripMargin)),
 
+    // ── Partition-batched feature extraction over binary payloads: the
+    //    mapPartitions seam a real embedding model runs in, with a
+    //    deterministic byte-histogram featurizer so the path is
+    //    oracle-checked end-to-end (UTF-8 payload bytes == char codes for
+    //    this ASCII corpus, which the oracle exploits).
+    QueryDef("q_multimodal_features",
+      (s, d) => Multimodal.featurizePartitions(
+        Multimodal.attachPayload(Tables.documents(s, d))),
+      Some {
+        val fs = (0 until 8).map(j =>
+          s"CAST(len(list_filter(cs, x -> x % 8 = $j)) AS BIGINT) AS f$j").mkString(",\n       ")
+        s"""SELECT doc_id,
+           |       $fs
+           |FROM (SELECT doc_id,
+           |             list_transform(string_split_regex(text, ''), c -> ord(c)) AS cs
+           |      FROM documents) t""".stripMargin
+      }),
+
     // ── Multimodal metadata over opaque binary payloads (decode stubbed;
     //    plumbing real — see graft.ops.Multimodal).
     QueryDef("q_multimodal_meta",
