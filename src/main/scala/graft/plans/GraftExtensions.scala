@@ -78,7 +78,10 @@ object Graft {
     "hex_cell_id" -> (es => HexCellId(d(es(0)), d(es(1)), i(es(2)))),
     "hex_boundary" -> (es => graft.geo.HexBoundary(es.head)),
     "hex_center_lat" -> (es => HexCenter(es.head, isLat = true)),
-    "hex_center_lon" -> (es => HexCenter(es.head, isLat = false)))
+    "hex_center_lon" -> (es => HexCenter(es.head, isLat = false)),
+    // sketch aggregates (the analyzer wraps AggregateFunctions itself)
+    "kmv_distinct" -> (es => graft.functions.KmvDistinct(es.head)),
+    "exact_distinct_sketch" -> (es => graft.functions.ExactDistinct(es.head)))
 
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(SimplifyHexExpressions)) {

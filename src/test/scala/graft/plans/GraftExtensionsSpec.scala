@@ -18,6 +18,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ring.length == 7 && ring.head == ring.last)
   }
 
+  test("sketch aggregates are callable from SQL") {
+    Graft.install(spark)
+    graft.Tables.events(spark, sf()).createOrReplaceTempView("ev_sql")
+    val r = spark.sql(
+      """SELECT kmv_distinct(user_id) AS kmv, exact_distinct_sketch(user_id) AS ex,
+        |       count(DISTINCT user_id) AS exact
+        |FROM ev_sql""".stripMargin).head()
+    assert(r.getLong(1) === r.getLong(2))          // exact sketch == exact
+    assert(r.getLong(0) === r.getLong(2))          // 15 distinct < k=64 → KMV exact
+  }
+
   test("SimplifyHexExpressions fuses center(cell_id(..)) and preserves results") {
     Graft.install(spark)
     // parquet-backed frame: a literal-backed one collapses to LocalRelation
