@@ -152,6 +152,29 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** SimHash near-dup candidate pairs: by the pigeonhole principle, two
+    * 16-bit fingerprints within Hamming distance 3 agree exactly on at
+    * least one of 4 disjoint 4-bit bands — so candidates join on band
+    * equality (never all-pairs), then exact Hamming
+    * (`bit_count(fp_a XOR fp_b)`) filters to `maxHamming`. Same
+    * bucket-join scale shape as MinHash-LSH, over the fingerprints
+    * [[simhash]] already computed. */
+  def simhashPairs(fps: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+                   bits: Int = 16): DataFrame = {
+    val width = bits / bands
+    val banded = fps.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bv", expr(s"(simhash >> (band * $width)) & ${(1 << width) - 1}"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact word-set Jaccard for all pairs in `docs` (quadratic — callers
     * must pre-restrict, e.g. to LSH candidates or a bounded id range). */
   def jaccardPairs(docs: DataFrame): DataFrame = {

@@ -130,6 +130,39 @@ object DedupQueries {
            |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s""".stripMargin
       }),
 
+    // ── SimHash banded pairing, scored on the PLANTED near-dups (the
+    //    synthetic corpus' tiny vocab makes unrelated docs fingerprint-
+    //    close, so generic pairing is noise here; recovering each injected
+    //    copy and its Hamming distance is the meaningful check).
+    QueryDef("q_dedup_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(Dedup.simhash(nearAug(s, d)))
+        .filter(col("doc_b") === col("doc_a") + 1000000L),
+      Some {
+        val h = hash48Sql("wd", "'sim'")
+        val sums = (0 until 16).map(j =>
+          s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
+          .mkString(",\n              ")
+        val fp = (0 until 16).map(j =>
+          s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH docs AS $nearAugSql,
+           |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM docs),
+           |h AS (SELECT doc_id, $h AS h FROM w WHERE wd <> ''),
+           |s AS (SELECT doc_id,
+           |              $sums
+           |      FROM h GROUP BY doc_id),
+           |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s),
+           |b AS (SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS bv
+           |      FROM fps CROSS JOIN (VALUES (0),(1),(2),(3)) bd(band)),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           |             a.simhash AS fp_a, b2.simhash AS fp_b
+           |      FROM b a JOIN b b2
+           |        ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+           |SELECT doc_a, doc_b, fp_a, fp_b,
+           |       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+           |FROM p
+           |WHERE bit_count(xor(fp_a, fp_b)) <= 3 AND doc_b = doc_a + 1000000""".stripMargin
+      }),
+
     // ── Exact n-gram (word-set) Jaccard on a bounded candidate set.
     QueryDef("q_ngram_jaccard",
       (s, d) => Dedup.jaccardPairs(
