@@ -273,6 +273,27 @@ object CoreQueries {
            |FROM z GROUP BY 1""".stripMargin
       }),
 
+    // ── Blocked fuzzy join ([[graft.ops.FuzzyJoin]]): typo'd vehicle ids
+    //    resolved back to clean ids within 1 edit, candidates blocked on a
+    //    2-char prefix (never cross-join).
+    QueryDef("q_fuzzy_match",
+      (s, d) => {
+        val p = Tables.positions(s, d)
+        val clean = p.select(col("vehicleId"))
+        val dirty = p.filter(col("event_id") % 5 === 0)
+          .select(concat(col("vehicleId"), (col("event_id") % 10).cast("string"))
+            .as("vehicleId"))
+        graft.ops.FuzzyJoin.byEditDistance(clean, dirty, "vehicleId")
+      },
+      Some(s"""WITH clean AS (SELECT DISTINCT vehicleId AS l_key,
+              |                      substr(vehicleId, 1, 2) AS blk FROM $pos p),
+              |dirty AS (SELECT DISTINCT concat(vehicleId, CAST(event_id % 10 AS VARCHAR)) AS r_key,
+              |                 substr(concat(vehicleId, CAST(event_id % 10 AS VARCHAR)), 1, 2) AS blk
+              |          FROM $pos p WHERE event_id % 5 = 0)
+              |SELECT l_key, r_key, CAST(levenshtein(l_key, r_key) AS BIGINT) AS dist
+              |FROM clean JOIN dirty USING (blk)
+              |WHERE levenshtein(l_key, r_key) <= 1""".stripMargin)),
+
     // ── P12: GeoJSON Point construction (struct+array ctor, flattened for
     //    the oracle; the nested form is unit-tested).
     QueryDef("q_geojson_points",
