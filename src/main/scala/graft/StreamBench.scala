@@ -24,12 +24,19 @@ object StreamBench {
     // 3.7x SLOWER than 4 (measured — BASELINE.md). Cores still serve the
     // narrow parse/snap stages; only the stateful exchange is pinned down.
     val streamShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4")
-    val spark = SparkSession.builder()
+    // State-store backend: "memory" (HDFSBackedStateStore, default) or
+    // "rocksdb". RocksDB bounds executor heap by spilling state to local
+    // disk — the production choice once state outgrows memory; measured
+    // slower on tiny state (BASELINE.md), which is why it is a knob.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", streamShuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "memory") == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
