@@ -80,6 +80,18 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col("text"), phonePattern, "[PHONE]"),
           emailPattern, "[EMAIL]"))
 
+  /** Intra-document repetition ratio — the Gopher-style quality rule:
+    * `1 - distinct_kgrams / total_kgrams` per doc (0 = no repetition).
+    * Heavily repeated boilerplate scores high and gets filtered before
+    * training. One explode + one two-level aggregate, partial-aggregable. */
+  def repetition(docs: DataFrame, k: Int = 3): DataFrame =
+    Dedup.shingles(docs, k)
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_grams"), count(lit(1)).as("distinct_grams"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("distinct_grams").cast("double") / col("total_grams").cast("double"), 6))
+
   /** Per-document term frequencies: one (doc_id, word, tf) row per distinct
     * word per doc. Narrow explode + one partial-aggregable count. */
   def termFreq(docs: DataFrame): DataFrame =

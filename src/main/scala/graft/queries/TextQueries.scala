@@ -107,6 +107,31 @@ object TextQueries {
              |      FROM w GROUP BY word)
              |SELECT word, df, postings_head FROM g WHERE df BETWEEN 2 AND 1000000""".stripMargin)),
 
+    // ── Intra-doc repetition ratio (Gopher-style quality rule), with
+    //    deterministic repetition injected into every 9th doc.
+    QueryDef("q_text_repetition",
+      (s, d) => TextAnalysis.repetition(
+        Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit(" "), col("text"))).otherwise(col("text")).as("text"))),
+      Some("""WITH aug AS (SELECT doc_id,
+             |              CASE WHEN doc_id % 9 = 0 THEN concat(text, ' ', text)
+             |                   ELSE text END AS text
+             |             FROM documents),
+             |sh AS (SELECT doc_id,
+             |              unnest(list_transform(range(1, len(ws) - 1),
+             |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+             |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM aug) w
+             |       WHERE len(ws) >= 3),
+             |g AS (SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2),
+             |r AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_grams,
+             |             count(*) AS distinct_grams
+             |      FROM g GROUP BY doc_id)
+             |SELECT doc_id, total_grams, distinct_grams,
+             |       round(CAST('1.0' AS DOUBLE)
+             |             - CAST(distinct_grams AS DOUBLE) / CAST(total_grams AS DOUBLE), 6) AS rep_ratio
+             |FROM r""".stripMargin)),
+
     // ── PII redaction: scrub injected phone/email patterns, report match
     //    counts + redacted text (patterns restricted to the Java-regex ∩
     //    RE2 common dialect so the oracle reproduces them).
