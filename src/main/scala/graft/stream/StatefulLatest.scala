@@ -39,11 +39,54 @@ object StatefulLatest {
   def latest(clean: DataFrame, idCol: String = "event_id"): Dataset[KeyedPos] = {
     val spark = clean.sparkSession
     import spark.implicits._
-    val idExpr = if (clean.columns.contains(idCol)) col(idCol) else lit(0L)
     clean.select(col("provider"), col("vehicleId"),
-        unix_micros(col("eventTs")).as("ts_us"), idExpr.cast("long").as("event_id"),
-        col("lat"), col("lon")).as[KeyedPos]
+        unix_micros(col("eventTs")).as("ts_us"),
+        keyedId(clean, idCol), col("lat"), col("lon")).as[KeyedPos]
       .groupByKey(r => (r.provider, r.vehicleId))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateKey)
+  }
+
+  private def keyedId(clean: DataFrame, idCol: String) =
+    (if (clean.columns.contains(idCol)) col(idCol) else lit(0L)).cast("long").as("event_id")
+
+  /** The same delta semantics on Spark 4's `transformWithState` — the
+    * current-generation arbitrary-state API (typed composite state via a
+    * [[org.apache.spark.sql.streaming.StatefulProcessorHandle]], per-state
+    * TTL, timers). Requires the RocksDB state store provider at runtime.
+    * Kept alongside the `flatMapGroupsWithState` form so both stateful
+    * surfaces stay exercised. */
+  class LatestPositionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(String, String), KeyedPos, KeyedPos] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var latestState: ValueState[KeyedPos] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latestState = getHandle.getValueState[KeyedPos]("latest",
+        org.apache.spark.sql.Encoders.product[KeyedPos], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, String), rows: Iterator[KeyedPos],
+                                 timerValues: TimerValues): Iterator[KeyedPos] = {
+      val prev = if (latestState.exists()) Some(latestState.get()) else None
+      rows.reduceOption(newer) match {
+        case None => Iterator.empty
+        case Some(b) =>
+          val best = prev.map(newer(_, b)).getOrElse(b)
+          if (prev.contains(best)) Iterator.empty // stale updates emit nothing
+          else { latestState.update(best); Iterator(best) }
+      }
+    }
+  }
+
+  /** [[latest]] via `transformWithState` (streaming frames only; set
+    * `spark.sql.streaming.stateStore.providerClass` to RocksDB first). */
+  def latestTws(clean: DataFrame, idCol: String = "event_id"): Dataset[KeyedPos] = {
+    val spark = clean.sparkSession
+    import spark.implicits._
+    clean.select(col("provider"), col("vehicleId"),
+        unix_micros(col("eventTs")).as("ts_us"),
+        keyedId(clean, idCol), col("lat"), col("lon")).as[KeyedPos]
+      .groupByKey(r => (r.provider, r.vehicleId))
+      .transformWithState(new LatestPositionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 }
