@@ -192,6 +192,30 @@ object RelationalQueries {
              |       count(DISTINCT l_suppkey) AS dsupps, count(*) AS cnt
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ── Set operations (INTERSECT/EXCEPT — absent from the reference,
+    //    SURVEY §2.7): buyers vs clickers user sets.
+    QueryDef("q_set_ops",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+        // scalar aggregates (not groupBy over the set) so an EMPTY set still
+        // yields its 0-count row, matching the oracle's SELECT count(*)
+        val both = users("purchase").intersect(users("click"))
+          .agg(count(lit(1)).as("n_users")).withColumn("kind", lit("purchase_and_click"))
+        val only = users("purchase").except(users("click"))
+          .agg(count(lit(1)).as("n_users")).withColumn("kind", lit("purchase_no_click"))
+        both.unionByName(only).select(col("kind"), col("n_users"))
+      },
+      Some("""SELECT 'purchase_and_click' AS kind, count(*) AS n_users FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'purchase'
+             |  INTERSECT
+             |  SELECT user_id FROM events WHERE event_type = 'click') t
+             |UNION ALL
+             |SELECT 'purchase_no_click' AS kind, count(*) AS n_users FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'purchase'
+             |  EXCEPT
+             |  SELECT user_id FROM events WHERE event_type = 'click') u""".stripMargin)),
+
     // ── Exact row-level dedup via dropDuplicates (projection-level DISTINCT;
     //    the streaming twin dropDuplicatesWithinWatermark is spec-covered).
     QueryDef("q_drop_duplicates",
