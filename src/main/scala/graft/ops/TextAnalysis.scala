@@ -99,6 +99,31 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
 
+  /** Word co-occurrence with lift — collocation mining. For words a,b:
+    * `lift = P(a,b)/(P(a)·P(b)) = cooc·N/(df_a·df_b)` over document-level
+    * co-occurrence (the log-free core of PMI — `ln` is not FP-portable,
+    * and ranking by lift ≡ ranking by PMI since ln is monotone).
+    * Self-join stays within doc (never across the corpus); the word-pair
+    * aggregate is partial-aggregable. */
+  def coocLift(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val n = docs.count()
+    val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct().persist()
+    val df = w.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val cooc = w.as("a").join(w.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.word") < col("b.word"))
+      .groupBy(col("a.word").as("word_a"), col("b.word").as("word_b"))
+      .agg(count(lit(1)).as("cooc"))
+    cooc
+      .join(broadcast(df.select(col("word").as("word_a"), col("df").as("df_a"))), "word_a")
+      .join(broadcast(df.select(col("word").as("word_b"), col("df").as("df_b"))), "word_b")
+      .withColumn("lift",
+        round((col("cooc") * lit(n)).cast("double") / (col("df_a") * col("df_b")).cast("double"), 6))
+      .select(col("word_a"), col("word_b"), col("cooc"), col("lift"))
+      .orderBy(col("lift").desc, col("word_a").asc, col("word_b").asc)
+      .limit(topK)
+  }
+
   /** TF-IDF top-`k` terms per document. idf is the rational `N/df` (no
     * logarithm — bias toward rare terms is preserved and every score is a
     * single IEEE multiply+divide, so any engine reproduces it bit-for-bit;

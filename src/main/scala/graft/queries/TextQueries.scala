@@ -91,6 +91,28 @@ object TextQueries {
              |      FROM sc)
              |SELECT doc_id, rk, word, tf, df, score FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ── Collocations: top word pairs by document-level co-occurrence lift
+    //    (log-free PMI — same ranking, FP-portable).
+    QueryDef("q_cooc_lift",
+      (s, d) => TextAnalysis.coocLift(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), 20),
+      Some("""WITH w AS (SELECT DISTINCT doc_id, wd AS word
+             |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+             |                 FROM documents) u
+             |           WHERE wd <> ''),
+             |df AS (SELECT word, count(*) AS df FROM w GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |cooc AS (SELECT a.word AS word_a, b.word AS word_b, count(*) AS cooc
+             |         FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.word < b.word
+             |         GROUP BY 1, 2)
+             |SELECT c.word_a, c.word_b, c.cooc,
+             |       round(CAST(c.cooc * n.n AS DOUBLE) / CAST(da.df * db.df AS DOUBLE), 6) AS lift
+             |FROM cooc c
+             |JOIN df da ON da.word = c.word_a
+             |JOIN df db ON db.word = c.word_b
+             |CROSS JOIN n
+             |ORDER BY lift DESC, word_a ASC, word_b ASC LIMIT 20""".stripMargin)),
+
     // ── Inverted index: word → df + head of the sorted posting list (the
     //    per-word payload cap real indexes use — see TextAnalysis).
     QueryDef("q_inverted_index",
