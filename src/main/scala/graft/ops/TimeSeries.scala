@@ -19,17 +19,24 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
 
   /** Aggregate `valueCol` into `everySec`-second epoch buckets per `key`:
-    * (key, bucket_es, cnt, avg_value·4dp). Only occupied buckets appear —
-    * feed [[fillGaps]] for the dense grid. */
+    * (key, bucket_es, cnt, avg_e4). The average is an exact integer in
+    * 1e-4 units — values are cent-scaled (exact) then integrally divided —
+    * because a rounded double avg lands on .00005 half-way points whose
+    * last digit flips between engines/summation orders (observed at
+    * sf0.1); integer division cannot. Only occupied buckets appear — feed
+    * [[fillGaps]] for the dense grid. */
   def resample(df: DataFrame, key: String, tsCol: String, valueCol: String,
                everySec: Long = 300L): DataFrame =
     df.groupBy(col(key),
         expr(s"(unix_timestamp($tsCol) div $everySec) * $everySec").as("bucket_es"))
-      .agg(count(lit(1)).as("cnt"), round(avg(col(valueCol)), 4).as("avg_value"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col(valueCol) * 100 + 0.5)).cast("long").as("sum_cents"))
+      .withColumn("avg_e4", expr("(sum_cents * 100) div cnt"))
+      .drop("sum_cents")
 
   /** Densify [[resample]] output to every `everySec` bucket between each
     * key's first and last observation; absent buckets get cnt=0 and the
-    * last seen `avg_value` (forward fill). */
+    * last seen `avg_e4` (forward fill). */
   def fillGaps(resampled: DataFrame, key: String, everySec: Long = 300L): DataFrame = {
     val span = resampled.groupBy(col(key))
       .agg(min(col("bucket_es")).as("b0"), max(col("bucket_es")).as("b1"))
@@ -39,7 +46,7 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(resampled, Seq(key, "bucket_es"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .withColumn("avg_filled", last(col("avg_value"), ignoreNulls = true).over(w))
-      .drop("avg_value")
+      .withColumn("avg_filled_e4", last(col("avg_e4"), ignoreNulls = true).over(w))
+      .drop("avg_e4")
   }
 }

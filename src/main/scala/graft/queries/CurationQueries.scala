@@ -21,15 +21,17 @@ object CurationQueries {
       },
       Some("""WITH r AS (SELECT user_id % 3 AS grp,
              |                  (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_es,
-             |                  count(*) AS cnt, round(avg(value), 4) AS avg_value
+             |                  count(*) AS cnt,
+             |                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100
+             |                       // count(*) AS BIGINT) AS avg_e4
              |           FROM events GROUP BY 1, 2),
              |span AS (SELECT grp, min(bucket_es) AS b0, max(bucket_es) AS b1 FROM r GROUP BY 1),
              |spine AS (SELECT grp, unnest(range(b0, b1 + 300, 300)) AS bucket_es FROM span),
-             |j AS (SELECT s.grp, s.bucket_es, coalesce(r.cnt, 0) AS cnt, r.avg_value
+             |j AS (SELECT s.grp, s.bucket_es, coalesce(r.cnt, 0) AS cnt, r.avg_e4
              |      FROM spine s LEFT JOIN r USING (grp, bucket_es))
              |SELECT grp, bucket_es, cnt,
-             |       last_value(avg_value IGNORE NULLS) OVER (PARTITION BY grp ORDER BY bucket_es
-             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
+             |       last_value(avg_e4 IGNORE NULLS) OVER (PARTITION BY grp ORDER BY bucket_es
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled_e4
              |FROM j""".stripMargin)),
 
     // ── Deterministic train/val/test split (90/5/5 by id hash), observed

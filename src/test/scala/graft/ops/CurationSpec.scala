@@ -34,15 +34,26 @@ class CurationSpec extends SparkSpec {
   test("fillGaps: dense spine per key, zero counts, forward-filled averages") {
     import spark.implicits._
     val r = Seq(
-      ("a", 0L, 2L, 10.0), ("a", 900L, 1L, 30.0),  // gap at 300, 600
-      ("b", 300L, 1L, 5.0))
-      .toDF("k", "bucket_es", "cnt", "avg_value")
+      ("a", 0L, 2L, 100000L), ("a", 900L, 1L, 300000L),  // gap at 300, 600
+      ("b", 300L, 1L, 50000L))
+      .toDF("k", "bucket_es", "cnt", "avg_e4")
     val filled = TimeSeries.fillGaps(r, "k", 300L)
       .orderBy($"k", $"bucket_es")
-      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
     assert(filled.toSeq === Seq(
-      ("a", 0L, 2L, 10.0), ("a", 300L, 0L, 10.0), ("a", 600L, 0L, 10.0),
-      ("a", 900L, 1L, 30.0), ("b", 300L, 1L, 5.0)))
+      ("a", 0L, 2L, 100000L), ("a", 300L, 0L, 100000L), ("a", 600L, 0L, 100000L),
+      ("a", 900L, 1L, 300000L), ("b", 300L, 1L, 50000L)))
+  }
+
+  test("resample average is integral and exact (no half-way rounding trap)") {
+    import spark.implicits._
+    // avg of 29.05 and 28.2125... values constructed so a double avg would
+    // land on .00005: 28.6313 vs 28.6312 across engines; integer path is exact
+    val df = Seq((1L, "2024-01-01T00:00:10Z", 28.21), (1L, "2024-01-01T00:01:10Z", 29.05))
+      .toDF("k", "ts_s", "v").withColumn("ts", to_timestamp($"ts_s"))
+    val out = TimeSeries.resample(df, "k", "ts", "v").collect().head
+    // cents: 2821 + 2905 = 5726 → avg_e4 = 5726*100 div 2 = 286300
+    assert(out.getAs[Long]("avg_e4") === 286300L)
   }
 
   test("contamination counts distinct shared shingles only") {
