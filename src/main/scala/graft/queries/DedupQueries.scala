@@ -130,6 +130,37 @@ object DedupQueries {
            |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s""".stripMargin
       }),
 
+    // ── The dedup endgame: keep-list = cluster canonicals (min doc id per
+    //    component) — what actually ships to training after docs → pairs →
+    //    clusters. Observed as counts so the result is stable-size.
+    QueryDef("q_dedup_keep",
+      (s, d) => {
+        val docs = nearAug(s, d)
+        val cand = Dedup.candidates(Dedup.minhash(Dedup.shingles(docs)))
+        val edges = cand.filter(col("n_eq") >= 6)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val cc = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        val kept = cc.filter(col("id") === col("cluster_id"))
+        kept.agg(count(lit(1)).as("kept"))
+          .crossJoin(docs.agg(count(lit(1)).as("total")))
+          .select(col("total"), col("kept"), (col("total") - col("kept")).as("dropped"))
+      },
+      Some(s"""WITH RECURSIVE cand AS (SELECT * FROM ${candSql(nearAugSql)} c0),
+              |e2 AS (SELECT doc_a AS a, doc_b AS b FROM cand WHERE n_eq >= 6
+              |       UNION ALL
+              |       SELECT doc_b AS a, doc_a AS b FROM cand WHERE n_eq >= 6),
+              |nodes AS (SELECT doc_id FROM $nearAugSql docs),
+              |reach(id, label) AS (
+              |  SELECT doc_id, doc_id FROM nodes
+              |  UNION
+              |  SELECT e2.b, r.label FROM reach r JOIN e2 ON e2.a = r.id
+              |),
+              |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+              |SELECT (SELECT count(*) FROM nodes) AS total,
+              |       count(*) AS kept,
+              |       (SELECT count(*) FROM nodes) - count(*) AS dropped
+              |FROM cc WHERE id = cluster_id""".stripMargin)),
+
     // ── SimHash banded pairing, scored on the PLANTED near-dups (the
     //    synthetic corpus' tiny vocab makes unrelated docs fingerprint-
     //    close, so generic pairing is noise here; recovering each injected

@@ -129,6 +129,21 @@ object RelationalQueries {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
 
+    // ── RANGE window frame (value-based, vs q_window_funcs' ROWS frame):
+    //    per event, neighbors within ±50 of its value among same-type events.
+    QueryDef("q_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+          .rangeBetween(-50L, 50L)
+        Tables.events(s, d)
+          .withColumn("n_near", count(lit(1)).over(w))
+          .select(col("event_id"), col("event_type"), col("n_near"))
+      },
+      Some("""SELECT event_id, event_type,
+             |       count(*) OVER (PARTITION BY event_type ORDER BY value
+             |                      RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS n_near
+             |FROM events""".stripMargin)),
+
     // ── As-of join (events ↦ most recent order at-or-before the mapped
     //    event time). Scale path: tag + union + one ordered window pass —
     //    never a t1.t >= t2.t range join, which explodes at 100 TB.
