@@ -66,6 +66,30 @@ class Round2OpsSpec extends SparkSpec {
     assert(clickFrac > 0.44 && clickFrac < 0.56, s"click frac $clickFrac")
   }
 
+  test("fuzzy join: finds single-edit typos inside the block, skips far strings") {
+    import spark.implicits._
+    val clean = Seq("v100", "v200", "w300").toDF("id")
+    val dirty = Seq("v1000", "v201", "w999", "x100").toDF("id")
+    val out = FuzzyJoin.byEditDistance(clean, dirty, "id", maxDist = 1, prefixLen = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // v100→v1000 (append, d1), v200→v201 (substitute, d1); w999 d3 excluded;
+    // x100 blocked out (prefix 'x1' matches nothing)
+    assert(out === Set(("v100", "v1000", 1L), ("v200", "v201", 1L)))
+  }
+
+  test("simhashPairs: identical docs at hamming 0, disjoint docs not paired") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // identical → hamming 0
+      (3L, "zeta eta theta iota kappa lambda")) // disjoint vocabulary
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming")))
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._2 == 3L && p._3 > 3))
+  }
+
   test("histogram quantiles approximate exact percentiles within bin width") {
     val ev = Tables.events(spark, sf("sf0.01"))
     val est = Quantiles.fromHistogram(
