@@ -17,23 +17,34 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Interleave the low `bits` of signed q/r (offset to non-negative):
-    * bit b of q lands at 2b, bit b of r at 2b+1. */
+    * bit b of q lands at 2b, bit b of r at 2b+1.
+    *
+    * Domain: coordinates are clamped to [-2^(bits-1), 2^(bits-1)-1] before
+    * interleaving. Without the clamp an out-of-range coordinate wraps after
+    * the +offset and its high bits truncate, so far-apart cells could
+    * interleave into the same z-range — silently breaking the locality
+    * guarantee [[layoutByZ]] relies on. Clamped cells degrade gracefully:
+    * they pile up at the domain edge (locality preserved for everything
+    * in-range). [[zvalueSql]] applies the identical clamp. */
   def zvalue(q: Column, r: Column, bits: Int = 16): Column = {
     val off = 1L << (bits - 1)
-    val qo = q + lit(off)
-    val ro = r + lit(off)
+    val qo = greatest(lit(-off), least(lit(off - 1), q)) + lit(off)
+    val ro = greatest(lit(-off), least(lit(off - 1), r)) + lit(off)
     (0 until bits).map { b =>
       shiftright(qo, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
         shiftright(ro, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
     }.reduce(_ + _)
   }
 
-  /** SQL twin of [[zvalue]] over column names (DuckDB `>>`/`&`). */
+  /** SQL twin of [[zvalue]] over column names (DuckDB `>>`/`&`),
+    * including the same domain clamp. */
   def zvalueSql(qCol: String, rCol: String, bits: Int = 16): String = {
     val off = 1L << (bits - 1)
+    val qc = s"GREATEST(-$off, LEAST(${off - 1}, $qCol))"
+    val rc = s"GREATEST(-$off, LEAST(${off - 1}, $rCol))"
     "(" + (0 until bits).map { b =>
-      s"((($qCol + $off) >> $b) & 1) * ${1L << (2 * b)} + " +
-        s"((($rCol + $off) >> $b) & 1) * ${1L << (2 * b + 1)}"
+      s"((($qc + $off) >> $b) & 1) * ${1L << (2 * b)} + " +
+        s"((($rc + $off) >> $b) & 1) * ${1L << (2 * b + 1)}"
     }.mkString(" + ") + ")"
   }
 

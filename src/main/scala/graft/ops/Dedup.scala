@@ -149,6 +149,12 @@ object Dedup {
       iter += 1
     }
     bi.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents exited at maxIter=$maxIter WITHOUT reaching the " +
+          "label-sum fixpoint — cluster labels are NOT final (graph diameter " +
+          "exceeds maxIter). Raise maxIter or switch to the large-star/" +
+          "small-star variant (StarComponents) for long-chain graphs.")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

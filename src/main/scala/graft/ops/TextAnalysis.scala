@@ -114,7 +114,7 @@ object TextAnalysis {
         col("a.doc_id") === col("b.doc_id") && col("a.word") < col("b.word"))
       .groupBy(col("a.word").as("word_a"), col("b.word").as("word_b"))
       .agg(count(lit(1)).as("cooc"))
-    cooc
+    val out = cooc
       .join(broadcast(df.select(col("word").as("word_a"), col("df").as("df_a"))), "word_a")
       .join(broadcast(df.select(col("word").as("word_b"), col("df").as("df_b"))), "word_b")
       .withColumn("lift",
@@ -122,6 +122,12 @@ object TextAnalysis {
       .select(col("word_a"), col("word_b"), col("cooc"), col("lift"))
       .orderBy(col("lift").desc, col("word_a").asc, col("word_b").asc)
       .limit(topK)
+      // Materialize the (tiny, topK-row) result so the intermediate cache can
+      // be released NOW instead of at ContextCleaner GC time — repeated calls
+      // in a long-lived session must not accumulate cached corpus blocks.
+      .localCheckpoint(true)
+    w.unpersist()
+    out
   }
 
   /** TF-IDF top-`k` terms per document. idf is the rational `N/df` (no
@@ -143,11 +149,16 @@ object TextAnalysis {
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word").asc)
-    tf.join(broadcast(df), "word")
+    val out = tf.join(broadcast(df), "word")
       .withColumn("score", round((col("tf") * lit(n)).cast("double") / col("df").cast("double"), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score"))
+      // Eager materialization (k rows/doc) so tf's cache is released here,
+      // not at ContextCleaner GC — see coocLift.
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
   }
 
   /** Inverted index: word → document-frequency + the first `cap` doc ids

@@ -67,7 +67,7 @@ object CurationQueries {
              |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
              |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_tokens
              |      FROM t)
-             |SELECT shard, (run_tokens - n_tokens) // 512 AS bin,
+             |SELECT shard, CAST((run_tokens - n_tokens) // 512 AS BIGINT) AS bin,
              |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
              |FROM r GROUP BY 1, 2""".stripMargin)),
 

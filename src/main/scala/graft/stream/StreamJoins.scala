@@ -18,13 +18,15 @@ object StreamJoins {
 
   /** Inner interval join: rows match when keys are equal and `rightTs` is
     * within ±`tolerance` of `leftTs`. Both inputs must already carry
-    * watermarks on their respective time columns. */
+    * watermarks on their respective time columns. Time columns are resolved
+    * against their own side (`left(leftTs)`/`right(rightTs)`), so the two
+    * streams may use the SAME timestamp column name without ambiguity. */
   def joinWithin(left: DataFrame, right: DataFrame, key: String,
                  leftTs: String, rightTs: String, tolerance: String): DataFrame =
     left.join(right,
       left(key) === right(key) &&
-        col(rightTs) >= col(leftTs) - expr(s"interval $tolerance") &&
-        col(rightTs) <= col(leftTs) + expr(s"interval $tolerance"),
+        right(rightTs) >= left(leftTs) - expr(s"interval $tolerance") &&
+        right(rightTs) <= left(leftTs) + expr(s"interval $tolerance"),
       "inner")
       .drop(right(key))
 }
