@@ -14,7 +14,8 @@ object Registry {
     queries.CoreQueries.defs ++ queries.RelationalQueries.defs ++
       queries.DedupQueries.defs ++ queries.SimilarityQueries.defs ++
       queries.TextQueries.defs ++ queries.ExtensionQueries.defs ++
-      queries.WindowingQueries.defs ++ queries.CurationQueries.defs
+      queries.WindowingQueries.defs ++ queries.CurationQueries.defs ++
+      queries.Round3Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

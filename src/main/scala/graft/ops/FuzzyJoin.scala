@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy (edit-distance) join — entity resolution for dirty keys
@@ -30,5 +30,42 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("l_key"), col("r_key")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("l_key"), col("r_key"), col("dist"))
+  }
+
+  /** Consonant-skeleton phonetic canopy: first char + the remainder with
+    * vowels removed — a dialect-portable soundex stand-in (pure
+    * regexp_replace, identical under Java regex and RE2). Typos that
+    * swap/drop a vowel still land in the same block. */
+  def phoneticKey(c: Column): Column =
+    concat(substring(c, 1, 1),
+      regexp_replace(substring(c, 2, 1000000), "[aeiou]", ""))
+
+  /** Multi-canopy blocked fuzzy join: candidates form inside ANY of three
+    * cheap canopies — prefix, suffix, phonetic skeleton — then the exact
+    * edit-distance filter runs once on the union. Closes the single-prefix
+    * recall gap [[byEditDistance]] documents: a typo in the first chars
+    * escapes the prefix block but is still caught by the suffix or
+    * phonetic pass.
+    *
+    * Scale shape: each canopy is an equi-join on its block key (never a
+    * cross join); the union dedups on (l_key, r_key) before the
+    * levenshtein filter so the quadratic-cost distance runs once per
+    * candidate pair regardless of how many canopies caught it. */
+  def multiCanopy(left: DataFrame, right: DataFrame, key: String,
+                  maxDist: Int = 1, affixLen: Int = 2): DataFrame = {
+    val canopies: Seq[Column => Column] = Seq(
+      c => substring(c, 1, affixLen),
+      c => substring(c, -affixLen, affixLen),
+      c => phoneticKey(c))
+    val cands = canopies.map { blk =>
+      val l = left.select(col(key).as("l_key"))
+        .withColumn("blk", blk(col("l_key"))).distinct()
+      val r = right.select(col(key).as("r_key"))
+        .withColumn("blk", blk(col("r_key"))).distinct()
+      l.join(r, "blk").select(col("l_key"), col("r_key"))
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .withColumn("dist", levenshtein(col("l_key"), col("r_key")).cast("long"))
+      .filter(col("dist") <= maxDist)
   }
 }

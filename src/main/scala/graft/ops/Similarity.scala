@@ -101,6 +101,58 @@ object Similarity {
       .groupBy(col("c_id"))
       .agg(expr("transform(sort_array(collect_list(struct(i, c))), x -> x.c)").as("cv"))
 
+  /** Squared L2 distance between two double-array columns (the PQ metric;
+    * expanded form keeps it to three sequential-fold dot products). */
+  def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Product quantization encode: split each `dim`-wide vector into `m`
+    * contiguous subvectors and snap each to its nearest codeword (min
+    * rounded L2², ties → smaller code id). `codebooks` carries one row per
+    * (sub, code, cw: array<double>). Output: (vec_id, sub, code) — the
+    * compressed representation is m small ints per vector, a ~dim·32/m·⌈log₂
+    * codes⌉ compression that makes exabyte-scale ANN shelves fit in RAM.
+    *
+    * Shape: corpus × broadcast(codebooks within sub) — per-row work is
+    * m·codes short dot products, no shuffle; the argmin is a per-(vec,sub)
+    * window over the broadcast join output. Distances round to 6 dp before
+    * the argmin so code assignment is engine-portable. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sw = dim / m
+    val subs = corpus.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("ev"))
+      .withColumn("sv", expr(s"slice(ev, sub * $sw + 1, $sw)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("sub")).orderBy(col("d2").asc, col("code").asc)
+    // Distances scale to exact e6-unit integers (the raw doubles are
+    // bit-identical across engines — IEEE sequential folds — so the scaled
+    // ints are too); integer argmin/sum can never hit an FP summation-order
+    // or half-way-rounding flip.
+    subs.join(broadcast(codebooks), "sub")
+      .withColumn("d2", floor(l2sq(col("sv"), col("cw")) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the query stays exact; every encoded
+    * vector's distance is the sum over subspaces of the precomputed
+    * query↔codeword distance table. The table is m·codes rows (broadcast);
+    * the scan over codes is a narrow join + one partial-aggregable sum per
+    * vector — the corpus' raw floats are never touched at query time. */
+  def pqTopK(encoded: DataFrame, codebooks: DataFrame, query: DataFrame,
+             m: Int, dim: Int, k: Int): DataFrame = {
+    val sw = dim / m
+    val dt = codebooks.crossJoin(broadcast(query))
+      .withColumn("qsv", expr(s"slice(qv, sub * $sw + 1, $sw)"))
+      .select(col("sub"), col("code"),
+        floor(l2sq(col("qsv"), col("cw")) * lit(1e6) + lit(0.5)).cast("long").as("qd2_e6"))
+    encoded.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("qd2_e6")).as("adc_d2_e6"))
+      .orderBy(col("adc_d2_e6").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Bucketed candidate pairs with exact cosine, computed only within
     * buckets. */
   def lshPairs(corpus: DataFrame, planes: Seq[Seq[Double]]): DataFrame = {
