@@ -27,10 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  /** Bit positions (0-based) a key sets/tests: hash48 under salts 0..k-1,
-    * mod m. */
-  private def positions(key: Column, m: Int, k: Int): Seq[Column] =
-    (0 until k).map(i => Dedup.hash48(key, lit(s"bloom$i")) % m)
+  /** Bit positions (0-based) a key sets/tests: k disjoint 8-hex-char
+    * slices of ONE md5 digest, mod m (k ≤ 4). One digest per row instead
+    * of k salted digests — same independence for bit-setting purposes,
+    * a third the hashing cost on the (huge) fact side, and the digest
+    * subexpression is shared across the k slices by codegen. */
+  private def positions(key: Column, m: Int, k: Int): Seq[Column] = {
+    require(k <= 4, "positions are sliced from one md5 digest (32 hex chars)")
+    val hx = md5(concat(lit("bloom|"), key))
+    (0 until k).map(i =>
+      conv(substring(hx, i * 8 + 1, 8), 16, 10).cast("long") % m)
+  }
 
   /** Build the m-bit bitmap from the distinct keys of `dim(keyCol)`.
     * Driver materializes ≤ m set-bit positions (the aggregate output —

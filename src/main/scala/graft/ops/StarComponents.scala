@@ -37,16 +37,27 @@ import org.apache.spark.sql.functions._
   */
 object StarComponents {
 
+  /** Loop shuffle width: the per-round frames are edge lists that SHRINK
+    * toward star form, so a narrow fixed width beats the session's batch
+    * width — per-partition task overhead × exchanges/round dominates at
+    * the small end (same finding as the stream state-store width,
+    * BASELINE.md). Each star pass repartitions ONCE by its grouping key;
+    * the groupBy and the join back both reuse that partitioning, so a
+    * pass costs one exchange instead of three. */
+  private val loopPartitions = 8
+
   /** One large-star round: for each node, larger neighbors re-point at the
-    * neighborhood minimum. Input/output: undirected edge list (a, b). */
+    * neighborhood minimum. Input/output: undirected edge list (a, b);
+    * output may carry duplicates — deduped once per round in the driver
+    * loop. */
   private[ops] def largeStar(edges: DataFrame): DataFrame = {
     val bi = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(loopPartitions, col("a"))
     val m = bi.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
     bi.join(m, "a").filter(col("b") > col("a"))
       .select(col("b").as("a"), col("m").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
   }
 
   /** One small-star round: orient edges high→low, then each high node and
@@ -54,27 +65,34 @@ object StarComponents {
   private[ops] def smallStar(edges: DataFrame): DataFrame = {
     val hiLo = edges.select(
       greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .repartition(loopPartitions, col("a"))
     val m = hiLo.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
     val lows = hiLo.join(m, "a").select(col("b").as("a"), col("m").as("b"))
     val his = m.select(col("a"), col("m").as("b"))
-    lows.unionByName(his).filter(col("a") =!= col("b")).distinct()
+    lows.unionByName(his).filter(col("a") =!= col("b"))
   }
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 30): DataFrame = {
-    var e = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(true)
-    def parentSum(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
+    // Lazy localCheckpoint + the stats aggregate as its materializing
+    // action: ONE job per round does the two star passes, truncates
+    // lineage, and reads off the convergence stats — vs three jobs/round
+    // with an eager checkpoint followed by a separate aggregate (measured
+    // ~2x on the bench chain graph, where per-round fixed job overhead
+    // dominates at test scale).
+    def checkpointWithStats(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val cp = df.localCheckpoint(false)
+      val r = cp.agg(count(lit(1)),
         sum((col("a") + col("b")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), r.getDecimal(1))
+      (cp, (r.getLong(0), r.getDecimal(1)))
     }
-    var prev = parentSum(e)
+    var (e, prev) = checkpointWithStats(
+      edges.select(col("a"), col("b")).filter(col("a") =!= col("b")).distinct())
     var converged = prev._1 == 0
     var iter = 0
     while (!converged && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val cur = parentSum(e)
+      val (ne, cur) = checkpointWithStats(smallStar(largeStar(e)).distinct())
+      e = ne
       // Fixpoint: both passes emit the same (child→root) star two rounds
       // running — count and endpoint-sum together pin the edge multiset.
       converged = cur == prev
