@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Z-score outlier detection with EXACT integer algebra — no mean, no
+  * sqrt, no doubles, so the outlier decision reproduces bit-for-bit in
+  * any engine and under any summation order. The textbook test
+  * |x − μ| > z·σ squares into
+  *   (n·x − S)² > z²·(n·Q − S²)
+  * with S = Σx, Q = Σx² over cent-scaled integers: both sides are exact
+  * wide integers (decimal(38,0) here, HUGEINT in the oracle), so the
+  * boundary case that flips a rounded-double comparison cannot exist.
+  *
+  * Scale shape: one partial-aggregable stats pass per group (n, S, Q are
+  * all map-side combinable), broadcast the tiny stats frame back, one
+  * narrow filter — the same two-pass shape as any whitening step. Domain:
+  * exact while n·Q < 10³⁸ (decimal38) — petabyte-scale cent data clears
+  * it; the oracle's HUGEINT matches at 128 bits.
+  */
+object Anomaly {
+
+  /** Per-group outlier profile of `df(grpCol, valueCol)`:
+    * (grp, n, n_outliers) where an outlier has |x − μ| > z·σ
+    * (population σ). */
+  def zscoreProfile(df: DataFrame, grpCol: String, valueCol: String,
+                    z: Int = 3): DataFrame = {
+    val cents = df.select(col(grpCol),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("x_c"))
+    val stats = cents.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"), sum(col("x_c")).as("s"),
+        sum(col("x_c") * col("x_c")).as("q"))
+    val dec = "decimal(38,0)"
+    val lhs = (col("n") * col("x_c") - col("s")).cast(dec)
+    val rhs = (col("n").cast(dec) * col("q").cast(dec)
+      - col("s").cast(dec) * col("s").cast(dec)) * lit(z * z)
+    cents.join(broadcast(stats), grpCol)
+      .withColumn("is_out", (lhs * lhs > rhs).cast("long"))
+      .groupBy(col(grpCol))
+      .agg(max(col("n")).as("n"), sum(col("is_out")).as("n_outliers"))
+  }
+}

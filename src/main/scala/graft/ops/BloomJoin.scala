@@ -53,20 +53,12 @@ object BloomJoin {
     bitmap
   }
 
-  /** Right-shift by a COLUMN amount (functions.shiftright only takes a
-    * literal count) — the Catalyst ShiftRight expression via the shim. */
-  private def shiftRightCol(v: Column, amount: Column): Column = {
-    import org.apache.spark.sql.graftshim.Shims
-    Shims.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
-      Shims.expression(v), Shims.expression(amount.cast("int"))))
-  }
-
   /** Membership test column: all k bits set in `bitmap`. */
   def mightContain(key: Column, bitmap: Array[Long], k: Int = 3): Column = {
     val m = bitmap.length * 64
     val litMap = array(bitmap.map(lit(_)): _*)
     positions(key, m, k).map { p =>
-      shiftRightCol(element_at(litMap, (p / 64).cast("int") + 1), p % 64)
+      BitOps.shiftRight(element_at(litMap, (p / 64).cast("int") + 1), p % 64)
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
   }

@@ -49,4 +49,37 @@ object TimeSeries {
       .withColumn("avg_filled_e4", last(col("avg_e4"), ignoreNulls = true).over(w))
       .drop("avg_e4")
   }
+
+  /** Densify like [[fillGaps]] but LINEARLY interpolate gap values between
+    * the surrounding observations instead of holding the last one:
+    * v = v0 + (v1−v0)·(t−t0)/(t1−t0), in exact e4 integer units with the
+    * one division done as floor(double) — the products stay < 2^53 so the
+    * double is exact and IEEE division + floor reproduce bit-for-bit in
+    * any engine (truncating integer division would disagree with floor
+    * division on negative slopes). Leading/trailing edges (no neighbor on
+    * one side) hold the available side flat. */
+  def interpolate(resampled: DataFrame, key: String, everySec: Long = 300L): DataFrame = {
+    val span = resampled.groupBy(col(key))
+      .agg(min(col("bucket_es")).as("b0"), max(col("bucket_es")).as("b1"))
+    val spine = span.select(col(key),
+      explode(sequence(col("b0"), col("b1"), lit(everySec))).as("bucket_es"))
+    val back = Window.partitionBy(col(key)).orderBy(col("bucket_es"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(key)).orderBy(col("bucket_es"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = resampled.withColumn("obs_es", col("bucket_es"))
+    spine.join(obs, Seq(key, "bucket_es"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("v0", last(col("avg_e4"), ignoreNulls = true).over(back))
+      .withColumn("t0", last(col("obs_es"), ignoreNulls = true).over(back))
+      .withColumn("v1", first(col("avg_e4"), ignoreNulls = true).over(fwd))
+      .withColumn("t1", first(col("obs_es"), ignoreNulls = true).over(fwd))
+      .withColumn("interp_e4",
+        when(col("t0").isNull, col("v1"))
+          .when(col("t1").isNull || (col("t1") === col("t0")), col("v0"))
+          .otherwise(col("v0") + floor(
+            ((col("v1") - col("v0")) * (col("bucket_es") - col("t0"))).cast("double")
+              / (col("t1") - col("t0")).cast("double")).cast("long")))
+      .select(col(key), col("bucket_es"), col("cnt"), col("interp_e4"))
+  }
 }

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{BloomJoin, FuzzyJoin, Graph, Sketches, Similarity, StarComponents}
+import graft.ops.{Anomaly, BloomJoin, Bm25, FuzzyJoin, Graph, IntervalJoin,
+  Sketches, Similarity, StarComponents, TimeSeries}
 
 /** Round-3 operators (SURVEY.md §7.4c): O(log n) connected components,
   * Bloom-pruned joins, multi-canopy fuzzy matching, product-quantization
@@ -248,6 +249,112 @@ object Round3Queries {
            |           FROM lineitem)
            |SELECT l_orderkey, l_linenumber, qty, CAST(h // qty AS BIGINT) AS pri
            |FROM t ORDER BY pri ASC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin
-      })
+      }),
+
+    // ── BM25 top-10 with the fixed-point integer log ([[Bm25]]) — the
+    //    portable-log design that closes the "no cross-engine ln()" gap
+    //    TF-IDF documents. Every score is a BIGINT in e6 log₂ units.
+    QueryDef("q_bm25_topk",
+      (s, d) => Bm25.topK(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Seq("spark", "join", "fast"), 10),
+      Some {
+        val log2 = Bm25.log2E6Sql("v")
+        s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           |            FROM documents),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |l AS (SELECT CAST(sum(dl) AS BIGINT) AS l FROM dl),
+           |tf AS (SELECT doc_id, wd AS word, count(*) AS tf
+           |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents) u
+           |       WHERE wd IN ('spark', 'join', 'fast')
+           |       GROUP BY 1, 2),
+           |df AS (SELECT word, count(*) AS bm_df FROM tf GROUP BY 1),
+           |df2 AS (SELECT word, bm_df,
+           |               1024 + (1024 * (2 * (n.n - bm_df) + 1)) // (2 * bm_df + 1) AS v
+           |        FROM df, n),
+           |idf AS (SELECT word, CAST($log2 - 10000000 AS BIGINT) AS idf_e6 FROM df2),
+           |sc AS (SELECT tf.doc_id,
+           |              CAST((idf.idf_e6 * 44 * l.l * tf.tf)
+           |                // (20 * l.l * tf.tf + 6 * l.l + 18 * dl.dl * n.n) AS BIGINT) AS term_score
+           |       FROM tf JOIN idf USING (word) JOIN dl USING (doc_id), n, l)
+           |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e6
+           |FROM sc GROUP BY 1
+           |ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""".stripMargin
+      }),
+
+    // ── Exact-integer z-score outlier profile ([[Anomaly]]): the
+    //    |x−μ| > 3σ test squared into wide-integer algebra so the decision
+    //    can never flip on FP summation order — per event type.
+    QueryDef("q_anomaly_zscore",
+      (s, d) => Anomaly.zscoreProfile(Tables.events(s, d), "event_type", "value"),
+      Some("""WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x_c
+             |           FROM events),
+             |st AS (SELECT event_type, count(*) AS n, CAST(sum(x_c) AS BIGINT) AS s,
+             |              CAST(sum(x_c * x_c) AS BIGINT) AS q
+             |       FROM c GROUP BY 1),
+             |j AS (SELECT c.event_type, c.x_c, st.n, st.s, st.q
+             |      FROM c JOIN st USING (event_type))
+             |SELECT event_type, max(n) AS n,
+             |       CAST(sum(CASE WHEN CAST(n * x_c - s AS HUGEINT) * CAST(n * x_c - s AS HUGEINT)
+             |                        > (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
+             |                           - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) * 9
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM j GROUP BY 1""".stripMargin)),
+
+    // ── Bucket-blocked batch interval self-join ([[IntervalJoin]]): pairs
+    //    of orders from the same customer within 30 days — an equi-join on
+    //    (customer, time-cell) instead of a per-customer cross join.
+    QueryDef("q_interval_pairs",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("es"))
+        IntervalJoin.selfPairsWithin(o, "o_custkey", "o_orderkey", "es", 2592000L)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |                  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS es FROM orders)
+             |SELECT a.o_custkey, count(*) AS n_pairs
+             |FROM o a JOIN o b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+             |  AND abs(a.es - b.es) <= 2592000
+             |GROUP BY 1""".stripMargin)),
+
+    // ── Linear-interpolation gap fill ([[TimeSeries.interpolate]]): the
+    //    forward-fill resample's sibling, with the one division done as
+    //    floor(double) — exact while products stay under 2^53, identical
+    //    under both engines' division semantics (truncating integer div
+    //    would disagree with floor div on negative slopes).
+    QueryDef("q_resample_interp",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("grp", col("user_id") % 3)
+        TimeSeries.interpolate(
+          TimeSeries.resample(ev, "grp", "ts", "value", 300L), "grp", 300L)
+      },
+      Some("""WITH r AS (SELECT user_id % 3 AS grp,
+             |                  (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_es,
+             |                  count(*) AS cnt,
+             |                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100
+             |                       // count(*) AS BIGINT) AS avg_e4
+             |           FROM events GROUP BY 1, 2),
+             |span AS (SELECT grp, min(bucket_es) AS b0, max(bucket_es) AS b1 FROM r GROUP BY 1),
+             |spine AS (SELECT grp, unnest(range(b0, b1 + 300, 300)) AS bucket_es FROM span),
+             |j AS (SELECT s.grp, s.bucket_es, coalesce(r.cnt, 0) AS cnt, r.avg_e4,
+             |             CASE WHEN r.avg_e4 IS NOT NULL THEN s.bucket_es END AS obs_es
+             |      FROM spine s LEFT JOIN r USING (grp, bucket_es)),
+             |w AS (SELECT grp, bucket_es, cnt,
+             |        last_value(avg_e4 IGNORE NULLS) OVER (PARTITION BY grp ORDER BY bucket_es
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             |        last_value(obs_es IGNORE NULLS) OVER (PARTITION BY grp ORDER BY bucket_es
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             |        first_value(avg_e4 IGNORE NULLS) OVER (PARTITION BY grp ORDER BY bucket_es
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+             |        first_value(obs_es IGNORE NULLS) OVER (PARTITION BY grp ORDER BY bucket_es
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+             |      FROM j)
+             |SELECT grp, bucket_es, cnt,
+             |       CASE WHEN t0 IS NULL THEN v1
+             |            WHEN t1 IS NULL OR t1 = t0 THEN v0
+             |            ELSE v0 + CAST(floor(CAST((v1 - v0) * (bucket_es - t0) AS DOUBLE)
+             |                                 / CAST(t1 - t0 AS DOUBLE)) AS BIGINT) END AS interp_e4
+             |FROM w""".stripMargin))
   )
 }
