@@ -31,6 +31,24 @@ class ZOrderSpec extends SparkSpec {
       s"neighbor dz $neighborAvg should be far below far-cell dz $farAvg")
   }
 
+  test("zvalue clamps out-of-domain coordinates instead of corrupting them") {
+    // 2^20 is far outside the 16-bit domain; unclamped it would wrap after
+    // the +offset and interleave like a small coordinate. Clamped, it pins
+    // to the domain edge (the max in-domain z for that axis).
+    val edge = Seq((32767L, 32767L)).toDF("q", "r")
+      .select(ZOrder.zvalue($"q", $"r")).head().getLong(0)
+    val far = Seq((1L << 20, 1L << 20)).toDF("q", "r")
+      .select(ZOrder.zvalue($"q", $"r")).head().getLong(0)
+    val farNeg = Seq((-(1L << 20), -(1L << 20))).toDF("q", "r")
+      .select(ZOrder.zvalue($"q", $"r")).head().getLong(0)
+    assert(far === edge, "overflow clamps to the top corner")
+    assert(farNeg === 0L, "underflow clamps to the origin corner")
+    // clamp is monotone: an in-domain cell never z-sorts above the clamp edge
+    val mid = Seq((100L, 100L)).toDF("q", "r")
+      .select(ZOrder.zvalue($"q", $"r")).head().getLong(0)
+    assert(farNeg <= mid && mid <= far)
+  }
+
   test("layoutByZ: files cover disjoint contiguous z ranges") {
     val grid = (for (q <- -50L to 50L; r <- -50L to 50L) yield (q, r)).toDF("q", "r")
     val laid = ZOrder.layoutByZ(grid, $"q", $"r", 8)
