@@ -27,8 +27,11 @@ object FuzzyJoin {
     val r = right.select(col(key).as("r_key"))
       .withColumn("blk", substring(col("r_key"), 1, prefixLen)).distinct()
     l.join(r, "blk")
-      .withColumn("dist", levenshtein(col("l_key"), col("r_key")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // threshold variant: early-exits the DP once distance exceeds
+      // maxDist (O(maxDist·len) per pair instead of O(len²)) and returns
+      // -1 beyond it — same survivors, same distances ≤ maxDist
+      .withColumn("dist", levenshtein(col("l_key"), col("r_key"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("l_key"), col("r_key"), col("dist"))
   }
 
@@ -65,7 +68,7 @@ object FuzzyJoin {
       l.join(r, "blk").select(col("l_key"), col("r_key"))
     }.reduce(_ unionByName _).distinct()
     cands
-      .withColumn("dist", levenshtein(col("l_key"), col("r_key")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("l_key"), col("r_key"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }
