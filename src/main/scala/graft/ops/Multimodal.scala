@@ -73,6 +73,40 @@ object Multimodal {
     }.toDF("doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
   }
 
+  /** Resize stub: deterministic byte-stride downsample — every `stride`-th
+    * byte of the payload survives. A real image resize replaces the loop
+    * body; the partition-batched shape, the binary-in/binary-out schema,
+    * and the size law (⌈n/stride⌉) are the production contract. */
+  def resizePartitions(df: DataFrame, stride: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, p) =>
+        val r = Array.tabulate((p.length + stride - 1) / stride)(i => p(i * stride))
+        (id, p.length.toLong, r.length.toLong, r)
+      }
+    }.toDF("doc_id", "n_bytes", "resized_bytes", "resized")
+  }
+
+  /** Frame sampling: view the payload as fixed `frameSize`-byte frames
+    * (a stand-in for video GOPs / audio windows), keep every `every`-th
+    * frame. Fully declarative — the frame slice is a codegen'd binary
+    * `substring`, the explode is map-side — so Catalyst prunes and
+    * pushes around it like any other column op; no decode required to
+    * SELECT which frames ship to the decoder (the point of
+    * sample-before-decode at 100 TB). */
+  def sampleFrames(df: DataFrame, frameSize: Int = 256, every: Int = 2): DataFrame =
+    df.select(col("doc_id"), col("payload"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("n_frames", expr(s"(n_bytes + ${frameSize - 1}) div $frameSize"))
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+      .filter(col("frame_idx") % every === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameSize + 1, $frameSize)").as("frame"))
+      .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
+
   /** Imperative decode seam: batched partition-wise decode through a
     * [[MultimodalDecoder]] — the shape a real codec plugs into. */
   def decodePartitions(df: DataFrame, decoder: MultimodalDecoder): DataFrame = {

@@ -355,6 +355,37 @@ object Round3Queries {
              |            WHEN t1 IS NULL OR t1 = t0 THEN v0
              |            ELSE v0 + CAST(floor(CAST((v1 - v0) * (bucket_es - t0) AS DOUBLE)
              |                                 / CAST(t1 - t0 AS DOUBLE)) AS BIGINT) END AS interp_e4
-             |FROM w""".stripMargin))
+             |FROM w""".stripMargin)),
+
+    // ── Multimodal frame sampling ([[graft.ops.Multimodal.sampleFrames]]):
+    //    256-byte frames, every 2nd kept, sliced with a codegen'd binary
+    //    substring — sample-before-decode. The oracle checks the size law
+    //    arithmetically; the Spark side's frame_bytes comes from the REAL
+    //    sliced bytes, so a slicing bug breaks the hash match.
+    QueryDef("q_multimodal_frames",
+      (s, d) => graft.ops.Multimodal.sampleFrames(
+          graft.ops.Multimodal.attachPayload(
+            Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_bytes")),
+      Some("""WITH p AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |           FROM documents),
+             |f AS (SELECT doc_id, n_bytes, (n_bytes + 255) // 256 AS n_frames FROM p),
+             |i AS (SELECT doc_id, n_bytes, unnest(range(0, n_frames)) AS frame_idx FROM f)
+             |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |       CAST(least(256, n_bytes - frame_idx * 256) AS BIGINT) AS frame_bytes
+             |FROM i WHERE frame_idx % 2 = 0""".stripMargin)),
+
+    // ── Multimodal resize stub ([[graft.ops.Multimodal.resizePartitions]]):
+    //    partition-batched byte-stride downsample (a real codec drops into
+    //    the same mapPartitions seam); the ⌈n/4⌉ size law is the oracle.
+    QueryDef("q_multimodal_resize",
+      (s, d) => graft.ops.Multimodal.resizePartitions(
+          graft.ops.Multimodal.attachPayload(
+            Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))))
+        .select(col("doc_id"), col("n_bytes"), col("resized_bytes")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes
+             |FROM documents""".stripMargin))
   )
 }

@@ -66,6 +66,27 @@ class Round3bOpsSpec extends SparkSpec {
     assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
   }
 
+  // ── Multimodal resize / frame sampling ───────────────────────────────
+
+  test("resize stub keeps every stride-th byte, content-exact") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xy"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val out = Multimodal.resizePartitions(df, 4)
+      .select("doc_id", "resized").as[(Long, Array[Byte])].collect().toMap
+    assert(new String(out(1L)) == "aei", "bytes 0,4,8")
+    assert(new String(out(2L)) == "x")
+  }
+
+  test("frame sampling slices real bytes matching the arithmetic size law") {
+    val text = "z" * 700 // 3 frames of 256: 256, 256, 188 → sampled idx 0, 2
+    val df = Seq((9L, text)).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val out = Multimodal.sampleFrames(df)
+      .select("frame_idx", "frame_bytes").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 256L, 2L -> 188L), s"got $out")
+  }
+
   // ── TimeSeries.interpolate ───────────────────────────────────────────
 
   test("interpolate fills a gap linearly and holds flat at the edges") {
