@@ -386,6 +386,34 @@ object Round3Queries {
         .select(col("doc_id"), col("n_bytes"), col("resized_bytes")),
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ── Distribution entropy profile via the fixed-point log₂ ([[Bm25]]'s
+    //    log2E6 reused as a general portable-log primitive): per-class
+    //    surprisal log₂(N/c) and its weighted entropy contribution, all
+    //    BIGINT e6 units (v = 1024·N div c adds ≤ 1/1024 relative error —
+    //    profiling-grade, and exactly reproducible).
+    QueryDef("q_entropy_profile",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val n = ev.count()
+        ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+          .withColumn("v", expr(s"(1024 * ${n}) div cnt"))
+          .withColumn("surprisal_e6", Bm25.log2E6(col("v")) - lit(10000000L))
+          .withColumn("entropy_contrib_e6", expr(s"(cnt * surprisal_e6) div ${n}"))
+          .select(col("event_type"), col("cnt"), col("surprisal_e6"),
+            col("entropy_contrib_e6"))
+      },
+      Some {
+        val log2 = Bm25.log2E6Sql("v")
+        s"""WITH n AS (SELECT count(*) AS n FROM events),
+           |c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+           |v AS (SELECT event_type, cnt, (1024 * n.n) // cnt AS v FROM c, n),
+           |sp AS (SELECT event_type, cnt, CAST($log2 - 10000000 AS BIGINT) AS surprisal_e6, v
+           |       FROM v)
+           |SELECT sp.event_type, sp.cnt, sp.surprisal_e6,
+           |       CAST((sp.cnt * sp.surprisal_e6) // n.n AS BIGINT) AS entropy_contrib_e6
+           |FROM sp, n""".stripMargin
+      })
   )
 }
