@@ -55,4 +55,19 @@ object ZOrder {
     val withZ = df.withColumn("z", zvalue(q, r))
     withZ.repartitionByRange(partitions, col("z")).sortWithinPartitions(col("z"))
   }
+
+  /** Materialize [[layoutByZ]] as directory-partitioned parquet keyed by a
+    * z-bucket (z div 2^bucketShift): a map-viewport query filtering on
+    * z-range becomes PartitionFilters at the scan — directories outside
+    * the viewport are never listed, the multi-dimensional analogue of
+    * [[graft.sink.TileLayout]]'s date pruning. Within each bucket
+    * directory rows stay z-sorted, so parquet row-group min/max statistics
+    * prune further. `ZOrderLayoutSpec` asserts both effects. */
+  def writeZPartitioned(df: DataFrame, q: Column, r: Column, path: String,
+                        bucketShift: Int = 12): Unit =
+    df.withColumn("z", zvalue(q, r))
+      .withColumn("z_bucket", expr(s"z div ${1L << bucketShift}"))
+      .repartition(col("z_bucket"))
+      .sortWithinPartitions(col("z_bucket"), col("z"))
+      .write.mode("overwrite").partitionBy("z_bucket").parquet(path)
 }

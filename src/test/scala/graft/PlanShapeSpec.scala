@@ -1,0 +1,40 @@
+package graft
+
+/** Physical-plan regression gate: the shuffle/broadcast shape of the
+  * flagship queries IS the 100 TB design (BASELINE.md records the
+  * rationale per query) — a refactor or Spark upgrade that silently adds
+  * an exchange or drops a broadcast is a scale regression even when
+  * results stay correct. Each assertion is an UPPER bound on exchanges
+  * (fewer is fine) plus a LOWER bound on broadcasts (a broadcast that
+  * degrades to a shuffle join is exactly the failure this catches).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def shape(q: String): (Int, Int) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan.toString
+    ("Exchange (hash|range)partitioning".r.findAllIn(p).size,
+      "BroadcastExchange".r.findAllIn(p).size)
+  }
+
+  /** (query, max exchanges, min broadcasts). */
+  private val expected = Seq(
+    ("q_pipeline_tiles", 1, 0),   // single partial+final agg
+    ("q_hex_snap", 1, 0),         // snap is narrow; one agg exchange
+    ("q_tpch_pricing", 1, 0),     // one agg over a pruned scan
+    ("q_dedup_exact", 1, 0),      // one md5-groupBy exchange
+    ("q_inverted_index", 1, 0),   // map-side partial collect_set, ONE exchange
+    ("q_sample_stratified", 1, 0),// single partial+final agg
+    ("q_star_join", 1, 4),        // 4 broadcast dims, one agg exchange
+    ("q_bloom_join", 1, 1),       // broadcast dim; bloom filter pre-exchange
+    ("q_sim_topk_brute", 0, 1),   // broadcast query, corpus never shuffles
+    ("q_interval_pairs", 1, 1))   // one (key, cell) join + agg
+
+  expected.foreach { case (q, maxEx, minBc) =>
+    test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
+      val (ex, bc) = shape(q)
+      assert(ex <= maxEx, s"$q gained a shuffle: $ex exchanges (max $maxEx)")
+      assert(bc >= minBc, s"$q lost a broadcast: $bc (min $minBc)")
+    }
+  }
+}

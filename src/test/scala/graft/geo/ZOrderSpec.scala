@@ -49,6 +49,33 @@ class ZOrderSpec extends SparkSpec {
     assert(farNeg <= mid && mid <= far)
   }
 
+  test("writeZPartitioned: viewport z-range scan prunes partitions at the source") {
+    val dir = java.nio.file.Files.createTempDirectory("zpart").toString
+    val grid = (for (q <- -50L to 50L; r <- -50L to 50L) yield (q, r)).toDF("q", "r")
+    ZOrder.writeZPartitioned(grid, $"q", $"r", dir, bucketShift = 8)
+    val all = spark.read.parquet(dir)
+    val buckets = all.select("z_bucket").distinct().as[Long].collect().sorted
+    val nBuckets = buckets.length
+    assert(nBuckets > 4, s"layout should spread buckets, got $nBuckets")
+    // a small viewport = a narrow z-range = few buckets
+    val viewport = all.filter($"z_bucket".between(buckets(1), buckets(2)))
+    val plan = viewport.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[\\]".r.findFirstIn(plan).isEmpty,
+      s"z_bucket predicate must reach PartitionFilters:\n${plan.take(800)}")
+    // the scan's file index selected fewer partition dirs than exist
+    val scanned: Int = viewport.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    assert(scanned < nBuckets && scanned > 0,
+      s"expected pruning: scanned $scanned of $nBuckets buckets")
+    // and correctness: pruned read ≡ brute recompute of the same range
+    val brute = (for (q <- -50L to 50L; r <- -50L to 50L) yield (q, r)).toDF("q", "r")
+      .select(ZOrder.zvalue($"q", $"r").as("z"))
+      .filter(($"z" / lit(256L)).cast("long").between(buckets(1), buckets(2)))
+    assert(viewport.count() == brute.count())
+  }
+
   test("layoutByZ: files cover disjoint contiguous z ranges") {
     val grid = (for (q <- -50L to 50L; r <- -50L to 50L) yield (q, r)).toDF("q", "r")
     val laid = ZOrder.layoutByZ(grid, $"q", $"r", 8)
