@@ -29,12 +29,21 @@ object StateBench {
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_EVENTS", "120000").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "6").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Same backend knob as StreamBench: memory (default) or rocksdb —
+    // rocksdb adds changelog checkpointing so epoch commits ship deltas,
+    // not snapshots (the production pairing once state is large).
+    val backend = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "memory")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (backend == "rocksdb")
+      builder
+        .config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -73,7 +82,7 @@ object StateBench {
       val sec = (System.nanoTime() - t0) / 1e9
       q.stop()
       val rate = batchSize * nBatches / sec
-      println(s"""{"metric":"state_sweep","card":$card,"clock_div":$clockDiv,"width":$width,"events_per_sec":${rate.round},"latest_keys":${latestSink.size},"tile_keys":${tilesSink.size}}""")
+      println(s"""{"metric":"state_sweep","backend":"$backend","card":$card,"clock_div":$clockDiv,"width":$width,"events_per_sec":${rate.round},"latest_keys":${latestSink.size},"tile_keys":${tilesSink.size}}""")
       rate
     }
 
