@@ -124,7 +124,16 @@ object Dedup {
     * @param nodes single column `id`; @param edges columns `a`, `b`.
     * @return (id, cluster_id) with cluster_id = min node id in component.
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Partial-propagation result: `labels` (id, label) where each label is
+    * the min id within `maxIter` hops; `converged` true iff that is the
+    * component fixpoint. */
+  case class CcProbe(labels: DataFrame, converged: Boolean)
+
+  /** The min-label loop with its convergence status exposed — the probe
+    * primitive [[graft.ops.StarComponents.auto]] composes with the star
+    * fallback. */
+  def connectedComponentsProbe(nodes: DataFrame, edges: DataFrame,
+                               maxIter: Int = 20): CcProbe = {
     val bi = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
@@ -149,13 +158,18 @@ object Dedup {
       iter += 1
     }
     bi.unpersist()
-    if (!converged)
+    CcProbe(labels, converged)
+  }
+
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val probe = connectedComponentsProbe(nodes, edges, maxIter)
+    if (!probe.converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents exited at maxIter=$maxIter WITHOUT reaching the " +
           "label-sum fixpoint — cluster labels are NOT final (graph diameter " +
-          "exceeds maxIter). Raise maxIter or switch to the large-star/" +
-          "small-star variant (StarComponents) for long-chain graphs.")
-    labels.select(col("id"), col("label").as("cluster_id"))
+          "exceeds maxIter). Raise maxIter, switch to StarComponents, or use " +
+          "StarComponents.auto which falls back automatically.")
+    probe.labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** SimHash near-dup candidate pairs: by the pigeonhole principle, two

@@ -110,4 +110,33 @@ object StarComponents {
       .join(e.select(col("a").as("id"), col("b").as("root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
+
+  /** Adaptive facade: min-label propagation first (cheapest per round —
+    * one join + one min, and near-dup graphs are almost always shallow),
+    * falling back to the star algorithm on the COLLAPSED graph when the
+    * probe budget runs out. The fallback operates on label-space edges
+    * (each partially-propagated label already names a ≤`probeRounds`-hop
+    * neighborhood), so the star phase starts from a graph whose diameter
+    * is already divided by the probe depth — the two algorithms compose
+    * rather than restart. Callers get one entry point that is optimal on
+    * shallow graphs and never hits min-label's unbounded-diameter trap.
+    */
+  def auto(nodes: DataFrame, edges: DataFrame, probeRounds: Int = 8,
+           maxStarIter: Int = 30): DataFrame = {
+    val probe = Dedup.connectedComponentsProbe(nodes, edges, probeRounds)
+    if (probe.converged) probe.labels.withColumnRenamed("label", "cluster_id")
+    else {
+      val l = probe.labels.localCheckpoint(true)
+      // collapse: original edges mapped through partial labels
+      val collapsed = edges
+        .join(l.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+        .join(l.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+        .select(col("la").as("a"), col("lb").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val roots = connectedComponents(
+        l.select(col("label").as("id")).distinct(), collapsed, maxStarIter)
+      l.join(roots.withColumnRenamed("id", "label"), Seq("label"))
+        .select(col("id"), col("cluster_id"))
+    }
+  }
 }

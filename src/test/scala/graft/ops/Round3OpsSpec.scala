@@ -41,6 +41,20 @@ class Round3OpsSpec extends SparkSpec {
     assert(diff == 0, "star and min-label CC must agree on shallow graphs")
   }
 
+  test("auto CC: min-label handles shallow graphs, star fallback finishes chains") {
+    // shallow: triangles — converges inside the probe
+    val n1 = (0L until 9L).toDF("id")
+    val e1 = Seq((0L, 1L), (1L, 2L), (2L, 0L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val m1 = StarComponents.auto(n1, e1).as[(Long, Long)].collect().toMap
+    assert(m1(2L) == 0L && m1(6L) == 4L && m1(8L) == 8L)
+    // deep: 150-node chain, probe budget 4 — star fallback on the
+    // collapsed graph must still converge to root 0
+    val n2 = (0L until 150L).toDF("id")
+    val e2 = (0L until 149L).map(i => (i, i + 1)).toDF("a", "b")
+    val m2 = StarComponents.auto(n2, e2, probeRounds = 4).as[(Long, Long)].collect()
+    assert(m2.forall(_._2 == 0L), s"chain must fully collapse, got ${m2.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("star CC labels isolated nodes with themselves") {
     val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
     val edges = Seq((1L, 2L)).toDF("a", "b")
