@@ -92,6 +92,25 @@ object TextAnalysis {
       .withColumn("rep_ratio",
         round(lit(1.0) - col("distinct_grams").cast("double") / col("total_grams").cast("double"), 6))
 
+  /** Corpus-boilerplate ratio — the C4-style rule that drops documents
+    * dominated by lines/phrases the whole corpus repeats (nav bars,
+    * license headers). Per doc: the fraction of its distinct k-shingles
+    * that sit in the corpus-wide top-`topN` shingles by document
+    * frequency. Two partial-aggregable passes (shingle df, per-doc
+    * fraction) + one broadcast of the tiny top-N set; ties at the top-N
+    * boundary break lexicographically so the cut is deterministic. */
+  def boilerplate(docs: DataFrame, k: Int = 3, topN: Int = 100): DataFrame = {
+    val sh = Dedup.shingles(docs, k).distinct()
+    val top = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc).limit(topN)
+      .select(col("shingle"), lit(1L).as("is_top"))
+    sh.join(broadcast(top), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_top"), lit(0L))).as("n_top"))
+      .withColumn("boiler_e6", expr("(n_top * 1000000) div n_shingles"))
+  }
+
   /** Per-document term frequencies: one (doc_id, word, tf) row per distinct
     * word per doc. Narrow explode + one partial-aggregable count. */
   def termFreq(docs: DataFrame): DataFrame =

@@ -414,6 +414,27 @@ object Round3Queries {
            |SELECT sp.event_type, sp.cnt, sp.surprisal_e6,
            |       CAST((sp.cnt * sp.surprisal_e6) // n.n AS BIGINT) AS entropy_contrib_e6
            |FROM sp, n""".stripMargin
-      })
+      }),
+
+    // ── Corpus-boilerplate ratio ([[graft.ops.TextAnalysis.boilerplate]]):
+    //    fraction of each doc's distinct 3-shingles that are corpus-top-100
+    //    by df — the C4-style repeated-content filter, in exact e6 units.
+    QueryDef("q_boilerplate",
+      (s, d) => graft.ops.TextAnalysis.boilerplate(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id,
+             |                   unnest(list_transform(range(1, len(ws) - 1),
+             |                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+             |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w
+             |            WHERE len(ws) >= 3),
+             |top AS (SELECT shingle, 1 AS is_top FROM (
+             |          SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+             |          ORDER BY df DESC, shingle ASC LIMIT 100) t)
+             |SELECT sh.doc_id, count(*) AS n_shingles,
+             |       CAST(sum(coalesce(top.is_top, 0)) AS BIGINT) AS n_top,
+             |       CAST((CAST(sum(coalesce(top.is_top, 0)) AS BIGINT) * 1000000)
+             |            // count(*) AS BIGINT) AS boiler_e6
+             |FROM sh LEFT JOIN top USING (shingle)
+             |GROUP BY 1""".stripMargin))
   )
 }
