@@ -25,6 +25,7 @@ object IntervalJoin {
     * Output: (key, id_a, id_b, ts_a, ts_b). */
   def selfPairsWithin(df: DataFrame, key: String, idCol: String, tsCol: String,
                       tolSec: Long): DataFrame = {
+    require(tolSec > 0, "tolerance must be positive")
     val t = df.select(col(key), col(idCol).as("id"), col(tsCol).as("ts"))
     val probe = t.withColumn("bkt", expr(s"ts div $tolSec"))
       .select(col(key), col("id").as("id_a"), col("ts").as("ts_a"), col("bkt"))

@@ -78,6 +78,7 @@ object Multimodal {
     * body; the partition-batched shape, the binary-in/binary-out schema,
     * and the size law (⌈n/stride⌉) are the production contract. */
   def resizePartitions(df: DataFrame, stride: Int = 4): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =

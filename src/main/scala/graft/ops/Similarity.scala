@@ -118,6 +118,7 @@ object Similarity {
     * window over the broadcast join output. Distances round to 6 dp before
     * the argmin so code assignment is engine-portable. */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val sw = dim / m
     val subs = corpus.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("ev"))

@@ -24,6 +24,18 @@ class Round3bOpsSpec extends SparkSpec {
     }
   }
 
+  test("log2E6 seeded random sweep stays within the mantissa error bound") {
+    val rnd = new scala.util.Random(42)
+    val vals = Seq.fill(60)(1L + (rnd.nextDouble() * math.pow(2, 1 + rnd.nextInt(46))).toLong)
+    val got = vals.distinct.toDF("v").select(col("v"), Bm25.log2E6(col("v")).as("l"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (v, l) =>
+      val truth = math.log(v.toDouble) / math.log(2.0) * 1e6
+      assert(l <= truth + 1 && l >= truth - 45000,
+        s"v=$v got=$l truth=$truth")
+    }
+  }
+
   test("bm25 ranks the term-stuffed doc first, absent-term docs score zero") {
     val docs = Seq(
       (1L, "spark spark spark spark tiny"),
@@ -54,7 +66,9 @@ class Round3bOpsSpec extends SparkSpec {
 
   test("bucket-blocked interval self-join equals the naive theta join") {
     val rnd = new scala.util.Random(11)
-    val rows = (1L to 300L).map(i => (i % 7, i, rnd.nextInt(100000).toLong))
+    // ts spans negative epochs: bucket adjacency must hold across zero
+    // under Spark's truncating div too
+    val rows = (1L to 300L).map(i => (i % 7, i, rnd.nextInt(100000).toLong - 50000L))
     val df = rows.toDF("k", "id", "ts")
     val tol = 5000L
     val fast = IntervalJoin.selfPairsWithin(df, "k", "id", "ts", tol)
