@@ -23,4 +23,14 @@ object StreamSketch {
         Sketches.cmsBucket(col(itemCol).cast("string"), j, w).as("bucket"))
     }.reduce(_ unionByName _)
       .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** The histogram-quantile sketch ([[graft.ops.Quantiles]]) as a
+    * streaming aggregate: state = (groups × bins) counter rows, another
+    * bounded-by-construction sketch. Read quantiles off any epoch's
+    * snapshot with [[graft.ops.Quantiles.fromHistogram]]. */
+  def histogramStream(df: DataFrame, group: String, valueCol: String,
+                      bins: Int = 256, width: Double = 2.0): DataFrame =
+    df.groupBy(col(group),
+        least(floor(col(valueCol) / width), lit((bins - 1).toLong)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -38,4 +38,25 @@ class StreamSketchSpec extends SparkSpec {
       assert(est._2 >= 30L, s"heavy appeared 30 times, est=${est._2}")
     } finally q.stop()
   }
+
+  test("streaming histogram sketch: quantiles off the stream match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamSketch.histogramStream(in.toDF().toDF("g", "v"), "g", "v")
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    try {
+      val vals = (1 to 200).map(i => ("a", i / 2.0))
+      in.addData(vals.take(100): _*); q.processAllAvailable()
+      in.addData(vals.drop(100): _*); q.processAllAvailable()
+      val streamedHist = spark.table("hist_stream")
+      val batchHist = graft.ops.Quantiles.histogram(vals.toDF("g", "v"), "g", "v")
+      val sq = graft.ops.Quantiles.fromHistogram(streamedHist, "g", Seq(0.5))
+        .as[(String, Double, Double)].collect().head
+      val bq = graft.ops.Quantiles.fromHistogram(batchHist, "g", Seq(0.5))
+        .as[(String, Double, Double)].collect().head
+      assert(sq == bq, s"stream $sq vs batch $bq")
+      assert(math.abs(sq._3 - 50.0) <= 2.0, s"p50 of 0.5..100 ≈ 50, got ${sq._3}")
+    } finally q.stop()
+  }
 }
