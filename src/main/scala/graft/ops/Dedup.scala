@@ -195,6 +195,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental dedup: classify an INCOMING batch against an EXISTING
+    * corpus — the daily-ingest shape (new crawl vs historical index),
+    * where self-join dedup of the union would re-pair the whole corpus
+    * against itself every day. Statuses per incoming doc:
+    *  - `exact_dup`: content hash present in the corpus;
+    *  - `near_dup`: shares an LSH bucket with a corpus doc AND ≥ `minEq`
+    *    of the k minhashes agree (the q_dedup_clusters edge rule);
+    *  - `novel`: neither.
+    *
+    * Scale shape: the exact leg is a semi-join on md5 (broadcast if the
+    * incoming batch is small). The near leg joins incoming bands against
+    * CORPUS bands — at steady state the corpus signatures/bands are a
+    * precomputed index that only gets appended, so daily cost is
+    * |incoming| signature computation + a bucket-equijoin, never a corpus
+    * self-join. */
+  def incrementalStatus(incoming: DataFrame, corpus: DataFrame,
+                        minEq: Long = 6L, k: Int = 8): DataFrame = {
+    val inMd5 = incoming.select(col("doc_id"), md5(col("text")).as("m"))
+    val corpMd5 = corpus.select(md5(col("text")).as("m")).distinct()
+    val exactIds = inMd5.join(corpMd5, "m").select(col("doc_id")).distinct()
+      .withColumn("is_exact", lit(1))
+    val inSig = minhash(shingles(incoming), k).persist()
+    val corpSig = minhash(shingles(corpus), k).persist()
+    val cand = lshBands(inSig).as("a").join(lshBands(corpSig).as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
+      .select(col("a.doc_id").as("in_id"), col("b.doc_id").as("corp_id"))
+      .distinct()
+    val nearIds = cand
+      .join(inSig.select(col("doc_id").as("in_id"), col("j"), col("mh").as("mh_in")), "in_id")
+      .join(corpSig.select(col("doc_id").as("corp_id"), col("j"), col("mh").as("mh_c")),
+        Seq("corp_id", "j"))
+      .groupBy(col("in_id"), col("corp_id"))
+      .agg(sum(when(col("mh_in") === col("mh_c"), 1L).otherwise(0L)).as("n_eq"))
+      .filter(col("n_eq") >= minEq)
+      .select(col("in_id").as("doc_id")).distinct()
+      .withColumn("is_near", lit(1))
+    val out = incoming.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact").isNotNull, lit("exact_dup"))
+          .when(col("is_near").isNotNull, lit("near_dup"))
+          .otherwise(lit("novel")).as("status"))
+      .localCheckpoint(true)
+    inSig.unpersist(); corpSig.unpersist()
+    out
+  }
+
   /** Exact word-set Jaccard for all pairs in `docs` (quadratic — callers
     * must pre-restrict, e.g. to LSH candidates or a bounded id range). */
   def jaccardPairs(docs: DataFrame): DataFrame = {

@@ -435,6 +435,73 @@ object Round3Queries {
              |       CAST((CAST(sum(coalesce(top.is_top, 0)) AS BIGINT) * 1000000)
              |            // count(*) AS BIGINT) AS boiler_e6
              |FROM sh LEFT JOIN top USING (shingle)
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // ── Incremental dedup ([[graft.ops.Dedup.incrementalStatus]]): a
+    //    synthetic "daily batch" (exact copies, tail-edited near-dups,
+    //    reversed-text novels) classified against the corpus — incoming
+    //    bands join CORPUS bands, never a corpus self-join.
+    QueryDef("q_dedup_incremental",
+      (s, d) => {
+        val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val inc = corpus.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+          .unionByName(corpus.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" graft tail xyz")).as("text")))
+          .unionByName(corpus.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 4000000L).as("doc_id"),
+              reverse(col("text")).as("text")))
+        graft.ops.Dedup.incrementalStatus(inc, corpus)
+      },
+      Some {
+        val mh = PortableSql.hexSliceToLong("hx", "j * 8")
+        def sigSql(src: String) =
+          s"""(WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
+             |sh AS (SELECT doc_id,
+             |              unnest(list_transform(range(1, len(ws) - 1),
+             |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+             |       FROM w WHERE len(ws) >= 3),
+             |sh2 AS (SELECT doc_id, concat(md5(shingle), md5(concat('x', shingle))) AS hx FROM sh)
+             |SELECT doc_id, j, min($mh) AS mh
+             |FROM sh2 CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) hj(j)
+             |GROUP BY doc_id, j)""".stripMargin
+        def bandSql(sig: String) =
+          s"""(SELECT doc_id, j // 2 AS band,
+             |        concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ':',
+             |               CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bv
+             | FROM $sig GROUP BY doc_id, j // 2)""".stripMargin
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+           |inc AS (
+           |  SELECT doc_id + 3000000 AS doc_id, text FROM corpus WHERE doc_id % 11 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS doc_id, text || ' graft tail xyz' AS text
+           |  FROM corpus WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 4000000 AS doc_id, reverse(text) AS text
+           |  FROM corpus WHERE doc_id % 13 = 0),
+           |ex AS (SELECT DISTINCT i.doc_id FROM inc i
+           |       JOIN (SELECT DISTINCT md5(text) AS m FROM corpus) c ON md5(i.text) = c.m),
+           |sigI AS (SELECT * FROM ${sigSql("inc")} t),
+           |sigC AS (SELECT * FROM ${sigSql("corpus")} t),
+           |bI AS (SELECT * FROM ${bandSql("sigI")} t),
+           |bC AS (SELECT * FROM ${bandSql("sigC")} t),
+           |cand AS (SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS corp_id
+           |         FROM bI a JOIN bC b ON a.band = b.band AND a.bv = b.bv),
+           |near AS (SELECT DISTINCT in_id AS doc_id FROM (
+           |           SELECT c.in_id, c.corp_id
+           |           FROM cand c
+           |           JOIN sigI x ON x.doc_id = c.in_id
+           |           JOIN sigC y ON y.doc_id = c.corp_id AND y.j = x.j
+           |           GROUP BY c.in_id, c.corp_id
+           |           HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) >= 6) t)
+           |SELECT i.doc_id,
+           |       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+           |            WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+           |            ELSE 'novel' END AS status
+           |FROM inc i
+           |LEFT JOIN ex ON i.doc_id = ex.doc_id
+           |LEFT JOIN near ON i.doc_id = near.doc_id""".stripMargin
+      })
   )
 }

@@ -86,6 +86,23 @@ class Round3OpsSpec extends SparkSpec {
     assert(passed < 100, s"8192-bit/3-hash filter on 5 keys should prune hard, passed=$passed")
   }
 
+  // ── Dedup.incrementalStatus ───────────────────────────────────────────
+
+  test("incremental dedup classifies exact/near/novel against a corpus") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact copy of 1
+      (11L, "one two three four five six seven eight nine ten eleven twelve appended tail"), // near of 2
+      (12L, "completely different fresh content with no shared shingles whatsoever here"))
+      .toDF("doc_id", "text")
+    val st = Dedup.incrementalStatus(incoming, corpus)
+      .as[(Long, String)].collect().toMap
+    assert(st == Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "novel"), s"got $st")
+  }
+
   // ── FuzzyJoin.multiCanopy ─────────────────────────────────────────────
 
   test("multi-canopy catches head typos the prefix canopy misses") {
