@@ -80,7 +80,8 @@ object Bm25 {
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("bm_df"))
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
-    val l = dl.agg(sum(col("dl"))).head().getLong(0)
+    val lRow = dl.agg(sum(col("dl"))).head()
+    val l = if (lRow.isNullAt(0)) 0L else lRow.getLong(0) // empty corpus → no rows anyway
     tf.join(broadcast(df), "word").join(dl, "doc_id")
       .withColumn("bm_n", lit(n))
       .withColumn("idf_e6", idfE6("bm_n", "bm_df"))
