@@ -437,6 +437,31 @@ object Round3Queries {
              |FROM sh LEFT JOIN top USING (shingle)
              |GROUP BY 1""".stripMargin)),
 
+    // ── NTILE decile bucketing: customers ranked into 10 equal-size
+    //    account-balance bands — the quantile-bucketing window function
+    //    (ties broken by key for a deterministic band edge), observed as
+    //    per-band size + cent-exact balance range.
+    QueryDef("q_ntile_buckets",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bal_c").asc, col("c_custkey").asc)
+        Tables.customer(s, d)
+          .select(col("c_custkey"),
+            floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_c"))
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), min(col("bal_c")).as("min_bal_c"),
+            max(col("bal_c")).as("max_bal_c"))
+      },
+      Some("""WITH t AS (SELECT c_custkey,
+             |                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+             |           FROM customer),
+             |d AS (SELECT bal_c,
+             |             CAST(ntile(10) OVER (ORDER BY bal_c ASC, c_custkey ASC) AS BIGINT) AS decile
+             |      FROM t)
+             |SELECT decile, count(*) AS n, min(bal_c) AS min_bal_c, max(bal_c) AS max_bal_c
+             |FROM d GROUP BY 1""".stripMargin)),
+
     // ── Incremental dedup ([[graft.ops.Dedup.incrementalStatus]]): a
     //    synthetic "daily batch" (exact copies, tail-edited near-dups,
     //    reversed-text novels) classified against the corpus — incoming
