@@ -212,20 +212,26 @@ object Dedup {
     * self-join. */
   def incrementalStatus(incoming: DataFrame, corpus: DataFrame,
                         minEq: Long = 6L, k: Int = 8): DataFrame = {
+    // Join orientation everywhere: the incoming-batch side broadcasts and
+    // the corpus side STREAMS — a daily batch vs a 100 TB corpus must
+    // never shuffle the corpus. (The corpus md5/signature scans below are
+    // the steady-state precomputed index; recomputing them here keeps the
+    // operator self-contained.)
     val inMd5 = incoming.select(col("doc_id"), md5(col("text")).as("m"))
-    val corpMd5 = corpus.select(md5(col("text")).as("m")).distinct()
-    val exactIds = inMd5.join(corpMd5, "m").select(col("doc_id")).distinct()
+    val exactIds = corpus.select(md5(col("text")).as("m"))
+      .join(broadcast(inMd5), "m").select(col("doc_id")).distinct()
       .withColumn("is_exact", lit(1))
     val inSig = minhash(shingles(incoming), k).persist()
     val corpSig = minhash(shingles(corpus), k).persist()
-    val cand = lshBands(inSig).as("a").join(lshBands(corpSig).as("b"),
+    val cand = lshBands(corpSig).as("b").join(broadcast(lshBands(inSig)).as("a"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
       .select(col("a.doc_id").as("in_id"), col("b.doc_id").as("corp_id"))
       .distinct()
-    val nearIds = cand
-      .join(inSig.select(col("doc_id").as("in_id"), col("j"), col("mh").as("mh_in")), "in_id")
-      .join(corpSig.select(col("doc_id").as("corp_id"), col("j"), col("mh").as("mh_c")),
-        Seq("corp_id", "j"))
+    val nearIds = corpSig
+      .select(col("doc_id").as("corp_id"), col("j"), col("mh").as("mh_c"))
+      .join(broadcast(cand
+        .join(inSig.select(col("doc_id").as("in_id"), col("j"), col("mh").as("mh_in")),
+          "in_id")), Seq("corp_id", "j"))
       .groupBy(col("in_id"), col("corp_id"))
       .agg(sum(when(col("mh_in") === col("mh_c"), 1L).otherwise(0L)).as("n_eq"))
       .filter(col("n_eq") >= minEq)
