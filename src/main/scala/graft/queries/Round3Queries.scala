@@ -437,6 +437,30 @@ object Round3Queries {
              |FROM sh LEFT JOIN top USING (shingle)
              |GROUP BY 1""".stripMargin)),
 
+    // ── Cohort retention: users bucketed by first-seen week, activity
+    //    counted per (cohort, weeks-since) cell — the standard retention
+    //    matrix, all epoch-integer arithmetic. Two partial-aggregable
+    //    passes (first-seen per user, then cell counts); the per-user
+    //    firsts broadcast back.
+    QueryDef("q_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+        val first = ev.groupBy(col("user_id"))
+          .agg(expr("min(es) div 604800").as("cohort_wk"))
+        ev.withColumn("act_wk", expr("es div 604800"))
+          .join(broadcast(first), "user_id")
+          .groupBy(col("cohort_wk"), (col("act_wk") - col("cohort_wk")).as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+             |f AS (SELECT user_id, min(es) // 604800 AS cohort_wk FROM ev GROUP BY 1)
+             |SELECT f.cohort_wk, (ev.es // 604800) - f.cohort_wk AS weeks_since,
+             |       count(DISTINCT ev.user_id) AS n_users, count(*) AS n_events
+             |FROM ev JOIN f USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ── NTILE decile bucketing: customers ranked into 10 equal-size
     //    account-balance bands — the quantile-bucketing window function
     //    (ties broken by key for a deterministic band edge), observed as
