@@ -17,6 +17,31 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def fmt(v: Double): String = f"$v%.3f"
 
+  /** Git HEAD sha of the working tree that produced this run, resolved by
+    * reading .git directly (no subprocess). Makes every bench record
+    * traceable to the exact code state — refreshed numbers in
+    * bench_full.json/BASELINE.md carry their provenance. */
+  private def gitHead(): String = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val head = new String(Files.readAllBytes(Paths.get(".git/HEAD"))).trim
+      if (head.startsWith("ref: ")) {
+        val ref = head.stripPrefix("ref: ")
+        val refPath = Paths.get(".git", ref.split("/"): _*)
+        if (Files.exists(refPath))
+          new String(Files.readAllBytes(refPath)).trim.take(12)
+        else {
+          // packed refs fallback
+          val packed = Paths.get(".git/packed-refs")
+          if (Files.exists(packed))
+            scala.io.Source.fromFile(packed.toFile).getLines()
+              .find(_.endsWith(" " + ref)).map(_.take(12)).getOrElse("unknown")
+          else "unknown"
+        }
+      } else head.take(12)
+    } catch { case _: Throwable => "unknown" }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,8 +75,10 @@ object Bench {
     // Full per-query record → file (unbounded size; not parsed by the driver).
     val fullQs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val meta =
+      s""""commit":"${gitHead()}","ts_ms":${System.currentTimeMillis()},"cpus":$cpus,"spark":"${spark.version}","java":"${sys.props.getOrElse("java.version", "?")}""""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullJson) finally w.close()
@@ -62,7 +89,7 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":$slowest,"errors":$errs,"sf":"$sfDir"}"""
     spark.stop()
     println(compact)
   }
