@@ -33,10 +33,11 @@ object Bench {
         else {
           // packed refs fallback
           val packed = Paths.get(".git/packed-refs")
-          if (Files.exists(packed))
-            scala.io.Source.fromFile(packed.toFile).getLines()
+          if (Files.exists(packed)) {
+            import scala.jdk.CollectionConverters._
+            Files.readAllLines(packed).asScala
               .find(_.endsWith(" " + ref)).map(_.take(12)).getOrElse("unknown")
-          else "unknown"
+          } else "unknown"
         }
       } else head.take(12)
     } catch { case _: Throwable => "unknown" }
@@ -75,8 +76,12 @@ object Bench {
     // Full per-query record → file (unbounded size; not parsed by the driver).
     val fullQs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // SPARK_GRAFT_CPUS may be non-numeric (e.g. "*" for local[*]) — emit it
+    // as a JSON number only when it parses, else as a quoted string.
+    val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
+      .getOrElse("\"" + cpus.replace("\"", "") + "\"")
     val meta =
-      s""""commit":"${gitHead()}","ts_ms":${System.currentTimeMillis()},"cpus":$cpus,"spark":"${spark.version}","java":"${sys.props.getOrElse("java.version", "?")}""""
+      s""""commit":"${gitHead()}","ts_ms":${System.currentTimeMillis()},"cpus":$cpusJson,"spark":"${spark.version}","java":"${sys.props.getOrElse("java.version", "?")}""""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
     try {
