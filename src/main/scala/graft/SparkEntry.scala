@@ -15,7 +15,7 @@ object Registry {
       queries.DedupQueries.defs ++ queries.SimilarityQueries.defs ++
       queries.TextQueries.defs ++ queries.ExtensionQueries.defs ++
       queries.WindowingQueries.defs ++ queries.CurationQueries.defs ++
-      queries.Round3Queries.defs
+      queries.Round3Queries.defs ++ queries.BehaviorQueries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
