@@ -15,7 +15,8 @@ object Registry {
       queries.DedupQueries.defs ++ queries.SimilarityQueries.defs ++
       queries.TextQueries.defs ++ queries.ExtensionQueries.defs ++
       queries.WindowingQueries.defs ++ queries.CurationQueries.defs ++
-      queries.Round3Queries.defs ++ queries.BehaviorQueries.defs
+      queries.Round3Queries.defs ++ queries.BehaviorQueries.defs ++
+      queries.Round6Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -23,6 +23,40 @@ object Graph {
       .select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
 
+  /** Fixed-point integer PageRank over a directed edge list (`src`, `dst`)
+    * with damping 0.85 and `iters` synchronous rounds. Ranks are e6-scaled
+    * integers (1.0 → 1,000,000) and every step is integer arithmetic
+    * (`div` truncation), so the result is bit-exact across engines — the
+    * same portability trick as the BM25 fixed-point log. Nodes with no
+    * out-edges leak their mass (classic dangling-node simplification);
+    * callers that care should pre-add self-loops.
+    *
+    * Scale: per round, one join (ranks ⋈ edges on src) and one aggregate
+    * (sum by dst) — the canonical 2-shuffle distributed PageRank. Edges
+    * with out-degree are checkpointed once and reused every round;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * does not replay rounds 1..N-1 (on a cluster this would be
+    * `checkpoint` to reliable storage). Rank state stays partitioned by
+    * id; AQE coalesces the tiny per-round aggregates.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edeg = e.join(deg, "src").localCheckpoint(true)
+    var pr = nodes.select(col("id"), lit(1000000L).as("pr_e6"))
+    for (_ <- 1 to iters) {
+      val mass = edeg.join(pr, edeg("src") === pr("id"))
+        .select(col("dst"), expr("pr_e6 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      pr = nodes.join(mass, nodes("id") === mass("dst"), "left")
+        .select(nodes("id"),
+          expr("150000L + (85 * coalesce(in_mass, 0L)) div 100").as("pr_e6"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
   /** Exact triangle count. Each triangle {x<y<z} is counted exactly once
     * by wedging its two lowest edges and checking the closing edge:
     * (x,y)⋈(y,z) exists ∧ (x,z) exists.

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.{Graph, History, Skyline}
+
+/** Round-6 extensions: iterative fixed-point PageRank, SCD2 change-capture
+  * history, and the 2-D skyline. All-integer arithmetic throughout (e6
+  * ranks, micros timestamps, cents prices) so every oracle is bit-exact.
+  */
+object Round6Queries {
+
+  /** Unrolled-iteration DuckDB twin of [[Graph.pageRank]] on the test
+    * graph: nodes = partkey mod 100; every node points at +1 (mod 100) and
+    * even nodes also at 7·id+3 (mod 100) — connected, aperiodic, and
+    * out-degree-skewed so ranks are nonuniform. CASTs keep DuckDB's
+    * HUGEINT sum promotion off the output schema. */
+  private def pageRankSql(iters: Int): String = {
+    val head =
+      """WITH nodes AS (SELECT DISTINCT p_partkey % 100 AS id FROM part),
+        |e AS (SELECT id AS src, (id + 1) % 100 AS dst FROM nodes
+        |      UNION ALL
+        |      SELECT id AS src, (id * 7 + 3) % 100 AS dst FROM nodes WHERE id % 2 = 0),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+        |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""p$k AS (SELECT n.id, CAST(150000 + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS pr
+         |       FROM nodes n LEFT JOIN (SELECT ed.dst, sum(p.pr // ed.outdeg) AS s
+         |                               FROM ed JOIN p${k - 1} p ON p.id = ed.src
+         |                               GROUP BY ed.dst) m ON m.dst = n.id)""".stripMargin
+    }
+    (head +: its).mkString(",\n") + s"\nSELECT id, pr AS pr_e6 FROM p$iters"
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── 4 rounds of integer PageRank on a 100-node directed circulant-ish
+    //    graph with skewed out-degrees. The oracle unrolls the iterations
+    //    as chained CTEs — same joins, same truncating division.
+    QueryDef("q_pagerank",
+      (s, d) => {
+        val nodes = Tables.part(s, d)
+          .select((col("p_partkey") % 100).as("id")).distinct()
+        val edges = nodes
+          .select(col("id").as("src"), ((col("id") + 1) % 100).as("dst"))
+          .unionByName(nodes.filter(col("id") % 2 === 0)
+            .select(col("id").as("src"), ((col("id") * 7 + 3) % 100).as("dst")))
+        Graph.pageRank(nodes, edges, 4)
+      },
+      Some(pageRankSql(4))),
+
+    // ── SCD2 change-capture over each user's event-type stream: one row
+    //    per run of equal types with validity bounds and a current flag.
+    QueryDef("q_scd2_intervals",
+      (s, d) => History.scd2(
+        Tables.events(s, d).withColumn("t_us", unix_micros(col("ts"))),
+        "user_id", "t_us", "event_type"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et FROM events),
+             |c AS (SELECT user_id, t, et, lag(et) OVER w AS prev, lag(t) OVER w AS prev_t
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+             |ch AS (SELECT user_id, t, et FROM c WHERE prev_t IS NULL OR prev <> et)
+             |SELECT user_id, t AS valid_from_us, et AS attr,
+             |       lead(t) OVER w2 AS valid_to_us,
+             |       lead(t) OVER w2 IS NULL AS is_current
+             |FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY t)""".stripMargin)),
+
+    // ── Skyline of customers trading off order count (maximize) against
+    //    cheapest order price in cents (minimize). The oracle mirrors the
+    //    x-level sweep, not the quadratic NOT-EXISTS check, so it stays
+    //    linear at every SF.
+    QueryDef("q_skyline",
+      (s, d) => {
+        val pts = Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(floor(col("o_totalprice") * 100 + 0.5)).as("min_price_cents"))
+        Skyline.skyline2D(pts, "n_orders", "min_price_cents")
+      },
+      Some("""WITH pts AS (SELECT o_custkey, count(*) AS n_orders,
+             |                    min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS min_price_cents
+             |             FROM orders GROUP BY o_custkey),
+             |lv AS (SELECT n_orders AS x, min(min_price_cents) AS min_y FROM pts GROUP BY 1),
+             |f AS (SELECT x, min_y, min(min_y) OVER (ORDER BY x DESC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better FROM lv)
+             |SELECT p.o_custkey, p.n_orders, p.min_price_cents
+             |FROM pts p JOIN f ON p.n_orders = f.x AND p.min_price_cents = f.min_y
+             |WHERE f.better IS NULL OR f.min_y < f.better""".stripMargin))
+  )
+}
