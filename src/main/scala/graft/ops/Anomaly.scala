@@ -39,4 +39,33 @@ object Anomaly {
       .groupBy(col(grpCol))
       .agg(max(col("n")).as("n"), sum(col("is_out")).as("n_outliers"))
   }
+
+  /** Positive-side CUSUM change-point scan per key, all in cents. The
+    * textbook recursion
+    *   s_k = max(0, s_{k-1} + d_k),  d_k = x_k − target − slack
+    * looks inherently sequential, but clamping at zero has a closed
+    * window form via prefix sums P_k = Σ_{i≤k} d_i (with P₀ = 0):
+    *   s_k = P_k − min(0, min_{j≤k} P_j)
+    * so the whole scan is one keyed shuffle and two same-partitioning
+    * window passes — no fold, no UDF, fully codegen'd, and bit-exact in
+    * any engine because every step is integer arithmetic.
+    *
+    * Returns per key: points scanned, alarms (s_k > threshold), and the
+    * peak CUSUM value. */
+  def cusumProfile(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, targetCents: Long, slackCents: Long,
+                   thresholdCents: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(tsCol).as("t"),
+        (floor(col(valueCol) * 100 + 0.5) - lit(targetCents + slackCents))
+          .as("d"))
+      .withColumn("p", sum(col("d")).over(w))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_points"),
+        sum((col("s") > thresholdCents).cast("long")).as("n_alarms"),
+        max(col("s")).as("max_cusum_cents"))
+  }
 }

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-table consistency audits — the checks a pipeline runs before
+  * promoting a snapshot (the reference's Mongo sink trusts upstream keys
+  * blindly, `heatmap_stream.py:173,217`; at warehouse scale you audit).
+  */
+object Audit {
+
+  /** Orphan count for one foreign-key relation: child rows whose non-null
+    * `childKey` has no match in `parent(parentKey)`. Null child keys are
+    * excluded (three-valued SQL semantics: a null FK is "unknown", not an
+    * orphan).
+    *
+    * Scale: LEFT ANTI join on the key — Spark broadcasts the parent key
+    * set when small, else hash-shuffles both sides; either way the count
+    * is partial-aggregated map-side. Always returns exactly one row. */
+  def orphans(child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String,
+              relation: String): DataFrame =
+    child.select(col(childKey).as("k")).filter(col("k").isNotNull)
+      .join(parent.select(col(parentKey).as("k")).distinct(), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit(relation).as("relation"), col("n_orphans"))
+
+  /** One audit row per relation, unioned. */
+  def referentialIntegrity(
+      relations: Seq[(DataFrame, String, DataFrame, String, String)]): DataFrame =
+    relations.map { case (c, ck, p, pk, name) => orphans(c, ck, p, pk, name) }
+      .reduce(_ unionByName _)
+}

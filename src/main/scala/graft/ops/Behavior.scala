@@ -46,6 +46,37 @@ object Behavior {
       .select(col("entity"), col("stage"))
   }
 
+  /** Per-entity first-reach time of every funnel stage (null once the
+    * funnel stalls): the same one-shuffle sorted fold as [[funnelStages]],
+    * but the accumulator carries the full vector of stage times t1..tk,
+    * so conversion lags (t2−t1, …) fall out as projections. Stage i+1
+    * requires an event of `steps(i)` strictly after t_i; because stages
+    * fill strictly in order, at most one CASE branch can fire per event. */
+  def funnelTimes(events: DataFrame, entityCol: String, tsMicrosCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.forall(_.matches("[A-Za-z0-9_]+")),
+      "funnel steps must be simple identifiers")
+    val n = steps.size
+    def stateOf(times: Seq[String]) =
+      times.zipWithIndex.map { case (t, i) => s"'t${i + 1}', $t" }
+        .mkString("named_struct(", ", ", ")")
+    val init = stateOf(Seq.fill(n)("CAST(NULL AS BIGINT)"))
+    val cases = steps.zipWithIndex.map { case (st, i) =>
+      val guard = if (i == 0) "acc.t1 IS NULL"
+        else s"acc.t${i + 1} IS NULL AND acc.t$i IS NOT NULL AND x.t > acc.t$i"
+      val next = stateOf((1 to n).map(j => if (j == i + 1) "x.t" else s"acc.t$j"))
+      s"WHEN $guard AND x.et = '$st' THEN $next"
+    }.mkString(" ")
+    events
+      .select(col(entityCol).as("entity"), col(tsMicrosCol).as("t"),
+        col(typeCol).as("et"))
+      .groupBy(col("entity"))
+      .agg(sort_array(collect_list(struct(col("t"), col("et")))).as("seq"))
+      .withColumn("times", expr(
+        s"aggregate(seq, $init, (acc, x) -> CASE $cases ELSE acc END)"))
+      .select(col("entity") +: (1 to n).map(i => col(s"times.t$i").as(s"t$i")): _*)
+  }
+
   /** First-order transition counts src→dst over each entity's time-ordered
     * event stream, with an integer transition probability in e6 units
     * (`cnt * 1e6 div Σ_src cnt` — all-integer, so cross-engine exact).

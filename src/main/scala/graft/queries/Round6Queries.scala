@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Graph, History, Skyline}
+import graft.ops.{Anomaly, Audit, Behavior, Graph, History, Skyline}
 
 /** Round-6 extensions: iterative fixed-point PageRank, SCD2 change-capture
   * history, and the 2-D skyline. All-integer arithmetic throughout (e6
@@ -84,6 +84,75 @@ object Round6Queries {
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better FROM lv)
              |SELECT p.o_custkey, p.n_orders, p.min_price_cents
              |FROM pts p JOIN f ON p.n_orders = f.x AND p.min_price_cents = f.min_y
-             |WHERE f.better IS NULL OR f.min_y < f.better""".stripMargin))
+             |WHERE f.better IS NULL OR f.min_y < f.better""".stripMargin)),
+
+    // ── CUSUM drift scan per event type (target 50.00, slack 5.00,
+    //    threshold 200.00 — all cents). The clamp recursion runs as the
+    //    prefix-sum/running-min identity: one shuffle, two window passes.
+    QueryDef("q_cusum_drift",
+      (s, d) => Anomaly.cusumProfile(
+        Tables.events(s, d).withColumn("t_us", unix_micros(col("ts"))),
+        "event_type", "t_us", "value", 5000L, 500L, 20000L),
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) - 5500 AS d FROM events),
+             |ps AS (SELECT event_type, t, CAST(sum(d) OVER w AS BIGINT) AS pp
+             |       FROM e WINDOW w AS (PARTITION BY event_type ORDER BY t
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |ss AS (SELECT event_type, CAST(pp - least(0, min(pp) OVER w) AS BIGINT) AS s
+             |       FROM ps WINDOW w AS (PARTITION BY event_type ORDER BY t
+             |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_type, count(*) AS n_points,
+             |       CAST(sum(CASE WHEN s > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+             |       max(s) AS max_cusum_cents
+             |FROM ss GROUP BY event_type""".stripMargin)),
+
+    // ── Referential-integrity audit: orphan counts across the TPC-H FK
+    //    chain plus the reverse check (childless orders). Each relation is
+    //    one anti-join; nulls are "unknown", not orphans.
+    QueryDef("q_ref_integrity",
+      (s, d) => Audit.referentialIntegrity(Seq(
+        (Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d),
+          "o_orderkey", "lineitem->orders"),
+        (Tables.orders(s, d), "o_custkey", Tables.customer(s, d),
+          "c_custkey", "orders->customer"),
+        (Tables.customer(s, d), "c_nationkey", Tables.nation(s, d),
+          "n_nationkey", "customer->nation"),
+        (Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d),
+          "l_orderkey", "orders<-lineitem"))),
+      Some("""SELECT 'lineitem->orders' AS relation, count(*) AS n_orphans FROM lineitem
+             |WHERE l_orderkey IS NOT NULL
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+             |UNION ALL
+             |SELECT 'orders->customer', count(*) FROM orders
+             |WHERE o_custkey IS NOT NULL
+             |  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+             |UNION ALL
+             |SELECT 'customer->nation', count(*) FROM customer
+             |WHERE c_nationkey IS NOT NULL
+             |  AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+             |UNION ALL
+             |SELECT 'orders<-lineitem', count(*) FROM orders
+             |WHERE o_orderkey IS NOT NULL
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin)),
+
+    // ── Funnel first-reach times + conversion lags per user: the stage
+    //    vector rides one fold accumulator, so lags are free projections.
+    QueryDef("q_funnel_lag",
+      (s, d) => Behavior.funnelTimes(
+        Tables.events(s, d).withColumn("t_us", unix_micros(col("ts"))),
+        "user_id", "t_us", "event_type", Seq("view", "click", "purchase"))
+        .select(col("entity"), col("t1"), col("t2"), col("t3"),
+          (col("t2") - col("t1")).as("lag12_us"),
+          (col("t3") - col("t2")).as("lag23_us")),
+      Some("""WITH e AS (SELECT user_id AS entity, epoch_us(ts) AS t, event_type AS et FROM events),
+             |u AS (SELECT DISTINCT entity FROM e),
+             |s1 AS (SELECT entity, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.entity, min(t) AS t2 FROM e JOIN s1 USING (entity)
+             |       WHERE et = 'click' AND t > t1 GROUP BY 1),
+             |s3 AS (SELECT e.entity, min(t) AS t3 FROM e JOIN s2 USING (entity)
+             |       WHERE et = 'purchase' AND t > t2 GROUP BY 1)
+             |SELECT entity, t1, t2, t3, t2 - t1 AS lag12_us, t3 - t2 AS lag23_us
+             |FROM u LEFT JOIN s1 USING (entity) LEFT JOIN s2 USING (entity)
+             |       LEFT JOIN s3 USING (entity)""".stripMargin))
   )
 }
