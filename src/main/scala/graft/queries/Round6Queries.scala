@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Anomaly, Audit, Behavior, Graph, History, Skyline}
+import graft.geo.RadiusJoin
+import graft.ops.{Anomaly, Audit, Behavior, Experiment, Graph, History, Skyline}
 
 /** Round-6 extensions: iterative fixed-point PageRank, SCD2 change-capture
   * history, and the 2-D skyline. All-integer arithmetic throughout (e6
@@ -153,6 +154,52 @@ object Round6Queries {
              |       WHERE et = 'purchase' AND t > t2 GROUP BY 1)
              |SELECT entity, t1, t2, t3, t2 - t1 AS lag12_us, t3 - t2 AS lag23_us
              |FROM u LEFT JOIN s1 USING (entity) LEFT JOIN s2 USING (entity)
-             |       LEFT JOIN s3 USING (entity)""".stripMargin))
+             |       LEFT JOIN s3 USING (entity)""".stripMargin)),
+
+    // ── A/B readout: users split by id parity, conversion = any premium
+    //    (>300.00) purchase. The pooled two-proportion z² decision is
+    //    cross-multiplied into wide integers — no doubles anywhere.
+    QueryDef("q_ab_test",
+      (s, d) => {
+        val perUser = Tables.events(s, d).groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 300.0,
+            1L).otherwise(0L)).as("converted"))
+          .select((col("user_id") % 2).as("variant"), col("converted"))
+        Experiment.twoProportionTest(perUser, "variant", "converted")
+      },
+      Some("""WITH pu AS (SELECT user_id,
+             |              max(CASE WHEN event_type = 'purchase' AND value > CAST('300.0' AS DOUBLE)
+             |                       THEN 1 ELSE 0 END) AS conv
+             |            FROM events GROUP BY 1),
+             |t AS (SELECT
+             |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+             |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+             |  FROM pu)
+             |SELECT n_a, conv_a, n_b, conv_b,
+             |       CAST(10000 AS HUGEINT) * (n_a + n_b)
+             |         * (conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
+             |       > CAST(38416 AS HUGEINT) * n_a * n_b * (conv_a + conv_b)
+             |         * (n_a + n_b - conv_a - conv_b) AS significant
+             |FROM t""".stripMargin)),
+
+    // ── Grid-blocked radius self-join over deterministic integer planar
+    //    coordinates: 3×3 neighbor stamp → one equi-join on cell → exact
+    //    integer squared-distance filter. The oracle can afford the
+    //    quadratic inequality join at oracle SFs; the engine never does it.
+    QueryDef("q_radius_join",
+      (s, d) => RadiusJoin.selfJoin(
+        Tables.customer(s, d).select(col("c_custkey").as("id"),
+          (col("c_custkey") * 7919 % 10000).as("x"),
+          (col("c_custkey") * 104729 % 10000).as("y")),
+        "id", "x", "y", 100L),
+      Some("""WITH pts AS (SELECT c_custkey AS id,
+             |                    c_custkey * 7919 % 10000 AS x,
+             |                    c_custkey * 104729 % 10000 AS y FROM customer)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+             |FROM pts a JOIN pts b ON a.id < b.id
+             |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000""".stripMargin))
   )
 }

@@ -28,7 +28,12 @@ class PlanShapeSpec extends SparkSpec {
     ("q_star_join", 1, 4),        // 4 broadcast dims, one agg exchange
     ("q_bloom_join", 1, 1),       // broadcast dim; bloom filter pre-exchange
     ("q_sim_topk_brute", 0, 1),   // broadcast query, corpus never shuffles
-    ("q_interval_pairs", 1, 1))   // one (key, cell) join + agg
+    ("q_interval_pairs", 1, 1),   // one (key, cell) join + agg
+    ("q_funnel_stages", 1, 0),    // fold funnel: ONE entity shuffle
+    ("q_funnel_lag", 1, 0),       // stage-time vector rides the same fold
+    ("q_scd2_intervals", 1, 0),   // lag + lead share one partitioning
+    ("q_cusum_drift", 1, 0),      // prefix-sum + running-min share one
+    ("q_ref_integrity", 4, 4))    // per-relation anti-join, parents broadcast
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
