@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.geo.RadiusJoin
-import graft.ops.{Anomaly, Audit, Behavior, Experiment, Graph, History, Skyline}
+import graft.ops.{Anomaly, Audit, Behavior, Experiment, Graph, History,
+  Skyline, Snapshot}
 
 /** Round-6 extensions: iterative fixed-point PageRank, SCD2 change-capture
   * history, and the 2-D skyline. All-integer arithmetic throughout (e6
@@ -200,6 +201,72 @@ object Round6Queries {
              |SELECT a.id AS id_a, b.id AS id_b,
              |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
              |FROM pts a JOIN pts b ON a.id < b.id
-             |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000""".stripMargin))
+             |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000""".stripMargin)),
+
+    // ── Batch CDC between two synthetic snapshot versions of the events
+    //    table: per-key digest (count + order-independent portable-hash
+    //    sum), one full outer join, delta-only output.
+    QueryDef("q_snapshot_diff",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v1 = ev.filter(col("event_id") % 7 =!= 0 && col("user_id") % 13 =!= 0)
+        val v2 = ev.filter(col("event_id") % 11 =!= 0 && col("user_id") % 17 =!= 0)
+        Snapshot.diff(v1, v2, "user_id", "event_id")
+      },
+      Some {
+        val h = PortableSql.hash48("CAST(event_id AS VARCHAR)", "'snap'")
+        s"""WITH v1 AS (SELECT user_id, event_id FROM events
+           |            WHERE event_id % 7 <> 0 AND user_id % 13 <> 0),
+           |v2 AS (SELECT user_id, event_id FROM events
+           |       WHERE event_id % 11 <> 0 AND user_id % 17 <> 0),
+           |a AS (SELECT user_id AS k, count(*) AS n1, CAST(sum($h) AS BIGINT) AS h1
+           |      FROM v1 GROUP BY 1),
+           |b AS (SELECT user_id AS k, count(*) AS n2, CAST(sum($h) AS BIGINT) AS h2
+           |      FROM v2 GROUP BY 1),
+           |j AS (SELECT coalesce(a.k, b.k) AS user_id,
+           |             CASE WHEN a.k IS NULL THEN 'added'
+           |                  WHEN b.k IS NULL THEN 'removed'
+           |                  WHEN n1 <> n2 OR h1 <> h2 THEN 'changed'
+           |                  ELSE 'unchanged' END AS status
+           |      FROM a FULL OUTER JOIN b ON a.k = b.k)
+           |SELECT user_id, status FROM j WHERE status <> 'unchanged'""".stripMargin
+      }),
+
+    // ── Declarative constraint audit over orders: four row-level rules +
+    //    a uniqueness rule, ALL computed in one scan then pivoted to rows.
+    QueryDef("q_constraint_audit",
+      (s, d) => Audit.constraints(Tables.orders(s, d),
+        Seq(
+          "o_custkey_not_null" -> col("o_custkey").isNull,
+          "o_totalprice_positive" -> coalesce(!(col("o_totalprice") > 0.0), lit(true)),
+          "o_orderstatus_domain" ->
+            coalesce(!col("o_orderstatus").isin("O", "F", "P"), lit(true)),
+          "o_orderdate_range" -> coalesce(
+            unix_timestamp(col("o_orderdate")) < lit(788918400L) ||
+              unix_timestamp(col("o_orderdate")) >= lit(1009843200L),
+            lit(true))),
+        Seq("o_orderkey_unique" -> "o_orderkey")),
+      Some("""SELECT 'o_custkey_not_null' AS rule,
+             |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_totalprice_positive',
+             |       CAST(sum(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL
+             |                     THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus_domain',
+             |       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             |                       OR o_orderstatus IS NULL
+             |                     THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderdate_range',
+             |       CAST(sum(CASE WHEN o_orderdate IS NULL
+             |                       OR epoch(o_orderdate) < 788918400
+             |                       OR epoch(o_orderdate) >= 1009843200
+             |                     THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderkey_unique',
+             |       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+             |FROM orders""".stripMargin))
   )
 }
