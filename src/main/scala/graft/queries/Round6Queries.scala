@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.geo.RadiusJoin
 import graft.ops.{Anomaly, Audit, Behavior, Experiment, Graph, History,
-  Skyline, Snapshot}
+  JoinDiag, Skyline, Snapshot}
 
 /** Round-6 extensions: iterative fixed-point PageRank, SCD2 change-capture
   * history, and the 2-D skyline. All-integer arithmetic throughout (e6
@@ -267,6 +267,19 @@ object Round6Queries {
              |UNION ALL
              |SELECT 'o_orderkey_unique',
              |       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // ── Pre-flight join diagnostics: the 10 hottest self-join keys of the
+    //    events stream by predicted output rows — the scan that says
+    //    "salt these keys" before the join runs. Cost: two per-key count
+    //    aggregates + a tiny count-frame join; never the join itself.
+    QueryDef("q_join_cardinality",
+      (s, d) => JoinDiag.topJoinKeys(
+        Tables.events(s, d), "user_id", Tables.events(s, d), "user_id", 10),
+      Some("""WITH lc AS (SELECT user_id AS k, count(*) AS n_left FROM events GROUP BY 1),
+             |rc AS (SELECT user_id AS k, count(*) AS n_right FROM events GROUP BY 1)
+             |SELECT lc.k, n_left, n_right, n_left * n_right AS out_rows
+             |FROM lc JOIN rc USING (k)
+             |ORDER BY out_rows DESC, k LIMIT 10""".stripMargin))
   )
 }
