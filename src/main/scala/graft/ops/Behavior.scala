@@ -29,11 +29,20 @@ object Behavior {
     * constant state — no join cascade, no window functions.
     */
   def funnelStages(events: DataFrame, entityCol: String, tsMicrosCol: String,
-                   typeCol: String, steps: Seq[String]): DataFrame = {
+                   typeCol: String, steps: Seq[String],
+                   maxStepGapUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty && steps.forall(_.matches("[A-Za-z0-9_]+")),
       "funnel steps must be simple identifiers")
+    require(maxStepGapUs.forall(_ > 0), "maxStepGapUs must be positive")
     val cases = steps.zipWithIndex.map { case (st, i) =>
-      s"WHEN acc.stage = $i AND x.et = '$st' AND x.t > acc.t THEN named_struct('stage', ${i + 1}, 't', x.t)"
+      // optional step deadline: stage k (k ≥ 2) must land within the gap
+      // of stage k-1's reach time — one more guard, same one-shuffle plan.
+      // Greedy-earliest stays ≡ stepwise-min: the gap only truncates each
+      // stage's candidate set from above, and the fold still takes its
+      // minimum.
+      val gap = maxStepGapUs.filter(_ => i > 0)
+        .map(g => s" AND x.t - acc.t <= ${g}L").getOrElse("")
+      s"WHEN acc.stage = $i AND x.et = '$st' AND x.t > acc.t$gap THEN named_struct('stage', ${i + 1}, 't', x.t)"
     }.mkString(" ")
     events
       .select(col(entityCol).as("entity"), col(tsMicrosCol).as("t"),

@@ -39,15 +39,27 @@ object Graph {
     * `checkpoint` to reliable storage). Rank state stays partitioned by
     * id; AQE coalesces the tiny per-round aggregates.
     */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame =
+    pageRankWeighted(nodes,
+      edges.select(col("src"), col("dst")).distinct().withColumn("w", lit(1L)),
+      iters)
+
+  /** Weight-proportional PageRank: each round a node's mass splits over
+    * its out-edges as `(pr · w) div Σ_src w` instead of uniformly —
+    * same 2-shuffle round shape, same all-integer e6 exactness.
+    * [[pageRank]] is the w ≡ 1 special case. Edges must carry positive
+    * integer `w`; duplicate (src, dst) edges are NOT collapsed (their
+    * weights both count, matching a multigraph). */
+  def pageRankWeighted(nodes: DataFrame, edges: DataFrame,
+                       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edeg = e.join(deg, "src").localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val ew = e.join(sw, "src").localCheckpoint(true)
     var pr = nodes.select(col("id"), lit(1000000L).as("pr_e6"))
     for (_ <- 1 to iters) {
-      val mass = edeg.join(pr, edeg("src") === pr("id"))
-        .select(col("dst"), expr("pr_e6 div outdeg").as("c"))
+      val mass = ew.join(pr, ew("src") === pr("id"))
+        .select(col("dst"), expr("(pr_e6 * w) div sw").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       pr = nodes.join(mass, nodes("id") === mass("dst"), "left")
         .select(nodes("id"),

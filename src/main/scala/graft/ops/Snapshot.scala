@@ -28,6 +28,42 @@ object Snapshot {
       .agg(count(lit(1)).as("n"),
         sum(Dedup.hash48(col(contentCol).cast("string"), lit("snap"))).as("h"))
 
+  /** [[diff]] with column-level attribution: per-COLUMN digests ride the
+    * same one-pass aggregate (n columns, still one scan per side), so
+    * `changed` keys also report WHICH content columns differ. Column
+    * digests are salted with the column name. `changed_cols` is in
+    * `contentCols` declaration order; a count-only change (row added or
+    * removed under the same key with all column sums colliding is the
+    * only other way) reports an empty list, as do added/removed keys. */
+  def diffColumns(v1: DataFrame, v2: DataFrame, keyCol: String,
+                  contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    def dig(df: DataFrame, tag: String) =
+      df.groupBy(col(keyCol).as("k")).agg(
+        count(lit(1)).as(s"n$tag"),
+        contentCols.map(c =>
+          sum(Dedup.hash48(col(c).cast("string"), lit(c))).as(s"h${tag}_$c")): _*)
+    val a = dig(v1, "1")
+    val b = dig(v2, "2")
+    val anyColDiff = contentCols
+      .map(c => !(col(s"h1_$c") <=> col(s"h2_$c"))).reduce(_ || _)
+    val changedCols = filter(
+      array(contentCols.map(c =>
+        when(!(col(s"h1_$c") <=> col(s"h2_$c")), lit(c))): _*),
+      x => x.isNotNull)
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("n1").isNull, "added")
+          .when(col("n2").isNull, "removed")
+          .when(col("n1") =!= col("n2") || anyColDiff, "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .withColumn("changed_cols",
+        when(col("status") === "changed", changedCols)
+          .otherwise(array().cast("array<string>")))
+      .select(col("k").as(keyCol), col("status"), col("changed_cols"))
+  }
+
   /** Diff rows (key, status) for keys whose content differs between `v1`
     * and `v2`; `unchanged` keys are dropped (at snapshot scale they are
     * the overwhelming majority — emit the delta, not the world). */

@@ -35,6 +35,26 @@ object Round6Queries {
     (head +: its).mkString(",\n") + s"\nSELECT id, pr AS pr_e6 FROM p$iters"
   }
 
+  /** Weighted twin of [[pageRankSql]]: the +1 ring edge carries weight 3,
+    * the even-node chord weight 1, so mass splits 3:1 instead of 1:1. */
+  private def pageRankWeightedSql(iters: Int): String = {
+    val head =
+      """WITH nodes AS (SELECT DISTINCT p_partkey % 100 AS id FROM part),
+        |e AS (SELECT id AS src, (id + 1) % 100 AS dst, 3 AS w FROM nodes
+        |      UNION ALL
+        |      SELECT id AS src, (id * 7 + 3) % 100 AS dst, 1 AS w FROM nodes WHERE id % 2 = 0),
+        |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, e.w, sw.sw FROM e JOIN sw USING (src)),
+        |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""p$k AS (SELECT n.id, CAST(150000 + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS pr
+         |       FROM nodes n LEFT JOIN (SELECT ed.dst, sum((p.pr * ed.w) // ed.sw) AS s
+         |                               FROM ed JOIN p${k - 1} p ON p.id = ed.src
+         |                               GROUP BY ed.dst) m ON m.dst = n.id)""".stripMargin
+    }
+    (head +: its).mkString(",\n") + s"\nSELECT id, pr AS pr_e6 FROM p$iters"
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ── 4 rounds of integer PageRank on a 100-node directed circulant-ish
@@ -280,6 +300,85 @@ object Round6Queries {
              |rc AS (SELECT user_id AS k, count(*) AS n_right FROM events GROUP BY 1)
              |SELECT lc.k, n_left, n_right, n_left * n_right AS out_rows
              |FROM lc JOIN rc USING (k)
-             |ORDER BY out_rows DESC, k LIMIT 10""".stripMargin))
+             |ORDER BY out_rows DESC, k LIMIT 10""".stripMargin)),
+
+    // ── Weight-proportional PageRank on the same 100-node graph: ring
+    //    edges carry weight 3, chords weight 1 — mass splits 3:1.
+    QueryDef("q_pagerank_weighted",
+      (s, d) => {
+        val nodes = Tables.part(s, d)
+          .select((col("p_partkey") % 100).as("id")).distinct()
+        val edges = nodes
+          .select(col("id").as("src"), ((col("id") + 1) % 100).as("dst"),
+            lit(3L).as("w"))
+          .unionByName(nodes.filter(col("id") % 2 === 0)
+            .select(col("id").as("src"), ((col("id") * 7 + 3) % 100).as("dst"),
+              lit(1L).as("w")))
+        Graph.pageRankWeighted(nodes, edges, 4)
+      },
+      Some(pageRankWeightedSql(4))),
+
+    // ── Deadline-constrained funnel: each later stage must land within
+    //    24 h of the previous reach (one extra guard in the fold's CASE —
+    //    the plan is still one shuffle).
+    QueryDef("q_funnel_gapped",
+      (s, d) => Behavior.funnelStages(
+        Tables.events(s, d).withColumn("t_us", unix_micros(col("ts"))),
+        "user_id", "t_us", "event_type", Seq("view", "click", "purchase"),
+        Some(86400000000L)),
+      Some("""WITH e AS (SELECT user_id AS entity, epoch_us(ts) AS t, event_type AS et FROM events),
+             |u AS (SELECT DISTINCT entity FROM e),
+             |s1 AS (SELECT entity, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.entity, min(t) AS t2 FROM e JOIN s1 USING (entity)
+             |       WHERE et = 'click' AND t > t1 AND t - t1 <= 86400000000 GROUP BY 1),
+             |s3 AS (SELECT e.entity, min(t) AS t3 FROM e JOIN s2 USING (entity)
+             |       WHERE et = 'purchase' AND t > t2 AND t - t2 <= 86400000000 GROUP BY 1)
+             |SELECT entity,
+             |       CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+             |FROM u LEFT JOIN s1 USING (entity) LEFT JOIN s2 USING (entity)
+             |       LEFT JOIN s3 USING (entity)""".stripMargin)),
+
+    // ── Column-attributed snapshot CDC: v2 mutates event_type on a slice
+    //    of rows and drops/adds users, so `changed` keys name the column.
+    QueryDef("q_snapshot_cols",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v1 = ev.filter(col("user_id") % 13 =!= 0)
+        val v2 = ev.filter(col("user_id") % 17 =!= 0)
+          .withColumn("event_type",
+            when(col("event_id") % 31 === 0, lit("modified"))
+              .otherwise(col("event_type")))
+        Snapshot.diffColumns(v1, v2, "user_id", Seq("event_type", "props"))
+      },
+      Some {
+        val het = PortableSql.hash48("CAST(event_type AS VARCHAR)", "'event_type'")
+        val hpr = PortableSql.hash48("CAST(props AS VARCHAR)", "'props'")
+        s"""WITH v1 AS (SELECT user_id, event_type, props FROM events WHERE user_id % 13 <> 0),
+           |v2 AS (SELECT user_id,
+           |              CASE WHEN event_id % 31 = 0 THEN 'modified' ELSE event_type END AS event_type,
+           |              props
+           |       FROM events WHERE user_id % 17 <> 0),
+           |a AS (SELECT user_id AS k, count(*) AS n1, CAST(sum($het) AS BIGINT) AS h1_et,
+           |             CAST(sum($hpr) AS BIGINT) AS h1_pr FROM v1 GROUP BY 1),
+           |b AS (SELECT user_id AS k, count(*) AS n2, CAST(sum($het) AS BIGINT) AS h2_et,
+           |             CAST(sum($hpr) AS BIGINT) AS h2_pr FROM v2 GROUP BY 1),
+           |j AS (SELECT coalesce(a.k, b.k) AS user_id, a.k AS ak, b.k AS bk,
+           |             n1, n2, h1_et, h2_et, h1_pr, h2_pr
+           |      FROM a FULL OUTER JOIN b ON a.k = b.k),
+           |c AS (SELECT user_id,
+           |             CASE WHEN ak IS NULL THEN 'added' WHEN bk IS NULL THEN 'removed'
+           |                  WHEN n1 <> n2 OR h1_et IS DISTINCT FROM h2_et
+           |                    OR h1_pr IS DISTINCT FROM h2_pr THEN 'changed'
+           |                  ELSE 'unchanged' END AS status,
+           |             h1_et, h2_et, h1_pr, h2_pr FROM j)
+           |SELECT user_id, status,
+           |       CASE WHEN status = 'changed' THEN
+           |              list_filter([CASE WHEN h1_et IS DISTINCT FROM h2_et THEN 'event_type' END,
+           |                           CASE WHEN h1_pr IS DISTINCT FROM h2_pr THEN 'props' END],
+           |                          x -> x IS NOT NULL)
+           |            ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+           |FROM c WHERE status <> 'unchanged'""".stripMargin
+      })
   )
 }
