@@ -1,6 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming funnel progression — the stateful twin of
@@ -21,6 +22,14 @@ object StreamFunnel {
   case class FunnelEvent(entity: Long, t_us: Long, et: String)
   case class FunnelState(stage: Int, t_us: Long)
   case class StageAdvance(entity: Long, stage: Int, t_us: Long)
+
+  case class TimedEvent(entity: Long, ts: java.sql.Timestamp, et: String) {
+    def tsUs: Long = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+  }
+  case class ExpiringState(stage: Int, t_us: Long, last_us: Long)
+  /** `closed = true` marks the terminal abandonment row emitted when the
+    * watermark passes the entity's last activity + idle gap. */
+  case class FunnelOut(entity: Long, stage: Int, t_us: Long, closed: Boolean)
 
   def stages(events: Dataset[FunnelEvent], steps: Seq[String]): Dataset[StageAdvance] = {
     require(steps.nonEmpty, "funnel steps must be non-empty")
@@ -44,5 +53,56 @@ object StreamFunnel {
 
     events.groupByKey(_.entity)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** [[stages]] with watermark-driven state EXPIRY: an entity idle past
+    * `idleMinutes` (in EVENT time — the watermark, not the wall clock)
+    * emits one terminal `closed = true` row with its final stage and is
+    * evicted from the state store. This is what keeps funnel state
+    * bounded over unbounded entity cardinality — stalled entities don't
+    * accumulate forever — and the closed rows ARE the abandonment
+    * analytics (stage distribution of entities that never converted).
+    *
+    * `events` must NOT be watermarked upstream: the watermark attaches
+    * here on the projected timestamp (same contract as
+    * [[StatefulSessions.sessions]]). */
+  def stagesExpiring(events: org.apache.spark.sql.DataFrame,
+                     entityCol: String, tsCol: String, typeCol: String,
+                     steps: Seq[String], idleMinutes: Int,
+                     watermarkDelay: String = "0 seconds"): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnel steps must be non-empty")
+    require(idleMinutes >= 1, "idleMinutes must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(key: Long, rows: Iterator[TimedEvent],
+               state: GroupState[ExpiringState]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(FunnelOut(key, s.stage, s.t_us, closed = true))
+      } else {
+        var st = state.getOption.getOrElse(ExpiringState(0, -1L, -1L))
+        val out = Seq.newBuilder[FunnelOut]
+        rows.toSeq.sortBy(e => (e.tsUs, e.et)).foreach { e =>
+          val t = e.tsUs
+          if (st.stage < steps.size && e.et == steps(st.stage) && t > st.t_us) {
+            st = ExpiringState(st.stage + 1, t, math.max(st.last_us, t))
+            out += FunnelOut(key, st.stage, t, closed = false)
+          } else st = st.copy(last_us = math.max(st.last_us, t))
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.last_us / 1000 + idleMinutes * 60L * 1000)
+        out.result().iterator
+      }
+    }
+
+    events.select(col(entityCol).cast("long").as("entity"),
+        col(tsCol).as("ts"), col(typeCol).cast("string").as("et"))
+      .withWatermark("ts", watermarkDelay)
+      .as[TimedEvent]
+      .groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update _)
   }
 }

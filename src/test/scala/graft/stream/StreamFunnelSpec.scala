@@ -41,6 +41,38 @@ class StreamFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("expiring funnel: idle entities emit a closed row and state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.to_timestamp
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("entity", "ts_s", "et")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val q = StreamFunnel.stagesExpiring(df, "entity", "ts", "et",
+        steps, idleMinutes = 10)
+      .writeStream.format("memory").queryName("sfe").outputMode("append").start()
+    try {
+      // u1 reaches stage 1 then goes idle; u2 keeps the stream moving
+      in.addData((1L, "2024-01-01T10:00:00Z", "view"),
+        (2L, "2024-01-01T10:00:00Z", "error"))
+      q.processAllAvailable()
+      // watermark jumps 30 min past u1's last activity → u1 expires closed
+      in.addData((2L, "2024-01-01T10:30:00Z", "error"))
+      q.processAllAvailable()
+      in.addData((2L, "2024-01-01T10:31:00Z", "error")) // flush timeout batch
+      q.processAllAvailable()
+      val got = spark.table("sfe").as[StreamFunnel.FunnelOut].collect().toSet
+      assert(got.exists(r => r.entity == 1L && r.closed && r.stage == 1),
+        s"expected u1 abandonment at stage 1, got $got")
+      // a fresh u1 event AFTER eviction starts the funnel from scratch:
+      // 'click' alone (stage-2 step) cannot advance a fresh stage-0 funnel
+      in.addData((1L, "2024-01-01T10:32:00Z", "click"))
+      q.processAllAvailable()
+      val after = spark.table("sfe").as[StreamFunnel.FunnelOut].collect().toSet
+      assert(!after.exists(r => r.entity == 1L && !r.closed && r.stage == 2),
+        s"evicted entity must restart at stage 0, got $after")
+    } finally q.stop()
+  }
+
   test("within-batch out-of-order events fold in time order") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[FunnelEvent]
