@@ -65,25 +65,54 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // SPARK_GRAFT_BENCH_REPEATS=N (default 1) runs N interleaved timed
+    // passes over the whole query set and reports the per-query MEDIAN as
+    // the headline number, with IQR spread in bench_full.json — so one
+    // host-contention spike (the r4/r5 lesson: disjoint "slow" sets for
+    // identical code) cannot poison a round-to-round comparison. Passes
+    // interleave whole-set sweeps rather than repeating each query
+    // back-to-back, so a transient contention window hits each query at
+    // most once.
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(1)
+    val passes = (1 to repeats).map { _ =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+    }
+    def quantile(sorted: IndexedSeq[Double], q: Double): Double =
+      sorted(math.min((q * (sorted.size - 1)).round.toInt, sorted.size - 1))
+    // (name, median, iqr, ok-in-every-pass)
+    val results = ordered.indices.map { i =>
+      val name = ordered(i)._1
+      val ts = passes.map(_(i)._2).sorted.toIndexedSeq
+      (name, quantile(ts, 0.5), quantile(ts, 0.75) - quantile(ts, 0.25),
+        passes.forall(_(i)._3))
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errs = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // Full per-query record → file (unbounded size; not parsed by the driver).
-    val fullQs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    val fullQs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val spreadJson =
+      if (repeats > 1)
+        "," + "\"spread\":" + results.map { case (k, med, iqr, _) =>
+          s"\"" + k + "\":{\"med\":" + fmt(med) + ",\"iqr\":" + fmt(iqr) +
+            s",\"n\":$repeats}"
+        }.mkString("{", ",", "}")
+      else ""
     // SPARK_GRAFT_CPUS may be non-numeric (e.g. "*" for local[*]) — emit it
     // as a JSON number only when it parses, else as a quoted string.
     val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
       .getOrElse("\"" + cpus.replace("\"", "") + "\"")
     val meta =
-      s""""commit":"${gitHead()}","ts_ms":${System.currentTimeMillis()},"cpus":$cpusJson,"spark":"${spark.version}","java":"${sys.props.getOrElse("java.version", "?")}""""
+      s""""commit":"${gitHead()}","ts_ms":${System.currentTimeMillis()},"cpus":$cpusJson,"repeats":$repeats,"spark":"${spark.version}","java":"${sys.props.getOrElse("java.version", "?")}""""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":$fullQs$spreadJson,"errors":$errs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullJson) finally w.close()
@@ -91,7 +120,7 @@ object Bench {
     println(fullJson)
     // Compact summary → stdout LAST (driver-parsed; must fit a 2000-char tail).
     val slowest = results.sortBy(-_._2).take(20)
-      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":$slowest,"errors":$errs,"sf":"$sfDir"}"""

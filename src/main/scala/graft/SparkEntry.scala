@@ -16,7 +16,7 @@ object Registry {
       queries.TextQueries.defs ++ queries.ExtensionQueries.defs ++
       queries.WindowingQueries.defs ++ queries.CurationQueries.defs ++
       queries.Round3Queries.defs ++ queries.BehaviorQueries.defs ++
-      queries.Round6Queries.defs
+      queries.Round6Queries.defs ++ queries.Round7Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -86,6 +86,135 @@ object Behavior {
       .select(col("entity") +: (1 to n).map(i => col(s"times.t$i").as(s"t$i")): _*)
   }
 
+  /** Per-SESSION funnels: split each entity's stream into gap-bounded
+    * sessions (a new session starts when the inter-event gap exceeds
+    * `sessionGapUs`), then run the funnel state machine independently
+    * inside each session. One row per (entity, session) with the session
+    * start time and the highest stage reached in that session.
+    *
+    * Still ONE shuffle: sessionization does not get its own window pass —
+    * the same sorted fold that advances the funnel also watches the gap,
+    * closing the current session into an accumulator array and restarting
+    * the state machine. Adding sessions, like adding steps, adds zero
+    * shuffles. Per-entity state is O(sessions); entities with pathological
+    * session counts are bounded by their event count, the same row-group
+    * bound `collect_list` already has.
+    */
+  def funnelSessions(events: DataFrame, entityCol: String,
+                     tsMicrosCol: String, typeCol: String,
+                     steps: Seq[String], sessionGapUs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.forall(_.matches("[A-Za-z0-9_]+")),
+      "funnel steps must be simple identifiers")
+    require(sessionGapUs > 0, "sessionGapUs must be positive")
+    // A fresh session opened by event x: only step 1 can match immediately.
+    def fresh(done: String) =
+      s"""named_struct('done', $done, 'start', x.t, 'last', x.t,
+         |  'stage', IF(x.et = '${steps.head}', 1, 0),
+         |  'rt', IF(x.et = '${steps.head}', x.t, CAST(-1 AS BIGINT)))""".stripMargin
+    val closed =
+      "concat(acc.done, array(named_struct('st', acc.start, 'stage', acc.stage)))"
+    val stepCases = steps.zipWithIndex.map { case (st, i) =>
+      s"""WHEN acc.stage = $i AND x.et = '$st' AND x.t > acc.rt
+         |  THEN named_struct('done', acc.done, 'start', acc.start,
+         |    'last', x.t, 'stage', ${i + 1}, 'rt', x.t)""".stripMargin
+    }.mkString("\n")
+    val init =
+      """named_struct(
+        |  'done', CAST(array() AS array<struct<st: bigint, stage: int>>),
+        |  'start', CAST(-1 AS BIGINT), 'last', CAST(-1 AS BIGINT),
+        |  'stage', 0, 'rt', CAST(-1 AS BIGINT))""".stripMargin
+    events
+      .select(col(entityCol).as("entity"), col(tsMicrosCol).as("t"),
+        col(typeCol).as("et"))
+      .groupBy(col("entity"))
+      .agg(sort_array(collect_list(struct(col("t"), col("et")))).as("seq"))
+      .withColumn("fin", expr(
+        s"""aggregate(seq, $init, (acc, x) -> CASE
+           |  WHEN acc.start < 0 THEN ${fresh("acc.done")}
+           |  WHEN x.t - acc.last > ${sessionGapUs}L THEN ${fresh(closed)}
+           |  $stepCases
+           |  ELSE named_struct('done', acc.done, 'start', acc.start,
+           |    'last', x.t, 'stage', acc.stage, 'rt', acc.rt)
+           |END)""".stripMargin))
+      .withColumn("s", explode(expr(
+        """IF(fin.start >= 0,
+          |   concat(fin.done, array(named_struct('st', fin.start, 'stage', fin.stage))),
+          |   fin.done)""".stripMargin)))
+      .select(col("entity"), col("s.st").as("session_start_us"),
+        col("s.stage").as("stage"))
+  }
+
+  /** Per-stage session conversion rates over [[funnelSessions]] output:
+    * for each stage k, how many sessions reached at least k and what
+    * fraction of all sessions that is (e6-integer rate — cross-engine
+    * exact). One single-row aggregate over the session table (every
+    * per-stage count is a conditional sum in the same pass), then the row
+    * unpivots to one row per stage via a literal stage array — no second
+    * scan, no shuffle beyond the funnel's own.
+    */
+  def funnelConversion(events: DataFrame, entityCol: String,
+                       tsMicrosCol: String, typeCol: String,
+                       steps: Seq[String], sessionGapUs: Long): DataFrame = {
+    val sessions = funnelSessions(events, entityCol, tsMicrosCol, typeCol,
+      steps, sessionGapUs)
+    val aggs = count(lit(1)).as("total") +:
+      steps.indices.map(i =>
+        sum(when(col("stage") >= i + 1, 1L).otherwise(0L)).as(s"n${i + 1}"))
+    val stageStructs = steps.indices.map(i =>
+      struct(lit(i + 1).cast("int").as("stage"), col(s"n${i + 1}").as("n")))
+    sessions.agg(aggs.head, aggs.tail: _*)
+      .select(col("total"), explode(array(stageStructs: _*)).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n").as("n_sessions"),
+        expr("s.n * 1000000L div total").as("rate_e6"))
+  }
+
+  /** Distinct `valueCol` count in the TRAILING event-time horizon
+    * (t − horizonUs, t] at every event — "how many distinct event types
+    * did this user produce in the last 24 h", evaluated at each event.
+    *
+    * The naive form is a per-event window re-scan (quadratic per entity).
+    * This is the linear interval-stabbing identity instead: an occurrence
+    * at time t with next same-value occurrence at nt is the window's
+    * representative of its value exactly while the query time lies in
+    * [t, min(nt, t + horizon)) — so each occurrence emits +1 at its start
+    * and −1 at its (exclusive) end, and the answer at a query point is
+    * the running sum of deltas at positions ≤ it, deltas applying before
+    * queries at equal positions. One union (3× the rows), two window
+    * passes — BOTH partitioned by entity only, so the whole operator is
+    * ONE exchange, and no state ever exceeds a running long.
+    */
+  def slidingDistinct(events: DataFrame, entityCol: String, tsCol: String,
+                      tieCol: String, valueCol: String,
+                      horizonUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(horizonUs > 0, "horizonUs must be positive")
+    val e = events.select(col(entityCol).as("entity"), col(tsCol).as("t"),
+      col(tieCol).as("tie"), col(valueCol).as("v"))
+    // next same-value occurrence, from ONE entity-partitioned window (the
+    // lead-under-value-sort trick — no (entity, value) shuffle)
+    val byValue = Window.partitionBy(col("entity"))
+      .orderBy(col("v"), col("t"), col("tie"))
+    val occ = e.withColumn("nt",
+      when(lead(col("v"), 1).over(byValue) === col("v"),
+        lead(col("t"), 1).over(byValue)))
+    val plus = occ.select(col("entity"), col("t").as("pos"),
+      lit(0).as("q"), lit(0L).as("tie2"), lit(1L).as("d"))
+    val minus = occ.select(col("entity"),
+      least(coalesce(col("nt"), col("t") + horizonUs),
+        col("t") + horizonUs).as("pos"),
+      lit(0).as("q"), lit(0L).as("tie2"), lit(-1L).as("d"))
+    val queries = e.select(col("entity"), col("t").as("pos"),
+      lit(1).as("q"), col("tie").as("tie2"), lit(0L).as("d"))
+    val running = Window.partitionBy(col("entity"))
+      .orderBy(col("pos"), col("q"), col("tie2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    plus.unionByName(minus).unionByName(queries)
+      .withColumn("n_distinct", sum(col("d")).over(running))
+      .filter(col("q") === 1)
+      .select(col("entity"), col("pos").as("t"), col("tie2").as("tie"),
+        col("n_distinct"))
+  }
+
   /** First-order transition counts src→dst over each entity's time-ordered
     * event stream, with an integer transition probability in e6 units
     * (`cnt * 1e6 div Σ_src cnt` — all-integer, so cross-engine exact).
@@ -103,6 +232,35 @@ object Behavior {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("prob_e6", expr(
         "cnt * 1000000 div sum(cnt) OVER (PARTITION BY src)"))
+  }
+
+  /** Running distinct-count of `valueCol` per entity in event-time order —
+    * "how many distinct event types has this user produced so far" at
+    * every event. Spark (like ANSI) has no `count(DISTINCT) OVER`, so this
+    * uses the standard identity: flag each value's FIRST occurrence per
+    * entity, then running-sum the flags over the entity's time order.
+    * Both window passes partition by the ENTITY alone — the first-
+    * occurrence flag comes from `lag(value)` under a (value, ts) sort
+    * rather than a per-(entity, value) partition — so the plan has exactly
+    * ONE exchange and two sorts; a per-(entity, value) row_number would
+    * cost a second shuffle. `tieCol` must be a per-row unique key so the
+    * running count is deterministic under timestamp ties.
+    */
+  def cumulativeDistinct(events: DataFrame, entityCol: String, tsCol: String,
+                         tieCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byValue = Window.partitionBy(col(entityCol))
+      .orderBy(col(valueCol), col(tsCol), col(tieCol))
+    val running = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("is_first",
+        when(lag(col(valueCol), 1).over(byValue).isNull ||
+          lag(col(valueCol), 1).over(byValue) =!= col(valueCol), 1L)
+          .otherwise(0L))
+      .withColumn("n_distinct", sum(col("is_first")).over(running))
+      .drop("is_first")
   }
 
   /** Top-k most frequent length-3 event-type paths (consecutive per

@@ -69,6 +69,124 @@ object Graph {
     pr
   }
 
+  /** Personalized PageRank: teleport mass restarts only at the source set
+    * (nodes where `sourceCol` is true) instead of uniformly — the standard
+    * "relevance to these seeds" ranking. Restart vector v_i = 1e6 for
+    * sources, 0 otherwise; each round pr = 0.15·v + 0.85·incoming, all in
+    * truncating integer arithmetic like [[pageRank]]. Non-source nodes
+    * hold rank only while mass flows to them, so sinks far from the seeds
+    * decay to 0 — exactly the PPR locality property.
+    *
+    * Same 2-shuffle round shape as [[pageRankWeighted]]; the per-node base
+    * term rides the node frame (no extra join).
+    */
+  def pageRankPersonalized(nodes: DataFrame, edges: DataFrame,
+                           sourceCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src").localCheckpoint(true)
+    val n = nodes.select(col("id"),
+      when(col(sourceCol), lit(150000L)).otherwise(lit(0L)).as("base"))
+      .localCheckpoint(true)
+    var pr = n.select(col("id"),
+      when(col("base") > 0L, lit(1000000L)).otherwise(lit(0L)).as("pr_e6"))
+    for (_ <- 1 to iters) {
+      val mass = ed.join(pr, ed("src") === pr("id"))
+        .select(col("dst"), expr("pr_e6 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      pr = n.join(mass, n("id") === mass("dst"), "left")
+        .select(n("id"),
+          expr("base + (85 * coalesce(in_mass, 0L)) div 100").as("pr_e6"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** Multi-seed personalized PageRank in ONE pass: computes the PPR of
+    * every node with respect to EACH seed simultaneously — "related items
+    * for N seeds" without N sequential runs. State is long-format
+    * (id, seed, pr_e6), so each round is the same join + aggregate as
+    * [[pageRank]], just on the (id, seed) grain: the shuffle carries
+    * |seeds|× the edge contributions, the natural cost of asking |seeds|
+    * questions at once, still partial-aggregable and skew-free (seed is a
+    * uniform secondary key). For seed sets beyond ~dozens, switch to
+    * forward-push/sketched PPR — this shape is for the dashboard-panel
+    * case where a handful of seed entities are compared.
+    *
+    * `seeds`: one column `seed` of node ids. Restart vector per seed s:
+    * v_i = 1e6·[i = s], so each seed's column is an independent PPR.
+    */
+  def pageRankMultiSeed(nodes: DataFrame, edges: DataFrame,
+                        seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src").localCheckpoint(true)
+    val base = nodes.select(col("id"))
+      .crossJoin(broadcast(seeds.select(col("seed"))))
+      .withColumn("base",
+        when(col("id") === col("seed"), lit(150000L)).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    var pr = base.select(col("id"), col("seed"),
+      when(col("base") > 0L, lit(1000000L)).otherwise(lit(0L)).as("pr_e6"))
+    for (_ <- 1 to iters) {
+      val mass = ed.join(pr, ed("src") === pr("id"))
+        .select(col("dst"), col("seed"), expr("pr_e6 div outdeg").as("c"))
+        .groupBy(col("dst"), col("seed")).agg(sum(col("c")).as("in_mass"))
+        .withColumnRenamed("seed", "m_seed")
+      pr = base.join(mass,
+          base("id") === mass("dst") && base("seed") === mass("m_seed"), "left")
+        .select(base("id"), base("seed"),
+          expr("base + (85 * coalesce(in_mass, 0L)) div 100").as("pr_e6"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** Convergence-detected PageRank: same integer round as [[pageRank]],
+    * but the loop stops once the L1 delta Σ|pr_k − pr_{k−1}| falls to
+    * `epsE6` or below (or at `maxIters`). The per-round cost of detection
+    * is one co-partitioned join of two rank frames plus a scalar aggregate
+    * — the PageRank analogue of the CC label-sum trick (BASELINE.md), paid
+    * only because ranks are not monotone so a pure aggregate can't see
+    * convergence. Returns (id, pr_e6, n_rounds); n_rounds is constant
+    * across rows — the audit trail of how many rounds ran.
+    *
+    * The scalar delta is a driver-side action per round — the same
+    * synchronous-superstep structure every distributed PageRank has; the
+    * data never leaves the executors except that one long.
+    */
+  def pageRankConverged(nodes: DataFrame, edges: DataFrame,
+                        epsE6: Long, maxIters: Int): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 100, "maxIters must be in [1, 100]")
+    require(epsE6 >= 0L, "epsE6 must be non-negative")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src").localCheckpoint(true)
+    val n = nodes.select(col("id")).localCheckpoint(true)
+    var pr = n.select(col("id"), lit(1000000L).as("pr_e6"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIters && !converged) {
+      val mass = ed.join(pr, ed("src") === pr("id"))
+        .select(col("dst"), expr("pr_e6 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      val next = n.join(mass, n("id") === mass("dst"), "left")
+        .select(n("id"),
+          expr("150000L + (85 * coalesce(in_mass, 0L)) div 100").as("pr_e6"))
+        .localCheckpoint(true)
+      rounds += 1
+      val delta = next.as("b").join(pr.as("a"), col("a.id") === col("b.id"))
+        .agg(sum(abs(col("b.pr_e6") - col("a.pr_e6"))).as("d"))
+        .first().getLong(0)
+      pr = next
+      converged = delta <= epsE6
+    }
+    pr.withColumn("n_rounds", lit(rounds.toLong))
+  }
+
   /** Exact triangle count. Each triangle {x<y<z} is counted exactly once
     * by wedging its two lowest edges and checking the closing edge:
     * (x,y)⋈(y,z) exists ∧ (x,z) exists.
