@@ -179,9 +179,10 @@ object Behavior {
     * [t, min(nt, t + horizon)) — so each occurrence emits +1 at its start
     * and −1 at its (exclusive) end, and the answer at a query point is
     * the running sum of deltas at positions ≤ it, deltas applying before
-    * queries at equal positions. One union (3× the rows), two window
-    * passes — BOTH partitioned by entity only, so the whole operator is
-    * ONE exchange, and no state ever exceeds a running long.
+    * queries at equal positions. The 3× row expansion happens via explode
+    * (narrow — PRESERVES the entity hash partitioning; a union would
+    * destroy it, UnionExec just concatenates partitions), so both window
+    * passes share ONE exchange and no state ever exceeds a running long.
     */
   def slidingDistinct(events: DataFrame, entityCol: String, tsCol: String,
                       tieCol: String, valueCol: String,
@@ -194,21 +195,23 @@ object Behavior {
     // lead-under-value-sort trick — no (entity, value) shuffle)
     val byValue = Window.partitionBy(col("entity"))
       .orderBy(col("v"), col("t"), col("tie"))
-    val occ = e.withColumn("nt",
-      when(lead(col("v"), 1).over(byValue) === col("v"),
-        lead(col("t"), 1).over(byValue)))
-    val plus = occ.select(col("entity"), col("t").as("pos"),
-      lit(0).as("q"), lit(0L).as("tie2"), lit(1L).as("d"))
-    val minus = occ.select(col("entity"),
-      least(coalesce(col("nt"), col("t") + horizonUs),
-        col("t") + horizonUs).as("pos"),
-      lit(0).as("q"), lit(0L).as("tie2"), lit(-1L).as("d"))
-    val queries = e.select(col("entity"), col("t").as("pos"),
-      lit(1).as("q"), col("tie").as("tie2"), lit(0L).as("d"))
+    val endPos = least(coalesce(col("nt"), col("t") + horizonUs),
+      col("t") + horizonUs)
     val running = Window.partitionBy(col("entity"))
       .orderBy(col("pos"), col("q"), col("tie2"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    plus.unionByName(minus).unionByName(queries)
+    e.withColumn("nt",
+        when(lead(col("v"), 1).over(byValue) === col("v"),
+          lead(col("t"), 1).over(byValue)))
+      .select(col("entity"), explode(array(
+        struct(col("t").as("pos"), lit(0).as("q"), lit(0L).as("tie2"),
+          lit(1L).as("d")),
+        struct(endPos.as("pos"), lit(0).as("q"), lit(0L).as("tie2"),
+          lit(-1L).as("d")),
+        struct(col("t").as("pos"), lit(1).as("q"), col("tie").as("tie2"),
+          lit(0L).as("d")))).as("s"))
+      .select(col("entity"), col("s.pos").as("pos"), col("s.q").as("q"),
+        col("s.tie2").as("tie2"), col("s.d").as("d"))
       .withColumn("n_distinct", sum(col("d")).over(running))
       .filter(col("q") === 1)
       .select(col("entity"), col("pos").as("t"), col("tie2").as("tie"),

@@ -72,10 +72,18 @@ object Skyline {
       .agg(min(col(zCol)).as("_sk_z"))
     val perX = Window.partitionBy(col("_sk_x")).orderBy(col("_sk_y").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Materialize the (small) prefiltered level table once: it feeds BOTH
+    // sides of the anti-join, and aliased branches would otherwise
+    // re-execute the aggregate + window from the source (ReuseExchange
+    // does not unify them — the round-1 minhash lesson). The input frame
+    // itself still gets two passes (level build + row join-back): at
+    // scale, re-scanning a pruned source beats materializing it, and
+    // callers holding an expensive `points` can cache it themselves.
     val pre = levels
       .withColumn("_sk_better", min(col("_sk_z")).over(perX))
       .filter(col("_sk_better").isNull || col("_sk_z") < col("_sk_better"))
       .drop("_sk_better")
+      .localCheckpoint(true)
     val surviving = pre.as("l1").join(broadcast(pre.as("l2")),
         col("l2._sk_x") >= col("l1._sk_x") && col("l2._sk_y") <= col("l1._sk_y") &&
           col("l2._sk_z") <= col("l1._sk_z") &&

@@ -33,7 +33,13 @@ class PlanShapeSpec extends SparkSpec {
     ("q_funnel_lag", 1, 0),       // stage-time vector rides the same fold
     ("q_scd2_intervals", 1, 0),   // lag + lead share one partitioning
     ("q_cusum_drift", 1, 0),      // prefix-sum + running-min share one
-    ("q_ref_integrity", 4, 4))    // per-relation anti-join, parents broadcast
+    ("q_ref_integrity", 4, 4),    // per-relation anti-join, parents broadcast
+    ("q_funnel_session", 1, 0),   // sessionization rides the funnel fold
+    ("q_cum_distinct", 1, 0),     // both windows partition by entity only
+    ("q_sliding_distinct", 1, 0), // explode(3×) preserves the one shuffle
+    // points-agg runs twice (level build + join-back: deliberate re-scan
+    // trade) + level agg + per-x window; levels checkpointed, 2 broadcasts
+    ("q_skyline_3d", 4, 2))
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
