@@ -16,7 +16,8 @@ object Registry {
       queries.TextQueries.defs ++ queries.ExtensionQueries.defs ++
       queries.WindowingQueries.defs ++ queries.CurationQueries.defs ++
       queries.Round3Queries.defs ++ queries.BehaviorQueries.defs ++
-      queries.Round6Queries.defs ++ queries.Round7Queries.defs
+      queries.Round6Queries.defs ++ queries.Round7Queries.defs ++
+      queries.Round7bQueries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -37,6 +37,28 @@ object TimeSeries {
   /** Densify [[resample]] output to every `everySec` bucket between each
     * key's first and last observation; absent buckets get cnt=0 and the
     * last seen `avg_e4` (forward fill). */
+  /** Per-key exponentially-weighted moving average with α = 1/2 in
+    * TRUNCATING integer arithmetic: s ← (s + x) div 2 over the key's
+    * time-ordered values, s₀ = 0. The binary α is what makes the result
+    * bit-exact across engines (a float α compounds rounding per step);
+    * halving is also the classic hardware EWMA. The recursion has no
+    * prefix-sum identity under truncation, so it folds per key inside one
+    * `aggregate` expression — ONE shuffle, O(1) fold state, the same
+    * shape as the funnel fold. Emits the final smoothed value per key
+    * (the online estimate "now"), plus the count folded in.
+    */
+  def ewmaHalf(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+               centsCol: String): DataFrame =
+    df.select(col(keyCol).as("key"),
+        struct(col(tsCol).as("t"), col(tieCol).as("tie"),
+          col(centsCol).as("c")).as("e"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(col("e"))).as("seq"))
+      .select(col("key"),
+        expr("aggregate(seq, CAST(0 AS BIGINT), (acc, x) -> (acc + x.c) div 2)")
+          .as("ewma_cents"),
+        expr("size(seq)").cast("long").as("n_points"))
+
   def fillGaps(resampled: DataFrame, key: String, everySec: Long = 300L): DataFrame = {
     val span = resampled.groupBy(col(key))
       .agg(min(col("bucket_es")).as("b0"), max(col("bucket_es")).as("b1"))
