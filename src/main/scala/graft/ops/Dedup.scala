@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines: exact
@@ -251,6 +252,55 @@ object Dedup {
 
   /** Exact word-set Jaccard for all pairs in `docs` (quadratic — callers
     * must pre-restrict, e.g. to LSH candidates or a bounded id range). */
+  /** Exact Jaccard-threshold self-join with PREFIX FILTERING (the
+    * PPJoin/AllPairs trick): a pair with Jaccard ≥ τ must share at least
+    * one token among each side's first L = |s| − ⌈τ·|s|⌉ + 1 tokens under
+    * a GLOBAL rarest-first ordering — so only prefix tokens generate
+    * candidates, and the frequent tokens that dominate the quadratic
+    * blow-up of the naive token join never pair up. Verification then
+    * computes the exact intersection for the (few) candidates, so the
+    * result is IDENTICAL to filtering [[jaccardPairs]] at τ — the filter
+    * is lossless by the prefix pigeonhole.
+    *
+    * Scale: candidate generation shuffles only prefix tokens (rarest
+    * first ⇒ smallest possible join fan-out); verification is two
+    * equi-joins of the candidate pairs back to the token table, keyed by
+    * doc — no quadratic stage touches full token lists. τ is an e6
+    * integer and the threshold test is cross-multiplied
+    * (inter·1e6 ≥ τ·union), so no division rounding.
+    */
+  def jaccardPrefixJoin(docs: DataFrame, tauE6: Long): DataFrame = {
+    require(tauE6 > 0L && tauE6 <= 1000000L, "tauE6 must be in (0, 1e6]")
+    val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct().localCheckpoint(true)
+    val freq = w.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // rarest-first global order; doc-local rank + size drive the prefix cut
+    val ranked = w.join(freq, "word")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("word"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("pfx", col("sz") - expr(s"(sz * ${tauE6}L + 999999) div 1000000") + 1)
+    val prefix = ranked.filter(col("rk") <= col("pfx"))
+      .select(col("doc_id"), col("word"), col("sz"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: |b| ≥ τ·|a| is necessary for J ≥ τ (a < b by id,
+          // sizes unordered — bound both directions)
+          col("b.sz") * lit(1000000L) >= col("a.sz") * lit(tauE6) &&
+          col("a.sz") * lit(1000000L) >= col("b.sz") * lit(tauE6))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .distinct()
+    cands
+      .join(w.select(col("doc_id").as("doc_a"), col("word")), "doc_a")
+      .join(w.select(col("doc_id").as("doc_b"), col("word")), Seq("doc_b", "word"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .filter(col("inter") * lit(1000000L) >= lit(tauE6) * col("uni"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
   def jaccardPairs(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "").distinct()

@@ -144,6 +144,106 @@ object Graph {
     pr
   }
 
+  /** Personalized PageRank with a WEIGHTED teleport vector: restart mass
+    * is distributed over the seed set per `seeds` (columns `seed`,
+    * `w_e6` — e6-scaled weights the caller normalizes to Σ ≈ 1e6), so
+    * "importance relative to this portfolio" instead of each seed
+    * counting equally. Round: pr = (15·w) div 100 + 0.85·incoming, all
+    * truncating integer arithmetic; [[pageRankPersonalized]] is the
+    * uniform-weights special case.
+    *
+    * Same 2-shuffle round as [[pageRank]]; the teleport vector is
+    * broadcast onto the node frame ONCE before the loop (seeds are tiny
+    * by definition — a dashboard's portfolio, not a table).
+    */
+  def pageRankWeightedTeleport(nodes: DataFrame, edges: DataFrame,
+                               seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src").localCheckpoint(true)
+    val n = nodes.select(col("id"))
+      .join(broadcast(seeds.select(col("seed"), col("w_e6"))),
+        col("id") === col("seed"), "left")
+      .select(col("id"), coalesce(col("w_e6"), lit(0L)).as("v"))
+      .withColumn("base", expr("(15 * v) div 100"))
+      .localCheckpoint(true)
+    var pr = n.select(col("id"), col("v").as("pr_e6"))
+    for (_ <- 1 to iters) {
+      val mass = ed.join(pr, ed("src") === pr("id"))
+        .select(col("dst"), expr("pr_e6 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      pr = n.join(mass, n("id") === mass("dst"), "left")
+        .select(n("id"),
+          expr("base + (85 * coalesce(in_mass, 0L)) div 100").as("pr_e6"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** Minimum-hop BFS distance from a seed set (nodes where `sourceCol` is
+    * true), to `maxDepth` hops. Classic frontier expansion: round k joins
+    * the depth-(k−1) frontier against the edge list and anti-joins the
+    * visited set, so each edge is traversed at most once per endpoint
+    * discovery — total work O(E · diameter-capped), not O(E · V).
+    * Unreachable-within-maxDepth nodes are absent from the result.
+    *
+    * Scale: per round one equi-join (frontier ⋈ edges on src) + one
+    * distinct + one anti-join against visited — all hash-partitioned by
+    * node id, so successive rounds reuse the same partitioning. The
+    * frontier is checkpoint-truncated (lineage would otherwise replay
+    * every earlier round). Early exit when a frontier is empty: the
+    * driver-side count per round is the synchronous-superstep heartbeat
+    * every distributed BFS has.
+    */
+  def bfsLevels(nodes: DataFrame, edges: DataFrame, sourceCol: String,
+                maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var dist = nodes.filter(col(sourceCol))
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = dist.select(col("id"))
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next.withColumn("dist", lit(depth.toLong)))
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    dist
+  }
+
+  /** Friend-of-friend recommendations: unordered pairs (a, b) at graph
+    * distance exactly 2 (NOT already adjacent), scored by their number of
+    * common neighbors — the classic link-prediction baseline. Input is an
+    * undirected edge list via [[canonical]]; output pairs are canonical
+    * (a < b) with `n_common >= minCommon`.
+    *
+    * Scale: one self-join of the bidirected adjacency on the wedge pivot
+    * (shuffle bounded by Σ deg² like [[triangleCount]] — degree-cap or
+    * sample hub nodes first at 100 TB), one count aggregate, one
+    * anti-join against the edge list. All equi-joins on node ids.
+    */
+  def commonNeighbors(edges: DataFrame, minCommon: Long): DataFrame = {
+    val und = canonical(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val wedge = adj.as("l").join(adj.as("r"),
+        col("l.v") === col("r.u") && col("l.u") < col("r.v"))
+      .select(col("l.u").as("a"), col("r.v").as("b"))
+    wedge.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+      .join(und, Seq("a", "b"), "left_anti")
+      .filter(col("n_common") >= minCommon)
+  }
+
   /** Convergence-detected PageRank: same integer round as [[pageRank]],
     * but the loop stops once the L1 delta Σ|pr_k − pr_{k−1}| falls to
     * `epsE6` or below (or at `maxIters`). The per-round cost of detection

@@ -47,6 +47,41 @@ object TimeSeries {
     * shape as the funnel fold. Emits the final smoothed value per key
     * (the online estimate "now"), plus the count folded in.
     */
+  /** Per-key TIME-weighted average (TWAP shape): each observation is
+    * weighted by how long it was "current" — the gap to the next
+    * observation in seconds — so a price that held for an hour counts
+    * 3600× one that held a second, unlike the event-weighted mean. The
+    * last observation per key has no successor and drops out (standard
+    * left-closed convention). All integer: dt truncates micros→seconds,
+    * the weighted mean truncates cents.
+    *
+    * Scale: one lead() window and the final aggregate, both keyed by
+    * `keyCol` — the groupBy reuses the window's hash partitioning, so the
+    * whole thing is ONE exchange. Σ(c·dt) fits a long for cents ≤ ~1e6
+    * and spans ≤ ~centuries.
+    *
+    * Keys with a single observation (or all-equal timestamps) have
+    * Σdt = 0 and emit a NULL twa_cents rather than dropping — the caller
+    * sees the key existed but had no dwell time.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsMicrosCol: String,
+                      tieCol: String, centsCol: String): DataFrame = {
+    df.select(col(keyCol).as("key"), col(tsMicrosCol).as("t"),
+        col(tieCol).as("tie"), col(centsCol).as("c"))
+      // truncate each stamp to seconds FIRST, then diff — the convention
+      // the oracle replays (differs from diff-then-truncate at sub-second
+      // phase offsets)
+      .withColumn("dt_s",
+        expr("lead(t, 1) over (partition by key order by t, tie) div 1000000")
+          - expr("t div 1000000"))
+      .filter(col("dt_s").isNotNull)
+      .groupBy(col("key"))
+      .agg(sum(expr("c * dt_s")).as("cdt"), sum(col("dt_s")).as("dt"),
+        count(lit(1)).as("n_spans"))
+      .select(col("key"), expr("cdt div nullif(dt, 0)").as("twa_cents"),
+        col("dt").as("dwell_s"), col("n_spans"))
+  }
+
   def ewmaHalf(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
                centsCol: String): DataFrame =
     df.select(col(keyCol).as("key"),

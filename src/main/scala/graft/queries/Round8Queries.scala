@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.{Dedup, Graph, Quantiles, TimeSeries}
+
+/** Round-8 extensions: weighted-teleport PPR, BFS shortest hops,
+  * common-neighbor link prediction, exact selection-based percentiles,
+  * time-weighted averages, and the prefix-filtered Jaccard join.
+  * All-integer arithmetic so every oracle is bit-exact.
+  */
+object Round8Queries {
+
+  /** The round-7 asymmetric test graph (ring + every-third-node quadratic
+    * chords) as SQL CTEs — shared by the graph oracles here. */
+  private val graphSql =
+    """WITH nodes AS (SELECT DISTINCT p_partkey % 100 AS id FROM part),
+      |e AS (SELECT id AS src, (id + 1) % 100 AS dst FROM nodes
+      |      UNION
+      |      SELECT id AS src, (id * id + 7) % 100 AS dst FROM nodes WHERE id % 3 = 0)""".stripMargin
+
+  /** Unrolled DuckDB twin of [[Graph.pageRankWeightedTeleport]] with
+    * portfolio weights 50/30/20 on seeds {0, 30, 60}. */
+  private def wtPprSql(iters: Int): String = {
+    val head = graphSql +
+      """,
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+        |v AS (SELECT id, CAST(CASE id WHEN 0 THEN 500000 WHEN 30 THEN 300000
+        |                              WHEN 60 THEN 200000 ELSE 0 END AS BIGINT) AS w
+        |      FROM nodes),
+        |p0 AS (SELECT id, w AS pr FROM v)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""p$k AS (SELECT v.id, CAST((15 * v.w) // 100
+         |                         + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS pr
+         |       FROM v LEFT JOIN (SELECT ed.dst, sum(p.pr // ed.outdeg) AS s
+         |                         FROM ed JOIN p${k - 1} p ON p.id = ed.src
+         |                         GROUP BY ed.dst) m ON m.dst = v.id)""".stripMargin
+    }
+    (head +: its).mkString(",\n") + s"\nSELECT id, pr AS pr_e6 FROM p$iters"
+  }
+
+  private def graphNodesEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val nodes = Tables.part(s, d)
+      .select((col("p_partkey") % 100).as("id")).distinct()
+    val edges = nodes
+      .select(col("id").as("src"), ((col("id") + 1) % 100).as("dst"))
+      .unionByName(nodes.filter(col("id") % 3 === 0)
+        .select(col("id").as("src"), ((col("id") * col("id") + 7) % 100).as("dst")))
+      .distinct()
+    (nodes, edges)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── PPR with a weighted teleport vector: portfolio mass 50/30/20 over
+    //    seeds {0, 30, 60} — "importance relative to this portfolio".
+    QueryDef("q_pagerank_teleport",
+      (s, d) => {
+        val (nodes, edges) = graphNodesEdges(s, d)
+        val seeds = s.createDataFrame(
+          Seq((0L, 500000L), (30L, 300000L), (60L, 200000L))).toDF("seed", "w_e6")
+        Graph.pageRankWeightedTeleport(nodes, edges, seeds, 6)
+      },
+      Some(wtPprSql(6))),
+
+    // ── BFS minimum-hop distance from the seed set {ids % 25 = 0} to
+    //    depth 6; the oracle is a recursive CTE taking min over paths.
+    QueryDef("q_bfs_levels",
+      (s, d) => {
+        val (nodes, edges) = graphNodesEdges(s, d)
+        Graph.bfsLevels(nodes.withColumn("is_src", col("id") % 25 === 0),
+          edges, "is_src", 6)
+      },
+      Some((graphSql +
+        """,
+          |bfs AS (
+          |  SELECT id, CAST(0 AS BIGINT) AS d FROM nodes WHERE id % 25 = 0
+          |  UNION
+          |  SELECT e.dst AS id, bfs.d + 1 AS d
+          |  FROM bfs JOIN e ON e.src = bfs.id WHERE bfs.d < 6)
+          |SELECT id, min(d) AS dist FROM bfs GROUP BY id""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // ── Common-neighbor link prediction on the undirected view of the
+    //    test graph: distance-2 pairs scored by shared-neighbor count.
+    QueryDef("q_common_neighbors",
+      (s, d) => {
+        val (_, edges) = graphNodesEdges(s, d)
+        Graph.commonNeighbors(edges.select(col("src").as("a"), col("dst").as("b")), 2L)
+      },
+      Some(graphSql +
+        """,
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |        FROM e WHERE src <> dst),
+          |adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+          |wedge AS (SELECT l.u AS a, r.v AS b FROM adj l JOIN adj r
+          |          ON l.v = r.u AND l.u < r.v),
+          |scored AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+          |           FROM wedge GROUP BY a, b)
+          |SELECT s.a, s.b, s.n_common FROM scored s
+          |LEFT JOIN und ON und.a = s.a AND und.b = s.b
+          |WHERE und.a IS NULL AND s.n_common >= 2""".stripMargin)),
+
+    // ── Exact p50/p90/p99 of lineitem extended price (cents) by
+    //    histogram-refined selection — no total sort; oracle is the
+    //    ORDER BY/OFFSET definition of the k-th order statistic.
+    QueryDef("q_exact_percentiles",
+      (s, d) => Quantiles.exactPercentiles(
+        Tables.lineitem(s, d)
+          .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents")),
+        "cents", Seq(500000L, 900000L, 990000L)),
+      Some("""WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+             |           FROM lineitem),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+             |ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+             |ps AS (SELECT CAST(p AS BIGINT) AS p_e6,
+             |              (SELECT (n * p + 999999) // 1000000 FROM n) AS k
+             |       FROM (VALUES (500000), (900000), (990000)) t(p))
+             |SELECT ps.p_e6, ps.k, (SELECT n FROM n) AS n_rows, r.v AS value
+             |FROM ps JOIN ranked r ON r.rn = ps.k""".stripMargin)),
+
+    // ── Per-type time-weighted average of event values: each value is
+    //    weighted by its dwell time to the next event (seconds).
+    QueryDef("q_time_weighted_avg",
+      (s, d) => TimeSeries.timeWeightedAvg(
+        Tables.events(s, d)
+          .withColumn("t_us", unix_micros(col("ts")))
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+        "event_type", "t_us", "event_id", "cents"),
+      Some("""WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t, event_id,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+             |g AS (SELECT key, c,
+             |        lead(t) OVER (PARTITION BY key ORDER BY t, event_id) // 1000000
+             |          - t // 1000000 AS dt_s
+             |      FROM e)
+             |SELECT key, sum(c * dt_s) // nullif(sum(dt_s), 0) AS twa_cents,
+             |       CAST(sum(dt_s) AS BIGINT) AS dwell_s,
+             |       CAST(count(*) AS BIGINT) AS n_spans
+             |FROM g WHERE dt_s IS NOT NULL GROUP BY key""".stripMargin)),
+
+    // ── Prefix-filtered exact Jaccard join at τ = 0.2 over the word sets
+    //    of the first 50 documents; the oracle is the NAIVE all-pairs
+    //    Jaccard with the same threshold — equality proves the prefix
+    //    filter lossless.
+    QueryDef("q_jaccard_prefix",
+      (s, d) => Dedup.jaccardPrefixJoin(
+        Tables.documents(s, d).filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("text")),
+        200000L),
+      Some("""WITH w AS (SELECT DISTINCT doc_id, wd AS word
+             |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+             |                 FROM documents WHERE doc_id < 50) u
+             |           WHERE wd <> ''),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM w GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                 CAST(count(*) AS BIGINT) AS inter
+             |          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT i.doc_a, i.doc_b, i.inter,
+             |       sa.sz + sb.sz - i.inter AS uni
+             |FROM inter i
+             |JOIN sizes sa ON sa.doc_id = i.doc_a
+             |JOIN sizes sb ON sb.doc_id = i.doc_b
+             |WHERE i.inter * 1000000 >= 200000 * (sa.sz + sb.sz - i.inter)""".stripMargin))
+  )
+}
