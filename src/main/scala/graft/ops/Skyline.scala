@@ -64,6 +64,58 @@ object Skyline {
     * Full rows come back by an equi-join of the input against surviving
     * levels on (x, y, z): coordinate-tied duplicates all survive together.
     */
+  /** Arbitrary-dimension skyline, ALL dimensions minimized (negate a
+    * column at the call site to maximize it — integer negation is exact).
+    * Same reduce-then-verify shape as [[skyline3D]], generalized through
+    * an array column:
+    *
+    *  1. Level reduction: per prefix (d₁..d_{k−1}), keep min(d_k) — one
+    *     groupBy shuffle; levels are bounded by the prefix domain.
+    *  2. Fixed-prefix sweep: within levels sharing d₁..d_{k−2} (every dim
+    *     but the last two), dominance needs no strict coordinate there,
+    *     so a strict-prefix running min over (d_{k−1} asc → min d_k)
+    *     kills most levels before anything quadratic — the exact
+    *     per-x sweep of [[skyline3D]], generalized to the full prefix.
+    *  3. Verification: broadcast LEFT ANTI self-join where dominance is a
+    *     fold over the dim array — `q` dominates `p` iff ∀i q[i] ≤ p[i]
+    *     and ∃i q[i] < p[i] — via `zip_with` + `forall`/`exists` (codegen
+    *     array ops, no UDF). Quadratic only on the twice-reduced levels.
+    *
+    * Rows come back by equi-joining the input on the full dim vector, so
+    * coordinate-tied duplicates survive together. Callers bucket
+    * continuous dims first, exactly as in 2-D/3-D.
+    */
+  def skylineND(points: DataFrame, dimCols: Seq[String]): DataFrame = {
+    require(dimCols.size >= 2, "need at least 2 dimensions")
+    val k = dimCols.size
+    val dims = array(dimCols.map(c => col(c).cast("long")): _*)
+    val pts = points.withColumn("_sk_dims", dims)
+    val prefixCols = (0 until k - 1).map(i => col("_sk_dims")(i).as(s"_sk_p$i"))
+    val levels = pts
+      .groupBy(prefixCols: _*)
+      .agg(min(col("_sk_dims")(k - 1)).as("_sk_last"))
+      .select(array((0 until k - 1).map(i => col(s"_sk_p$i")) :+ col("_sk_last"): _*)
+        .as("_sk_dims"))
+    val sweepPrefix =
+      if (k == 2) Seq(lit(0)) // single global sweep — degenerates to 2-D
+      else (0 until k - 2).map(i => col("_sk_dims")(i))
+    val perFirst = Window.partitionBy(sweepPrefix: _*)
+      .orderBy(col("_sk_dims")(k - 2).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = levels
+      .withColumn("_sk_better", min(col("_sk_dims")(k - 1)).over(perFirst))
+      .filter(col("_sk_better").isNull || col("_sk_dims")(k - 1) < col("_sk_better"))
+      .drop("_sk_better")
+      .localCheckpoint(true)
+    val dominated = expr(
+      """forall(zip_with(_sk_q, _sk_p, (q, p) -> q <= p), x -> x)
+        | AND exists(zip_with(_sk_q, _sk_p, (q, p) -> q < p), x -> x)""".stripMargin)
+    val surviving = pre.select(col("_sk_dims").as("_sk_p"))
+      .join(broadcast(pre.select(col("_sk_dims").as("_sk_q"))), dominated, "left_anti")
+    pts.join(broadcast(surviving), pts("_sk_dims") === col("_sk_p"))
+      .drop("_sk_dims", "_sk_p")
+  }
+
   def skyline3D(points: DataFrame, xCol: String, yCol: String,
                 zCol: String): DataFrame = {
     // internal names prefixed so inputs named x/y/z don't become ambiguous

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, Graph, Quantiles, TimeSeries}
+import graft.ops.{Dedup, Graph, Quantiles, Skyline, TimeSeries}
 
 /** Round-8 extensions: weighted-teleport PPR, BFS shortest hops,
   * common-neighbor link prediction, exact selection-based percentiles,
@@ -138,6 +138,38 @@ object Round8Queries {
              |       CAST(sum(dt_s) AS BIGINT) AS dwell_s,
              |       CAST(count(*) AS BIGINT) AS n_spans
              |FROM g WHERE dt_s IS NOT NULL GROUP BY key""".stripMargin)),
+
+    // ── 4-D skyline over lineitem: maximize quantity (negated), minimize
+    //    price bucket, discount, tax. The oracle level-reduces the same
+    //    way before its quadratic NOT EXISTS, which is sound because a
+    //    level-dominated vector's dominatees are covered by the level min
+    //    (transitivity) — so skyline(levels) = skyline(all vectors).
+    QueryDef("q_skyline_4d",
+      (s, d) => Skyline.skylineND(
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          (-col("l_quantity").cast("long")).as("neg_qty"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div 1000000")
+            .as("price_b"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("disc_e2"),
+          floor(col("l_tax") * 100 + 0.5).cast("long").as("tax_e2")),
+        Seq("neg_qty", "price_b", "disc_e2", "tax_e2")),
+      Some("""WITH t AS (SELECT l_orderkey, l_linenumber,
+             |                 -CAST(l_quantity AS BIGINT) AS neg_qty,
+             |                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 1000000 AS price_b,
+             |                 CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_e2,
+             |                 CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_e2
+             |          FROM lineitem),
+             |lv AS (SELECT neg_qty, price_b, disc_e2, min(tax_e2) AS tax_e2
+             |       FROM t GROUP BY 1, 2, 3),
+             |sky AS (SELECT * FROM lv p WHERE NOT EXISTS (
+             |          SELECT 1 FROM lv q
+             |          WHERE q.neg_qty <= p.neg_qty AND q.price_b <= p.price_b
+             |            AND q.disc_e2 <= p.disc_e2 AND q.tax_e2 <= p.tax_e2
+             |            AND (q.neg_qty < p.neg_qty OR q.price_b < p.price_b
+             |                 OR q.disc_e2 < p.disc_e2 OR q.tax_e2 < p.tax_e2)))
+             |SELECT t.* FROM t
+             |JOIN sky USING (neg_qty, price_b, disc_e2, tax_e2)""".stripMargin)),
 
     // ── Prefix-filtered exact Jaccard join at τ = 0.2 over the word sets
     //    of the first 50 documents; the oracle is the NAIVE all-pairs

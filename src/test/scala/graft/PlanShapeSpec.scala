@@ -39,7 +39,13 @@ class PlanShapeSpec extends SparkSpec {
     ("q_sliding_distinct", 1, 0), // explode(3×) preserves the one shuffle
     // points-agg runs twice (level build + join-back: deliberate re-scan
     // trade) + level agg + per-x window; levels checkpointed, 2 broadcasts
-    ("q_skyline_3d", 4, 2))
+    ("q_skyline_3d", 4, 2),
+    ("q_time_weighted_avg", 1, 0), // lead window + agg share one keyed shuffle
+    ("q_ewma_smooth", 1, 0),       // sort+fold inside one keyed aggregate
+    ("q_rfm_segments", 1, 0),      // 1 hash agg; ntile singles are by design
+    ("q_retention_day7", 3, 0),    // distinct + shifted re-key + day agg
+    ("q_common_neighbors", 3, 0),  // wedge join + pair agg + anti-join
+    ("q_jaccard_prefix", 4, 1))    // rank/prefix + cand join + 2 verify joins
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
