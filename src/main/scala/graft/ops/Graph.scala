@@ -287,6 +287,72 @@ object Graph {
     pr.withColumn("n_rounds", lit(rounds.toLong))
   }
 
+  /** Resource-allocation link prediction (Zhou–Lü–Zhang): distance-2
+    * pairs scored Σ_z 1/deg(z) over common neighbors z — hubs contribute
+    * less than tight mutual friends, which beats the raw count when
+    * degree is skewed. The per-term reciprocal is the e6 truncating
+    * integer 1e6 div deg(z), summed — portable, no FP. Returns canonical
+    * pairs (a < b, not adjacent) with both `n_common` and `ra_e6`.
+    *
+    * Same wedge join as [[commonNeighbors]] plus one pre-join of the
+    * degree table onto the pivot side (degree rides the wedge row, so no
+    * post-aggregation join).
+    */
+  def resourceAllocation(edges: DataFrame, minCommon: Long): DataFrame = {
+    val und = canonical(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u").as("z")).agg(count(lit(1)).as("degz"))
+    val wedge = adj.as("l")
+      .join(adj.as("r"), col("l.v") === col("r.u") && col("l.u") < col("r.v"))
+      .join(deg, col("l.v") === col("z"))
+      .select(col("l.u").as("a"), col("r.v").as("b"),
+        expr("1000000L div degz").as("ra"))
+    wedge.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("ra")).as("ra_e6"))
+      .join(und, Seq("a", "b"), "left_anti")
+      .filter(col("n_common") >= minCommon)
+  }
+
+  /** Single-source-set WEIGHTED shortest path cost, bounded at `maxHops`
+    * edges — iterative relaxation: round h improves every node reachable
+    * by an h-edge path, so after H rounds the result is exactly
+    * "cheapest cost using ≤ H hops" (equal to the true shortest path
+    * once H ≥ the hop count of the optimal path — Bellman-Ford without
+    * the negative-cycle worry: weights must be positive integers).
+    *
+    * Scale: per round one join (dist ⋈ edges on src) + one min-aggregate
+    * by node — the same 2-shuffle round as [[pageRank]], with
+    * checkpoint-truncated lineage. Early exit when a round improves
+    * nothing (one scalar count action per round).
+    */
+  def shortestPaths(nodes: DataFrame, edges: DataFrame, sourceCol: String,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, "maxHops must be in [1, 64]")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = nodes.filter(col(sourceCol))
+      .select(col("id"), lit(0L).as("cost")).localCheckpoint(true)
+    var hops = 0
+    var done = false
+    while (hops < maxHops && !done) {
+      hops += 1
+      val relaxed = dist.join(e, dist("id") === e("src"))
+        .select(e("dst").as("id"), (col("cost") + col("w")).as("cost"))
+        .unionByName(dist)
+        .groupBy(col("id")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      val improved = relaxed.as("n").join(dist.as("o"),
+          col("n.id") === col("o.id"), "left")
+        .filter(col("o.cost").isNull || col("n.cost") < col("o.cost"))
+        .count()
+      if (improved == 0L) done = true
+      dist = relaxed
+    }
+    dist
+  }
+
   /** Exact triangle count. Each triangle {x<y<z} is counted exactly once
     * by wedging its two lowest edges and checking the closing edge:
     * (x,y)⋈(y,z) exists ∧ (x,z) exists.

@@ -108,4 +108,60 @@ object Quantiles {
     }
     rows.toDF("p_e6", "k", "n_rows", "value")
   }
+
+  /** GROUPED exact percentile — the per-key k-th order statistic, fully
+    * distributed (no driver-side loop over groups, unlike
+    * [[exactPercentiles]]' scalar histogram): every stage is a
+    * group-keyed aggregate, window, or join, so a million groups cost
+    * the same plan as five.
+    *
+    *  1. per-group (lo, hi, n) stats → target rank k = ⌈p·n⌉ and an
+    *     integer bucket width covering the group's own domain;
+    *  2. per-(group, bin) histogram; a cumulative window per group pins
+    *     each group's landing bin and residual rank;
+    *  3. rows of the landing bin only (equi-join on group + bin-range
+    *     filter) get a per-group row_number; rn = residual selects the
+    *     value. Ranking only orders by value, so ties pick a
+    *     deterministic VALUE even though row order among equals isn't.
+    *
+    * ~4 exchanges, all hash-partitioned by group; the quadratic risk of
+    * percentile-buffering UDAFs (full per-group value lists in memory)
+    * never appears — per-group state is `bins` counters.
+    */
+  def groupedPercentile(df: DataFrame, groupCol: String, valueCol: String,
+                        pE6: Long, bins: Long = 1024L): DataFrame = {
+    require(pE6 > 0L && pE6 <= 1000000L, "pE6 must be in (0, 1e6]")
+    require(bins >= 2L, "bins must be >= 2")
+    val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val stats = v.groupBy(col("g"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+      .withColumn("k", expr(s"(n * ${pE6}L + 999999) div 1000000"))
+      .withColumn("width", greatest(lit(1L), expr(s"(hi - lo + ${bins}L) div ${bins}L")))
+    val joined = v.join(stats, "g")
+    val hist = joined
+      .groupBy(col("g"), expr("(v - lo) div width").as("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        first(col("k")).as("k"), first(col("lo")).as("lo"),
+        first(col("width")).as("width"), first(col("n")).as("n"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val landing = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .filter(col("cum") >= col("k"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("bin"))))
+      .filter(col("rn") === 1)
+      .select(col("g"), col("k"), col("n"),
+        (col("k") - (col("cum") - col("cnt"))).as("residual"),
+        (col("lo") + col("bin") * col("width")).as("b_lo"),
+        (col("lo") + (col("bin") + 1) * col("width") - 1).as("b_hi"))
+    v.join(landing, "g")
+      .filter(col("v") >= col("b_lo") && col("v") <= col("b_hi"))
+      .withColumn("vrn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+      .filter(col("vrn") === col("residual"))
+      .select(col("g"), lit(pE6).as("p_e6"), col("k"), col("n").as("n_rows"),
+        col("v").as("value"))
+  }
 }

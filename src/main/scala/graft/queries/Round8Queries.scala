@@ -139,6 +139,80 @@ object Round8Queries {
              |       CAST(count(*) AS BIGINT) AS n_spans
              |FROM g WHERE dt_s IS NOT NULL GROUP BY key""".stripMargin)),
 
+    // ── Resource-allocation link prediction: common neighbors weighted
+    //    1/deg(z) as e6 truncating integers — hubs count less.
+    QueryDef("q_resource_allocation",
+      (s, d) => {
+        val (_, edges) = graphNodesEdges(s, d)
+        Graph.resourceAllocation(
+          edges.select(col("src").as("a"), col("dst").as("b")), 2L)
+      },
+      Some(graphSql +
+        """,
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |        FROM e WHERE src <> dst),
+          |adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+          |deg AS (SELECT u AS z, count(*) AS degz FROM adj GROUP BY u),
+          |wedge AS (SELECT l.u AS a, r.v AS b, 1000000 // deg.degz AS ra
+          |          FROM adj l JOIN adj r ON l.v = r.u AND l.u < r.v
+          |          JOIN deg ON deg.z = l.v),
+          |scored AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+          |                  CAST(sum(ra) AS BIGINT) AS ra_e6
+          |           FROM wedge GROUP BY a, b)
+          |SELECT s.a, s.b, s.n_common, s.ra_e6 FROM scored s
+          |LEFT JOIN und ON und.a = s.a AND und.b = s.b
+          |WHERE und.a IS NULL AND s.n_common >= 2""".stripMargin)),
+
+    // ── Bounded-hop weighted shortest paths from the seed set
+    //    {id % 25 = 0}: edge cost 1 on ring edges, 3 on chords; ≤ 8 hops.
+    QueryDef("q_shortest_paths",
+      (s, d) => {
+        val nodes = Tables.part(s, d)
+          .select((col("p_partkey") % 100).as("id")).distinct()
+          .withColumn("is_src", col("id") % 25 === 0)
+        val edges = nodes
+          .select(col("id").as("src"), ((col("id") + 1) % 100).as("dst"),
+            lit(1L).as("w"))
+          .unionByName(nodes.filter(col("id") % 3 === 0)
+            .select(col("id").as("src"),
+              ((col("id") * col("id") + 7) % 100).as("dst"), lit(3L).as("w")))
+        Graph.shortestPaths(nodes, edges, "is_src", 8)
+      },
+      Some(("""WITH nodes AS (SELECT DISTINCT p_partkey % 100 AS id FROM part),
+             |e AS (SELECT src, dst, min(w) AS w FROM (
+             |        SELECT id AS src, (id + 1) % 100 AS dst, 1 AS w FROM nodes
+             |        UNION ALL
+             |        SELECT id AS src, (id * id + 7) % 100 AS dst, 3 AS w
+             |        FROM nodes WHERE id % 3 = 0) u
+             |      GROUP BY src, dst),
+             |sp AS (
+             |  SELECT id, CAST(0 AS BIGINT) AS cost, 0 AS hops
+             |  FROM nodes WHERE id % 25 = 0
+             |  UNION
+             |  SELECT e.dst AS id, sp.cost + e.w AS cost, sp.hops + 1 AS hops
+             |  FROM sp JOIN e ON e.src = sp.id WHERE sp.hops < 8)
+             |SELECT id, min(cost) AS cost FROM sp GROUP BY id""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // ── Grouped exact median: per return-flag median of extended price
+    //    cents via the distributed per-group histogram selection.
+    QueryDef("q_grouped_median",
+      (s, d) => Quantiles.groupedPercentile(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents")),
+        "l_returnflag", "cents", 500000L),
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+             |                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+             |           FROM lineitem),
+             |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             |              (count(*) * 500000 + 999999) // 1000000 AS k
+             |       FROM v GROUP BY g),
+             |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+             |      FROM v)
+             |SELECT r.g, CAST(500000 AS BIGINT) AS p_e6, st.k, st.n AS n_rows,
+             |       r.v AS value
+             |FROM r JOIN st ON st.g = r.g AND r.rn = st.k""".stripMargin)),
+
     // ── 4-D skyline over lineitem: maximize quantity (negated), minimize
     //    price bucket, discount, tax. The oracle level-reduces the same
     //    way before its quadratic NOT EXISTS, which is sound because a
