@@ -68,4 +68,33 @@ object Anomaly {
         sum((col("s") > thresholdCents).cast("long")).as("n_alarms"),
         max(col("s")).as("max_cusum_cents"))
   }
+
+  /** Robust outlier profile via MEDIAN / MAD instead of mean / stddev:
+    * a single wild value drags a z-score profile's own baseline toward
+    * itself (masking), while the median and the median absolute
+    * deviation have a 50% breakdown point. Flags |v − med| > k·MAD.
+    *
+    * Composes [[Quantiles.groupedPercentile]] twice — once for the
+    * per-group median, once for the median of absolute deviations — so
+    * every stage stays group-keyed and integer-exact (the k·MAD compare
+    * is a cross-multiplied integer test; no FP, no percentile
+    * buffering). Returns per group: median, MAD, point count, and the
+    * outlier count at threshold `k` (integer multiplier).
+    */
+  def madProfile(df: DataFrame, grpCol: String, valueCol: String,
+                 k: Long = 3L): DataFrame = {
+    require(k >= 1L, "k must be >= 1")
+    val v = df.select(col(grpCol).as("g"), col(valueCol).cast("long").as("v"))
+    val med = Quantiles.groupedPercentile(v, "g", "v", 500000L)
+      .select(col("g"), col("value").as("med"))
+    val dev = v.join(med, "g").withColumn("adev", abs(col("v") - col("med")))
+    val mad = Quantiles.groupedPercentile(dev, "g", "adev", 500000L)
+      .select(col("g"), col("value").as("mad"))
+    dev.join(mad, "g")
+      .groupBy(col("g"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_points"),
+        sum((col("adev") > lit(k) * col("mad")).cast("long")).as("n_outliers"))
+      .select(col("g"), col("med"), col("mad"), col("n_points"),
+        col("n_outliers"))
+  }
 }

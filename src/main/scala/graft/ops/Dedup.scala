@@ -301,6 +301,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 
+  /** WEIGHTED (term-frequency) Jaccard self-join: J_w(A,B) =
+    * Σ_t min(tf_A(t), tf_B(t)) / Σ_t max(tf_A(t), tf_B(t)) — repeated
+    * terms count, so boilerplate-heavy near-dups that set-Jaccard misses
+    * (same vocabulary, very different emphasis) separate cleanly. Uses
+    * the identity Σ max = tot_A + tot_B − Σ min: only the SHARED terms
+    * ever join; per-doc totals ride in from a pre-aggregate. Threshold
+    * test is cross-multiplied (min·1e6 ≥ τ·union) — all-integer.
+    *
+    * Scale: one token-count aggregate, one equi-join on the term
+    * (frequent terms dominate fan-out exactly as in [[jaccardPairs]] —
+    * the prefix filter of [[jaccardPrefixJoin]] composes here too), one
+    * pair aggregate, two broadcast-size joins for the totals.
+    */
+  def weightedJaccardPairs(docs: DataFrame, tauE6: Long): DataFrame = {
+    require(tauE6 > 0L && tauE6 <= 1000000L, "tauE6 must be in (0, 1e6]")
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("tot"))
+    val shared = tf.as("a").join(tf.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(least(col("a.tf"), col("b.tf"))).as("wmin"))
+    shared
+      .join(tot.select(col("doc_id").as("doc_a"), col("tot").as("tota")), "doc_a")
+      .join(tot.select(col("doc_id").as("doc_b"), col("tot").as("totb")), "doc_b")
+      .withColumn("wuni", col("tota") + col("totb") - col("wmin"))
+      .filter(col("wmin") * lit(1000000L) >= lit(tauE6) * col("wuni"))
+      .select(col("doc_a"), col("doc_b"), col("wmin"), col("wuni"))
+  }
+
   def jaccardPairs(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "").distinct()

@@ -353,6 +353,47 @@ object Graph {
     dist
   }
 
+  /** k-core of the undirected graph: the maximal subgraph where every
+    * node keeps degree ≥ k — the standard "dense enough to matter"
+    * filter before community detection or as a spam/bot screen.
+    * Iterative peeling: drop nodes under degree k, recompute, repeat;
+    * deletion cascades down chains, and the fixpoint is reached in at
+    * most diameter-ish rounds. Peeling is idempotent at the fixpoint, so
+    * an oracle unrolling MORE rounds than convergence took computes the
+    * identical core — the same fixed-unroll trick as the PageRank
+    * oracles. Returns surviving (id, deg) — degrees WITHIN the core.
+    *
+    * Scale: per round one degree aggregate + two semi-joins, all keyed
+    * by node id; edges checkpoint per round (lineage truncation), early
+    * exit on a stable edge count (one scalar action per round).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1 && maxRounds >= 1 && maxRounds <= 64,
+      "need k >= 1 and maxRounds in [1, 64]")
+    var e = canonical(edges).localCheckpoint(true)
+    var n = e.count()
+    var rounds = 0
+    var done = n == 0L
+    while (rounds < maxRounds && !done) {
+      rounds += 1
+      val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+        .localCheckpoint(true)
+      val e2 = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      done = n2 == n
+      e = e2
+      n = n2
+    }
+    e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Exact triangle count. Each triangle {x<y<z} is counted exactly once
     * by wedging its two lowest edges and checking the closing edge:
     * (x,y)⋈(y,z) exists ∧ (x,z) exists.

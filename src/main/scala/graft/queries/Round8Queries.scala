@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, Graph, Quantiles, Skyline, TimeSeries}
+import graft.ops.{Anomaly, Dedup, Graph, Quantiles, Skyline, TimeSeries}
 
 /** Round-8 extensions: weighted-teleport PPR, BFS shortest hops,
   * common-neighbor link prediction, exact selection-based percentiles,
@@ -51,7 +51,96 @@ object Round8Queries {
     (nodes, edges)
   }
 
+  /** Unrolled k-core peeling oracle on the broken-ring graph: ring edges
+    * except multiples of 7 (chains with loose ends) + the quadratic
+    * chords; `rounds` must be ≥ the peeling convergence depth. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH nodes AS (SELECT DISTINCT p_partkey % 100 AS id FROM part),
+        |raw AS (SELECT id AS src, (id + 1) % 100 AS dst FROM nodes WHERE id % 7 <> 0
+        |        UNION
+        |        SELECT id AS src, (id * id + 7) % 100 AS dst FROM nodes WHERE id % 3 = 0),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM raw WHERE src <> dst)""".stripMargin
+    // MATERIALIZED: each CTE is referenced 3-4 times; default inlining
+    // would expand the chain exponentially (DuckDB runs out of file
+    // handles re-opening the base parquet ~4^rounds times)
+    val its = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT id FROM (SELECT id, count(*) AS c FROM (
+         |          SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) u
+         |        GROUP BY id) d WHERE c >= $k),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i x ON x.id = e.a JOIN k$i y ON y.id = e.b)""".stripMargin
+    }
+    (head +: its).mkString(",\n") +
+      s"""\nSELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds) u
+         |GROUP BY id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+
+    // ── Weighted (term-frequency) Jaccard at τ = 0.3: repeated terms
+    //    count via Σmin / (totA + totB − Σmin).
+    QueryDef("q_jaccard_weighted",
+      (s, d) => Dedup.weightedJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("text")),
+        300000L),
+      Some("""WITH tf AS (SELECT doc_id, wd AS word, CAST(count(*) AS BIGINT) AS tf
+             |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+             |                  FROM documents WHERE doc_id < 50) u
+             |            WHERE wd <> '' GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(tf) AS tot FROM tf GROUP BY doc_id),
+             |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |              sum(least(a.tf, b.tf)) AS wmin
+             |       FROM tf a JOIN tf b ON a.word = b.word AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT sh.doc_a, sh.doc_b, CAST(sh.wmin AS BIGINT) AS wmin,
+             |       CAST(ta.tot + tb.tot - sh.wmin AS BIGINT) AS wuni
+             |FROM sh JOIN tot ta ON ta.doc_id = sh.doc_a
+             |        JOIN tot tb ON tb.doc_id = sh.doc_b
+             |WHERE sh.wmin * 1000000 >= 300000 * (ta.tot + tb.tot - sh.wmin)""".stripMargin)),
+
+    // ── Robust per-type outliers: |v − median| > 3·MAD, all integer.
+    QueryDef("q_mad_outliers",
+      (s, d) => Anomaly.madProfile(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "event_type", "cents", 3L),
+      Some("""WITH v AS (SELECT event_type AS g,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             |           FROM events),
+             |st AS (SELECT g, count(*) AS n,
+             |              (count(*) * 500000 + 999999) // 1000000 AS k1 FROM v GROUP BY g),
+             |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM v),
+             |med AS (SELECT r.g, r.v AS med FROM r JOIN st ON st.g = r.g AND r.rn = st.k1),
+             |dv AS (SELECT v.g, abs(v.v - med.med) AS adev, med.med
+             |       FROM v JOIN med ON med.g = v.g),
+             |r2 AS (SELECT g, adev, row_number() OVER (PARTITION BY g ORDER BY adev) AS rn
+             |       FROM dv),
+             |mad AS (SELECT r2.g, r2.adev AS mad FROM r2
+             |        JOIN st ON st.g = r2.g AND r2.rn = st.k1)
+             |SELECT dv.g, dv.med, mad.mad, CAST(count(*) AS BIGINT) AS n_points,
+             |       CAST(sum(CASE WHEN dv.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_outliers
+             |FROM dv JOIN mad ON mad.g = dv.g
+             |GROUP BY dv.g, dv.med, mad.mad""".stripMargin)),
+
+    // ── 2-core of the broken-ring graph: chain tails peel away in
+    //    cascading rounds; only cycle-supported structure survives.
+    QueryDef("q_kcore",
+      (s, d) => {
+        val nodes = Tables.part(s, d)
+          .select((col("p_partkey") % 100).as("id")).distinct()
+        val edges = nodes.filter(col("id") % 7 =!= 0)
+          .select(col("id").as("a"), ((col("id") + 1) % 100).as("b"))
+          .unionByName(nodes.filter(col("id") % 3 === 0)
+            .select(col("id").as("a"), ((col("id") * col("id") + 7) % 100).as("b")))
+        Graph.kCore(edges, 2, 16)
+      },
+      Some(kCoreSql(2, 16))),
 
     // ── PPR with a weighted teleport vector: portfolio mass 50/30/20 over
     //    seeds {0, 30, 60} — "importance relative to this portfolio".
