@@ -17,7 +17,8 @@ object Registry {
       queries.WindowingQueries.defs ++ queries.CurationQueries.defs ++
       queries.Round3Queries.defs ++ queries.BehaviorQueries.defs ++
       queries.Round6Queries.defs ++ queries.Round7Queries.defs ++
-      queries.Round7bQueries.defs ++ queries.Round8Queries.defs
+      queries.Round7bQueries.defs ++ queries.Round8Queries.defs ++
+      queries.Round9Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

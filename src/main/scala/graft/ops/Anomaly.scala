@@ -81,6 +81,43 @@ object Anomaly {
     * buffering). Returns per group: median, MAD, point count, and the
     * outlier count at threshold `k` (integer multiplier).
     */
+  /** Single changepoint per key: the split of the time-ordered series
+    * maximizing the between-segment mean shift — the scan-statistic
+    * core of CUSUM-style offline change detection. For split i
+    * (1 ≤ i < n), score = |mean(1..i) − mean(i+1..n)| as the e6
+    * truncating integer |S₁·n₂ − S₂·n₁|·1e6 div (n₁·n₂·1)… i.e. the
+    * cross-multiplied difference over the product of sizes — exact
+    * integer, no FP. Ties break to the EARLIEST split. Returns per key:
+    * (split_t — last point of the left segment, score_e6, n).
+    *
+    * One ordered window pass builds prefix sums; the argmax is
+    * max(struct(score, −rn)) — lexicographic struct max, total order,
+    * deterministic — so the whole thing is ONE keyed exchange.
+    * Long-range: S·n·1e6 must fit a long — cents totals to ~1e8 with
+    * ~1e4-point keys are safe; re-scale cents first beyond that.
+    */
+  def changepoint(df: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, centsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("key")).orderBy(col("t"), col("tie"))
+    val all = Window.partitionBy(col("key"))
+    df.select(col(keyCol).as("key"), col(tsCol).as("t"),
+        col(tieCol).as("tie"), col(centsCol).as("c"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("s1", sum(col("c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s", sum(col("c")).over(all))
+      .filter(col("rn") < col("n")) // split after rn: needs a right segment
+      .withColumn("score_e6",
+        expr("abs(s1 * (n - rn) - (s - s1) * rn) * 1000000 div (rn * (n - rn))"))
+      .groupBy(col("key"))
+      .agg(max(struct(col("score_e6"), (-col("rn")).as("neg_rn"),
+        col("t").as("split_t"), col("n").as("nn"))).as("best"))
+      .select(col("key"), col("best.split_t").as("split_t"),
+        col("best.score_e6").as("score_e6"), col("best.nn").as("n"))
+  }
+
   def madProfile(df: DataFrame, grpCol: String, valueCol: String,
                  k: Long = 3L): DataFrame = {
     require(k >= 1L, "k must be >= 1")

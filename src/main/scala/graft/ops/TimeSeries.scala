@@ -47,6 +47,40 @@ object TimeSeries {
     * shape as the funnel fold. Emits the final smoothed value per key
     * (the online estimate "now"), plus the count folded in.
     */
+  /** Per-key linear TREND: least-squares slope
+    * (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²) over the key's (t seconds,
+    * value cents) points, in cents/second rounded to 6 dp. Time is
+    * CENTERED per key (t′ = t − min t) before squaring — epoch seconds
+    * squared (~3e18) would overflow — and the moment sums stay exact
+    * longs; only the FINAL ratio runs in doubles (explicit casts, IEEE
+    * ·, −, /, round only — the repo's cross-engine-deterministic double
+    * convention), because n·Σty at million-row keys exceeds the long
+    * range that truncating-integer e6 scaling would need, and engines
+    * disagree on wrap behavior (DuckDB promotes to HUGEINT, Spark
+    * wraps). Centering shifts the intercept, never the slope.
+    *
+    * One min-window + one aggregate, both keyed — ONE exchange. Keys
+    * with a degenerate time spread (all one second) emit NULL slope.
+    */
+  def trendSlope(df: DataFrame, keyCol: String, tsMicrosCol: String,
+                 centsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+    df.select(col(keyCol).as("key"),
+        expr(s"$tsMicrosCol div 1000000").as("t"), col(centsCol).as("c"))
+      .withColumn("t0", min(col("t")).over(w))
+      .withColumn("tc", col("t") - col("t0"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("tc")).as("st"),
+        sum(col("c")).as("sy"), sum(expr("tc * c")).as("sty"),
+        sum(expr("tc * tc")).as("stt"))
+      .select(col("key"), col("n"),
+        expr("""round((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                / nullif(CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), CAST(0 AS DOUBLE)),
+                6)""").as("slope"))
+  }
+
   /** Per-key TIME-weighted average (TWAP shape): each observation is
     * weighted by how long it was "current" — the gap to the next
     * observation in seconds — so a price that held for an hour counts

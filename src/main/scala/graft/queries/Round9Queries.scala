@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.{Anomaly, Incremental, TimeSeries}
+
+/** Round-9 extensions: integer least-squares trends, incremental
+  * aggregate maintenance (the materialized-view delta path), and offline
+  * changepoint scanning. All-integer arithmetic throughout.
+  */
+object Round9Queries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Per-type linear trend of event values: e6 cents-per-second
+    //    least-squares slope on centered time, all integer.
+    QueryDef("q_trend_slope",
+      (s, d) => TimeSeries.trendSlope(
+        Tables.events(s, d)
+          .withColumn("t_us", unix_micros(col("ts")))
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+        "event_type", "t_us", "cents"),
+      Some("""WITH e AS (SELECT event_type AS key, epoch_us(ts) // 1000000 AS t,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv
+             |           FROM events),
+             |ctr AS (SELECT key, t - min(t) OVER (PARTITION BY key) AS tc, cv FROM e),
+             |g AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(tc) AS BIGINT) AS st,
+             |             CAST(sum(cv) AS BIGINT) AS sy,
+             |             CAST(sum(tc * cv) AS BIGINT) AS sty,
+             |             CAST(sum(tc * tc) AS BIGINT) AS stt
+             |      FROM ctr GROUP BY key)
+             |SELECT key, n,
+             |       round((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+             |               - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             |             / nullif(CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+             |               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE),
+             |               CAST(0 AS DOUBLE)), 6) AS slope
+             |FROM g""".stripMargin)),
+
+    // ── Materialized-aggregate maintenance: base excludes orderkey % 10
+    //    = 0; the change feed inserts those and deletes base rows with
+    //    orderkey % 7 = 0. The oracle recomputes the final set directly
+    //    — equality proves delta-merge ≡ full recompute.
+    QueryDef("q_incremental_agg",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority").as("g"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+        val base = o.filter(col("o_orderkey") % 10 =!= 0)
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"))
+        val changes = o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("g"), col("v"), lit(1L).as("op"))
+          .unionByName(o.filter(col("o_orderkey") % 10 =!= 0 &&
+              col("o_orderkey") % 7 === 0)
+            .select(col("g"), col("v"), lit(-1L).as("op")))
+        Incremental.maintainAgg(base, changes)
+      },
+      Some("""SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |         AS total
+             |FROM orders
+             |WHERE o_orderkey % 10 = 0
+             |   OR (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)
+             |GROUP BY 1""".stripMargin)),
+
+    // ── Offline changepoint: the split maximizing the between-segment
+    //    mean shift per event type (earliest split on ties).
+    QueryDef("q_changepoint",
+      (s, d) => Anomaly.changepoint(
+        Tables.events(s, d)
+          .withColumn("t_us", unix_micros(col("ts")))
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+        "event_type", "t_us", "event_id", "cents"),
+      Some("""WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t, event_id,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv
+             |           FROM events),
+             |w AS (SELECT key, t,
+             |             row_number() OVER (PARTITION BY key ORDER BY t, event_id) AS rn,
+             |             sum(cv) OVER (PARTITION BY key ORDER BY t, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS s1,
+             |             CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+             |             sum(cv) OVER (PARTITION BY key) AS s
+             |      FROM e),
+             |sc AS (SELECT key, t, rn, n,
+             |              abs(s1 * (n - rn) - (s - s1) * rn) * 1000000
+             |                // (rn * (n - rn)) AS score_e6
+             |       FROM w WHERE rn < n),
+             |r AS (SELECT key, t, score_e6, n,
+             |             row_number() OVER (PARTITION BY key
+             |                                ORDER BY score_e6 DESC, rn ASC) AS pick
+             |      FROM sc)
+             |SELECT key, t AS split_t, score_e6, n FROM r WHERE pick = 1""".stripMargin))
+  )
+}
