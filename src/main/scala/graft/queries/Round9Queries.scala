@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Anomaly, Incremental, TimeSeries}
+import graft.ops.{Anomaly, Incremental, Ranking, TimeSeries}
 
 /** Round-9 extensions: integer least-squares trends, incremental
   * aggregate maintenance (the materialized-view delta path), and offline
@@ -91,6 +92,39 @@ object Round9Queries {
              |             row_number() OVER (PARTITION BY key
              |                                ORDER BY score_e6 DESC, rn ASC) AS pick
              |      FROM sc)
-             |SELECT key, t AS split_t, score_e6, n FROM r WHERE pick = 1""".stripMargin))
+             |SELECT key, t AS split_t, score_e6, n FROM r WHERE pick = 1""".stripMargin)),
+
+    // ── Reciprocal rank fusion of two document rankings (by raw length,
+    //    by distinct-word count — both tie-broken on doc_id): the hybrid
+    //    lexical+vector retrieval combiner, e6 integer reciprocals.
+    QueryDef("q_rank_fusion",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        val byLen = docs.select(col("doc_id").as("id"),
+          row_number().over(
+            Window.orderBy(length(col("text")).desc, col("doc_id"))).as("rank"))
+        val byVocab = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("doc_id")).agg(countDistinct(col("w")).as("nw"))
+          .select(col("doc_id").as("id"), row_number().over(
+            Window.orderBy(col("nw").desc, col("doc_id"))).as("rank"))
+        Ranking.rrf(Seq(byLen, byVocab), 60L)
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+             |r1 AS (SELECT doc_id AS id,
+             |              row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rank
+             |       FROM d),
+             |v AS (SELECT doc_id, count(DISTINCT wd) AS nw
+             |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM d) u
+             |      WHERE wd <> '' GROUP BY doc_id),
+             |r2 AS (SELECT doc_id AS id,
+             |              row_number() OVER (ORDER BY nw DESC, doc_id) AS rank
+             |       FROM v),
+             |c AS (SELECT id, 1000000 // (60 + rank) AS c FROM r1
+             |      UNION ALL SELECT id, 1000000 // (60 + rank) FROM r2)
+             |SELECT id, CAST(sum(c) AS BIGINT) AS score_e6,
+             |       CAST(count(*) AS BIGINT) AS n_lists
+             |FROM c GROUP BY id""".stripMargin))
   )
 }

@@ -45,7 +45,13 @@ class PlanShapeSpec extends SparkSpec {
     ("q_rfm_segments", 1, 0),      // 1 hash agg; ntile singles are by design
     ("q_retention_day7", 3, 0),    // distinct + shifted re-key + day agg
     ("q_common_neighbors", 3, 0),  // wedge join + pair agg + anti-join
-    ("q_jaccard_prefix", 4, 1))    // rank/prefix + cand join + 2 verify joins
+    ("q_jaccard_prefix", 4, 1),    // rank/prefix + cand join + 2 verify joins
+    ("q_trend_slope", 1, 0),       // min-window + moment agg share one shuffle
+    ("q_changepoint", 1, 0),       // prefix sums + struct-max argmax, one keyed
+    ("q_incremental_agg", 2, 0),   // delta agg + outer merge join ONLY
+    ("q_grouped_median", 3, 0),    // stats + hist + landing select, group-keyed
+    ("q_jaccard_weighted", 3, 1),  // tf agg + shared join + totals joins
+    ("q_skyline_4d", 2, 2))        // level reduce + sweep; 2 broadcast verifies
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
