@@ -23,6 +23,41 @@ object IntervalJoin {
   /** All same-`key` pairs of `df` rows whose `tsCol` (epoch seconds)
     * differ by ≤ `tolSec`, with `idCol` ordering the pair (id_a < id_b).
     * Output: (key, id_a, id_b, ts_a, ts_b). */
+  /** Per-key interval-UNION coverage: merge overlapping-or-touching
+    * [start, end) intervals into maximal segments and report how much of
+    * the line each key actually covers — machine uptime from session
+    * logs, validity coverage from SCD2 ranges, ad exposure from
+    * impression windows. The sweep is the classic one-pass identity:
+    * order by start, a segment BREAKS where start exceeds the running
+    * max end of all earlier intervals; a running sum of break flags
+    * numbers the segments. Equal intervals merge under either tie
+    * order, so no tie column is needed — the output is deterministic.
+    *
+    * Scale: both windows and the final aggregate partition by `key` —
+    * ONE exchange, no self-join (the naive overlap join is quadratic
+    * per key; the sweep is linear).
+    */
+  def coverage(df: DataFrame, keyCol: String, startCol: String,
+               endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("key")).orderBy(col("s"), col("e"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(keyCol).as("key"), col(startCol).as("s"), col(endCol).as("e"))
+      .withColumn("prev_max", max(col("e")).over(prior))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("seg"))
+      .agg(min(col("s")).as("seg_s"), max(col("e")).as("seg_e"),
+        count(lit(1)).as("n_intervals"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("n_intervals")).as("n_intervals"),
+        sum(col("seg_e") - col("seg_s")).as("covered"))
+  }
+
   def selfPairsWithin(df: DataFrame, key: String, idCol: String, tsCol: String,
                       tolSec: Long): DataFrame = {
     require(tolSec > 0, "tolerance must be positive")

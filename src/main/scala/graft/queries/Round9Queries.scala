@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Anomaly, Incremental, Ranking, TimeSeries}
+import graft.ops.{Anomaly, Incremental, IntervalJoin, Ranking, TimeSeries}
 
 /** Round-9 extensions: integer least-squares trends, incremental
   * aggregate maintenance (the materialized-view delta path), and offline
@@ -125,6 +125,40 @@ object Round9Queries {
              |      UNION ALL SELECT id, 1000000 // (60 + rank) FROM r2)
              |SELECT id, CAST(sum(c) AS BIGINT) AS score_e6,
              |       CAST(count(*) AS BIGINT) AS n_lists
-             |FROM c GROUP BY id""".stripMargin))
+             |FROM c GROUP BY id""".stripMargin)),
+
+    // ── Interval-union coverage: every event opens a 30-minute exposure
+    //    window; per type, merged segment count and covered seconds.
+    QueryDef("q_interval_coverage",
+      (s, d) => IntervalJoin.coverage(
+        Tables.events(s, d)
+          .withColumn("t_s", expr("unix_micros(ts) div 1000000"))
+          .select(col("event_type"), col("t_s").as("s0"),
+            (col("t_s") + 1800L).as("e0")),
+        "event_type", "s0", "e0"),
+      Some("""WITH iv AS (SELECT event_type AS key,
+             |                  epoch_us(ts) // 1000000 AS s,
+             |                  epoch_us(ts) // 1000000 + 1800 AS e
+             |           FROM events),
+             |w AS (SELECT key, s, e,
+             |             max(e) OVER (PARTITION BY key ORDER BY s, e
+             |                          ROWS BETWEEN UNBOUNDED PRECEDING
+             |                          AND 1 PRECEDING) AS prev_max
+             |      FROM iv),
+             |f AS (SELECT key, s, e,
+             |             CASE WHEN prev_max IS NULL OR s > prev_max
+             |                  THEN 1 ELSE 0 END AS brk
+             |      FROM w),
+             |g AS (SELECT key, s, e,
+             |             sum(brk) OVER (PARTITION BY key ORDER BY s, e
+             |                            ROWS UNBOUNDED PRECEDING) AS seg
+             |      FROM f),
+             |seg AS (SELECT key, seg, min(s) AS seg_s, max(e) AS seg_e,
+             |               count(*) AS n_iv
+             |        FROM g GROUP BY key, seg)
+             |SELECT key, CAST(count(*) AS BIGINT) AS n_segments,
+             |       CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+             |       CAST(sum(seg_e - seg_s) AS BIGINT) AS covered
+             |FROM seg GROUP BY key""".stripMargin))
   )
 }
