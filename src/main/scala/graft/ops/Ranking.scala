@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Rank fusion for hybrid retrieval: combining a lexical ranking (BM25)
@@ -29,5 +30,38 @@ object Ranking {
     contrib.reduce(_ unionByName _)
       .groupBy(col("id"))
       .agg(sum(col("c")).as("score_e6"), count(lit(1)).as("n_lists"))
+  }
+
+  /** NDCG@k per group — ranking-quality evaluation with the engine's
+    * portable fixed-point log₂ ([[Bm25.log2E6]]: exact msb + 5-bit
+    * mantissa), so the metric hash-matches across engines where a float
+    * log never would. Linear gain (rel, not 2^rel−1); discount
+    * 1/log₂(rank+1); the IDEAL ranking orders the FULL candidate set by
+    * (rel desc, predicted rank) — predicted rank as the tie-break makes
+    * the ideal deterministic without changing IDCG (ties share rel).
+    *
+    * Input (group, rank, rel): `rank` 1-based predicted order, `rel`
+    * integer grade ≥ 0. Output per group: dcg_e6, idcg_e6, ndcg_e6.
+    * Both rank windows and the aggregate partition by group — ONE
+    * exchange.
+    */
+  def ndcgAtK(df: DataFrame, groupCol: String, rankCol: String,
+              relCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ideal = Window.partitionBy(col("g"))
+      .orderBy(col("rel").desc, col("rank"))
+    df.select(col(groupCol).as("g"), col(rankCol).as("rank"),
+        col(relCol).cast("long").as("rel"))
+      .withColumn("irank", row_number().over(ideal).cast("long"))
+      .withColumn("l2p", Bm25.log2E6(col("rank") + 1))
+      .withColumn("l2i", Bm25.log2E6(col("irank") + 1))
+      .withColumn("c_pred", when(col("rank") <= k,
+        expr("(rel * 1000000000000L) div l2p")).otherwise(lit(0L)))
+      .withColumn("c_ideal", when(col("irank") <= k,
+        expr("(rel * 1000000000000L) div l2i")).otherwise(lit(0L)))
+      .groupBy(col("g"))
+      .agg(sum(col("c_pred")).as("dcg_e6"), sum(col("c_ideal")).as("idcg_e6"))
+      .withColumn("ndcg_e6",
+        expr("dcg_e6 * 1000000 div nullif(idcg_e6, 0)"))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Anomaly, Incremental, IntervalJoin, Ranking, TimeSeries}
+import graft.ops.{Anomaly, Bm25, Incremental, IntervalJoin, Ranking, TimeSeries}
 
 /** Round-9 extensions: integer least-squares trends, incremental
   * aggregate maintenance (the materialized-view delta path), and offline
@@ -159,6 +159,39 @@ object Round9Queries {
              |SELECT key, CAST(count(*) AS BIGINT) AS n_segments,
              |       CAST(sum(n_iv) AS BIGINT) AS n_intervals,
              |       CAST(sum(seg_e - seg_s) AS BIGINT) AS covered
-             |FROM seg GROUP BY key""".stripMargin))
+             |FROM seg GROUP BY key""".stripMargin)),
+
+    // ── NDCG@10 per priority class: price ranking scored against the
+    //    synthetic relevance o_orderkey % 4 with the portable fixed-point
+    //    log₂ discount — the ranking-eval loop of a retrieval pipeline.
+    QueryDef("q_ndcg",
+      (s, d) => Ranking.ndcgAtK(
+        Tables.orders(s, d).select(col("o_orderpriority").as("g"),
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("long").as("rank"),
+          (col("o_orderkey") % 4).as("rel")),
+        "g", "rank", "rel", 10),
+      Some(s"""WITH r AS (SELECT o_orderpriority AS g,
+             |                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+             |                  CAST(o_orderkey % 4 AS BIGINT) AS rel
+             |           FROM orders),
+             |i AS (SELECT g, rank, rel,
+             |             CAST(row_number() OVER (PARTITION BY g
+             |                  ORDER BY rel DESC, rank) AS BIGINT) AS irank
+             |      FROM r),
+             |c AS (SELECT g,
+             |        CASE WHEN rank <= 10 THEN (rel * 1000000000000)
+             |             // ${Bm25.log2E6Sql("(rank + 1)")} ELSE 0 END AS cp,
+             |        CASE WHEN irank <= 10 THEN (rel * 1000000000000)
+             |             // ${Bm25.log2E6Sql("(irank + 1)")} ELSE 0 END AS ci
+             |      FROM i)
+             |SELECT g, CAST(sum(cp) AS BIGINT) AS dcg_e6,
+             |       CAST(sum(ci) AS BIGINT) AS idcg_e6,
+             |       CAST(sum(cp) * 1000000 // nullif(sum(ci), 0) AS BIGINT) AS ndcg_e6
+             |FROM c GROUP BY g""".stripMargin))
   )
 }
