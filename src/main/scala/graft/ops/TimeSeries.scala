@@ -47,6 +47,57 @@ object TimeSeries {
     * shape as the funnel fold. Emits the final smoothed value per key
     * (the online estimate "now"), plus the count folded in.
     */
+  /** NEAREST-event join: for every left row, the closest right row in
+    * time on the same key — EITHER direction, unlike the backward-only
+    * as-of join. Equidistant ties take the EARLIER right row. Built with
+    * the same union+ordered-window trick as the as-of join (no range
+    * join, no per-key quadratic): one sorted pass finds each left row's
+    * latest right-at-or-before and earliest right-after, and a final
+    * projection picks the closer. Left rows whose key has no right rows
+    * emit NULL right_id/gap.
+    *
+    * Scale: ONE exchange (the union sorts and both window frames
+    * partition by key); the quadratic "min |Δt| per left row" join this
+    * replaces is what the oracle uses — on a bounded left side — to
+    * prove the window construction right.
+    */
+  def nearestEvent(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, idCol: String): DataFrame = {
+    val l = left.select(col(keyCol).as("key"), col(tsCol).as("t"),
+      col(idCol).as("id"), lit(1).as("side"))
+    val r = right.select(col(keyCol).as("key"), col(tsCol).as("t"),
+      col(idCol).as("id"), lit(0).as("side"))
+    // side 0 < 1: a right row at the same instant sorts BEFORE the left
+    // row, so it is visible in the preceding frame with gap 0. Ties among
+    // same-t rights resolve to the SMALLEST right id on both sides, which
+    // needs opposite positional picks: id DESC for the `last`-of-prefix,
+    // id ASC for the `first`-of-suffix. Two sorts, same partitioning —
+    // still one exchange.
+    val ordPrev = Window.partitionBy(col("key"))
+      .orderBy(col("t"), col("side"), col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordNext = Window.partitionBy(col("key"))
+      .orderBy(col("t"), col("side"), col("id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val rStruct = when(col("side") === 0, struct(col("t"), col("id")))
+    l.unionByName(r)
+      .withColumn("prev_r", last(rStruct, ignoreNulls = true).over(ordPrev))
+      .withColumn("next_r", first(rStruct, ignoreNulls = true).over(ordNext))
+      .filter(col("side") === 1)
+      .withColumn("gap_prev",
+        when(col("prev_r").isNotNull, col("t") - col("prev_r.t")))
+      .withColumn("gap_next",
+        when(col("next_r").isNotNull, col("next_r.t") - col("t")))
+      .withColumn("pick_prev",
+        col("gap_prev").isNotNull &&
+          (col("gap_next").isNull || col("gap_prev") <= col("gap_next")))
+      .select(col("key"), col("id").as("left_id"),
+        when(col("pick_prev"), col("prev_r.id"))
+          .otherwise(col("next_r.id")).as("right_id"),
+        when(col("pick_prev"), col("gap_prev"))
+          .otherwise(col("gap_next")).as("gap"))
+  }
+
   /** Per-key linear TREND: least-squares slope
     * (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²) over the key's (t seconds,
     * value cents) points, in cents/second rounded to 6 dp. Time is

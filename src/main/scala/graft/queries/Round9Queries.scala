@@ -161,6 +161,31 @@ object Round9Queries {
              |       CAST(sum(seg_e - seg_s) AS BIGINT) AS covered
              |FROM seg GROUP BY key""".stripMargin)),
 
+    // ── Nearest-event join: sampled probes (event_id % 100 = 0) matched
+    //    to the closest other event of the same type in EITHER direction;
+    //    the oracle does the quadratic argmin the window trick avoids.
+    QueryDef("q_nearest_event",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+        TimeSeries.nearestEvent(
+          ev.filter(col("event_id") % 100 === 0),
+          ev.filter(col("event_id") % 100 =!= 0),
+          "event_type", "t_us", "event_id")
+      },
+      Some("""WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t,
+             |                 event_id AS id FROM events),
+             |l AS (SELECT * FROM e WHERE id % 100 = 0),
+             |r AS (SELECT * FROM e WHERE id % 100 <> 0),
+             |j AS (SELECT l.key, l.id AS left_id, r.id AS rid,
+             |             abs(r.t - l.t) AS dist, r.t AS rt
+             |      FROM l LEFT JOIN r ON r.key = l.key),
+             |p AS (SELECT key, left_id, rid, dist,
+             |             row_number() OVER (PARTITION BY key, left_id
+             |                                ORDER BY dist, rt, rid) AS pk
+             |      FROM j)
+             |SELECT key, left_id, rid AS right_id, CAST(dist AS BIGINT) AS gap
+             |FROM p WHERE pk = 1""".stripMargin)),
+
     // ── NDCG@10 per priority class: price ranking scored against the
     //    synthetic relevance o_orderkey % 4 with the portable fixed-point
     //    log₂ discount — the ranking-eval loop of a retrieval pipeline.
