@@ -27,6 +27,45 @@ object Incremental {
     * a sensible layout co-partitions; base is never re-scanned beyond
     * the join.
     */
+  /** Maintain per-group MIN/MAX under a change feed — the classic
+    * non-invertible aggregate: inserts merge in O(delta) (min of mins),
+    * but a delete that hits the current extreme invalidates it, and the
+    * only sound recovery is a per-group rebuild from the current raw
+    * rows. The scalable move is rebuilding ONLY the touched groups:
+    *
+    *  - `changes` (g, v, op ±1): inserts fold into candidate extremes;
+    *  - groups where some deleted v equals the standing min or max are
+    *    flagged (a tiny semi-join), and ONLY those groups re-aggregate
+    *    from `raw` (the caller's post-change ground truth, e.g. the
+    *    base table with the changelog applied) — at 100 TB that is a
+    *    partition-pruned rescan of the hot groups, not the world;
+    *  - untouched groups never read raw at all.
+    *
+    * Returns (g, mn, mx). Groups that vanish entirely disappear (their
+    * rebuild finds no rows); brand-new groups arrive via inserts.
+    */
+  def maintainMinMax(base: DataFrame, changes: DataFrame,
+                     raw: DataFrame): DataFrame = {
+    val ins = changes.filter(col("op") > 0).groupBy(col("g"))
+      .agg(min(col("v")).as("i_mn"), max(col("v")).as("i_mx"))
+    val touched = changes.filter(col("op") < 0)
+      .join(base, Seq("g"))
+      .filter(col("v") === col("mn") || col("v") === col("mx"))
+      .select(col("g")).distinct()
+    // least/greatest skip NULLs, so new groups (no base row) and
+    // insert-free groups fall out of the same expressions; the trailing
+    // anti-join drops ins rows of touched groups — rebuilds are
+    // authoritative for those
+    val fastPath = base.join(touched, Seq("g"), "left_anti")
+      .join(ins, Seq("g"), "full_outer")
+      .select(col("g"), least(col("mn"), col("i_mn")).as("mn"),
+        greatest(col("mx"), col("i_mx")).as("mx"))
+      .join(touched, Seq("g"), "left_anti")
+    val rebuilt = raw.join(touched, Seq("g"), "left_semi")
+      .groupBy(col("g")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    fastPath.unionByName(rebuilt)
+  }
+
   def maintainAgg(base: DataFrame, changes: DataFrame): DataFrame = {
     val delta = changes.groupBy(col("g"))
       .agg(sum(col("op")).as("d_cnt"),

@@ -32,6 +32,25 @@ object Ranking {
       .agg(sum(col("c")).as("score_e6"), count(lit(1)).as("n_lists"))
   }
 
+  /** Precision@k and MRR per group — the binary-relevance companions to
+    * [[ndcgAtK]], both from ONE aggregate over the ranked frame:
+    * prec@k = |{rank ≤ k, rel > 0}|·1e6 div k, and MRR from the minimum
+    * relevant rank (NULL mrr for groups with no relevant item at all —
+    * distinguishable from a deep first hit). Integer-exact.
+    */
+  def retrievalMetrics(df: DataFrame, groupCol: String, rankCol: String,
+                       relCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.select(col(groupCol).as("g"), col(rankCol).as("rank"),
+        col(relCol).cast("long").as("rel"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("rank") <= k && col("rel") > 0, 1L).otherwise(0L))
+          .as("n_rel_at_k"),
+        min(when(col("rel") > 0, col("rank"))).as("first_rel_rank"))
+      .withColumn("prec_e6", expr(s"n_rel_at_k * 1000000 div ${k}L"))
+      .withColumn("mrr_e6", expr("1000000 div first_rel_rank"))
+  }
+
   /** NDCG@k per group — ranking-quality evaluation with the engine's
     * portable fixed-point log₂ ([[Bm25.log2E6]]: exact msb + 5-bit
     * mantissa), so the metric hash-matches across engines where a float

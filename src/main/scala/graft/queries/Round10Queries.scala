@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.{Bm25, Incremental, Ranking, Similarity}
+
+/** Round-10 extensions: end-to-end hybrid retrieval (BM25 ∪ cosine →
+  * RRF), binary retrieval metrics, and min/max incremental maintenance.
+  */
+object Round10Queries {
+
+  /** The q_bm25_topk oracle pipeline as CTE text, LIMIT `k`. */
+  private def bm25Sql(k: Int): String = {
+    val log2 = Bm25.log2E6Sql("v")
+    s"""bm_dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |          FROM documents),
+       |bm_n AS (SELECT count(*) AS n FROM documents),
+       |bm_l AS (SELECT CAST(sum(dl) AS BIGINT) AS l FROM bm_dl),
+       |bm_tf AS (SELECT doc_id, wd AS word, count(*) AS tf
+       |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents) u
+       |          WHERE wd IN ('spark', 'join', 'fast')
+       |          GROUP BY 1, 2),
+       |bm_df AS (SELECT word, count(*) AS bm_df FROM bm_tf GROUP BY 1),
+       |bm_df2 AS (SELECT word, bm_df,
+       |                  1024 + (1024 * (2 * (bm_n.n - bm_df) + 1)) // (2 * bm_df + 1) AS v
+       |           FROM bm_df, bm_n),
+       |bm_idf AS (SELECT word, CAST($log2 - 10000000 AS BIGINT) AS idf_e6 FROM bm_df2),
+       |bm_sc AS (SELECT bm_tf.doc_id,
+       |                 CAST((bm_idf.idf_e6 * 44 * bm_l.l * bm_tf.tf)
+       |                   // (20 * bm_l.l * bm_tf.tf + 6 * bm_l.l
+       |                       + 18 * bm_dl.dl * bm_n.n) AS BIGINT) AS term_score
+       |          FROM bm_tf JOIN bm_idf USING (word) JOIN bm_dl USING (doc_id), bm_n, bm_l),
+       |bm_top AS (SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e6
+       |           FROM bm_sc GROUP BY 1
+       |           ORDER BY score_e6 DESC, doc_id ASC LIMIT $k)""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Hybrid retrieval end-to-end: BM25 top-20 (lexical) fused with
+    //    cosine top-20 (vector) by reciprocal rank — doc_id and vec_id
+    //    share the id space, so consensus ids float to the top.
+    QueryDef("q_hybrid_retrieval",
+      (s, d) => {
+        val bm = Bm25.topK(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          Seq("spark", "join", "fast"), 20)
+          .select(col("doc_id").as("id"), row_number().over(
+            Window.orderBy(col("score_e6").desc, col("doc_id")))
+            .cast("long").as("rank"))
+        val e = Similarity.cast(Tables.embeddings(s, d))
+        val cosList = Similarity.topK(
+          e.filter(col("vec_id") > 0).select(col("vec_id"), col("ev")),
+          e.filter(col("vec_id") === 0).select(col("ev").as("qv")), 20)
+          .select(col("vec_id").as("id"), row_number().over(
+            Window.orderBy(col("cos").desc, col("vec_id")))
+            .cast("long").as("rank"))
+        Ranking.rrf(Seq(bm, cosList), 60L)
+      },
+      Some(s"""WITH ${bm25Sql(20)},
+             |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+             |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id > 0),
+             |cos_top AS (SELECT vec_id,
+             |                   round(list_dot_product(ev, qv) /
+             |                         (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+             |            FROM ev, qv ORDER BY cos DESC, vec_id ASC LIMIT 20),
+             |r1 AS (SELECT doc_id AS id,
+             |              row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
+             |       FROM bm_top),
+             |r2 AS (SELECT vec_id AS id,
+             |              row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+             |       FROM cos_top),
+             |c AS (SELECT id, 1000000 // (60 + rank) AS c FROM r1
+             |      UNION ALL SELECT id, 1000000 // (60 + rank) FROM r2)
+             |SELECT id, CAST(sum(c) AS BIGINT) AS score_e6,
+             |       CAST(count(*) AS BIGINT) AS n_lists
+             |FROM c GROUP BY id""".stripMargin)),
+
+    // ── Precision@10 and MRR per priority class on the same synthetic
+    //    relevance as q_ndcg.
+    QueryDef("q_retrieval_metrics",
+      (s, d) => Ranking.retrievalMetrics(
+        Tables.orders(s, d).select(col("o_orderpriority").as("g"),
+          row_number().over(Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("long").as("rank"),
+          (col("o_orderkey") % 4).as("rel")),
+        "g", "rank", "rel", 10),
+      Some("""WITH r AS (SELECT o_orderpriority AS g,
+             |                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+             |                  CAST(o_orderkey % 4 AS BIGINT) AS rel
+             |           FROM orders)
+             |SELECT g,
+             |       CAST(sum(CASE WHEN rank <= 10 AND rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_rel_at_k,
+             |       CAST(min(CASE WHEN rel > 0 THEN rank END) AS BIGINT) AS first_rel_rank,
+             |       CAST(sum(CASE WHEN rank <= 10 AND rel > 0 THEN 1 ELSE 0 END)
+             |            * 1000000 // 10 AS BIGINT) AS prec_e6,
+             |       CAST(1000000 // min(CASE WHEN rel > 0 THEN rank END) AS BIGINT) AS mrr_e6
+             |FROM r GROUP BY g""".stripMargin)),
+
+    // ── Min/max maintenance under a change feed: deletes that hit the
+    //    standing extreme rebuild ONLY their group from the post-change
+    //    rows; the oracle recomputes everything directly.
+    QueryDef("q_incremental_minmax",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority").as("g"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+        val base = o.filter(col("o_orderkey") % 10 =!= 0)
+          .groupBy(col("g")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val changes = o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("g"), col("v"), lit(1L).as("op"))
+          .unionByName(o.filter(col("o_orderkey") % 10 =!= 0 &&
+              col("o_orderkey") % 7 === 0)
+            .select(col("g"), col("v"), lit(-1L).as("op")))
+        val raw = o.filter(col("o_orderkey") % 10 === 0 ||
+            col("o_orderkey") % 7 =!= 0)
+          .select(col("g"), col("v"))
+        Incremental.maintainMinMax(base, changes, raw)
+      },
+      Some("""SELECT o_orderpriority AS g,
+             |       CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mn,
+             |       CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mx
+             |FROM orders
+             |WHERE o_orderkey % 10 = 0
+             |   OR (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)
+             |GROUP BY 1""".stripMargin))
+  )
+}

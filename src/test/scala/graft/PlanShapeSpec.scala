@@ -51,7 +51,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_incremental_agg", 2, 0),   // delta agg + outer merge join ONLY
     ("q_grouped_median", 3, 0),    // stats + hist + landing select, group-keyed
     ("q_jaccard_weighted", 3, 1),  // tf agg + shared join + totals joins
-    ("q_skyline_4d", 2, 2))        // level reduce + sweep; 2 broadcast verifies
+    ("q_skyline_4d", 2, 2),        // level reduce + sweep; 2 broadcast verifies
+    ("q_interval_coverage", 1, 0), // sweep windows + agg share one keyed shuffle
+    ("q_nearest_event", 1, 0),     // union + two-sided windows, one exchange
+    ("q_ndcg", 2, 0),              // rank build + metric agg, both group-keyed
+    ("q_rank_fusion", 2, 0))       // vocab agg + fusion agg (global ntile singles)
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
