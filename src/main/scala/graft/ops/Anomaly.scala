@@ -97,12 +97,21 @@ object Anomaly {
     * ~1e4-point keys are safe; re-scale cents first beyond that.
     */
   def changepoint(df: DataFrame, keyCol: String, tsCol: String,
-                  tieCol: String, centsCol: String): DataFrame = {
+                  tieCol: String, centsCol: String): DataFrame =
+    cpBest(df.select(col(keyCol).as("key"), col(tsCol).as("t"),
+        col(tieCol).as("tie"), col(centsCol).as("c")), Seq("key"))
+      .select(col("key"), col("split_t"), col("score_e6"), col("n"))
+
+  /** Best single split over (t, tie, c) rows, per composite key: the
+    * shared core of [[changepoint]] and [[binarySegmentation]]. Emits
+    * (keyCols..., split_t, split_tie, score_e6, n); keys with fewer
+    * than 2 rows emit nothing (no split exists). */
+  private def cpBest(base: DataFrame, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ord = Window.partitionBy(col("key")).orderBy(col("t"), col("tie"))
-    val all = Window.partitionBy(col("key"))
-    df.select(col(keyCol).as("key"), col(tsCol).as("t"),
-        col(tieCol).as("tie"), col(centsCol).as("c"))
+    val ks = keyCols.map(col)
+    val ord = Window.partitionBy(ks: _*).orderBy(col("t"), col("tie"))
+    val all = Window.partitionBy(ks: _*)
+    base
       .withColumn("rn", row_number().over(ord))
       .withColumn("s1", sum(col("c")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -111,11 +120,45 @@ object Anomaly {
       .filter(col("rn") < col("n")) // split after rn: needs a right segment
       .withColumn("score_e6",
         expr("abs(s1 * (n - rn) - (s - s1) * rn) * 1000000 div (rn * (n - rn))"))
-      .groupBy(col("key"))
+      .groupBy(ks: _*)
       .agg(max(struct(col("score_e6"), (-col("rn")).as("neg_rn"),
-        col("t").as("split_t"), col("n").as("nn"))).as("best"))
-      .select(col("key"), col("best.split_t").as("split_t"),
-        col("best.score_e6").as("score_e6"), col("best.nn").as("n"))
+        col("t").as("split_t"), col("tie").as("split_tie"),
+        col("n").as("nn"))).as("best"))
+      .select(ks :+ col("best.split_t").as("split_t") :+
+        col("best.split_tie").as("split_tie") :+
+        col("best.score_e6").as("score_e6") :+ col("best.nn").as("n"): _*)
+  }
+
+  /** TWO-level binary segmentation: find each key's best split, cut the
+    * series there, and re-run the scan on both halves — up to three
+    * changepoints per key from two fully-distributed passes (no driver
+    * loop; the recursion depth is fixed, which is also what lets the
+    * oracle replay it as plain SQL). Output rows: (key, level, side,
+    * split_t, score_e6, n) — level 1 has side −1; level-2 rows carry
+    * the half they split (0 = left of the level-1 cut, 1 = right).
+    * Halves with fewer than 2 points produce no level-2 row.
+    *
+    * The cut boundary is the full (t, tie) pair — a timestamp tie at
+    * the split point cannot leak rows across halves.
+    */
+  def binarySegmentation(df: DataFrame, keyCol: String, tsCol: String,
+                         tieCol: String, centsCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("key"), col(tsCol).as("t"),
+      col(tieCol).as("tie"), col(centsCol).as("c"))
+    val l1 = cpBest(base, Seq("key")).localCheckpoint(true)
+    val tagged = base
+      .join(l1.select(col("key"), col("split_t").as("s_t"),
+        col("split_tie").as("s_tie")), "key")
+      .withColumn("side",
+        when(col("t") < col("s_t") ||
+          (col("t") === col("s_t") && col("tie") <= col("s_tie")), 0L)
+          .otherwise(1L))
+      .select(col("key"), col("side"), col("t"), col("tie"), col("c"))
+    val l2 = cpBest(tagged, Seq("key", "side"))
+    l1.select(col("key"), lit(1L).as("level"), lit(-1L).as("side"),
+        col("split_t"), col("score_e6"), col("n"))
+      .unionByName(l2.select(col("key"), lit(2L).as("level"), col("side"),
+        col("split_t"), col("score_e6"), col("n")))
   }
 
   def madProfile(df: DataFrame, grpCol: String, valueCol: String,

@@ -394,6 +394,47 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** k-truss of the undirected graph: the maximal subgraph where every
+    * EDGE sits in at least k−2 triangles (of the truss itself) — the
+    * edge-grained sharpening of [[kCore]], the standard community-core
+    * filter that survives hub spam (an edge needs mutual friends, not
+    * just endpoints with high degree). Iterative support peeling, same
+    * idempotent-fixpoint unroll trick for the oracle as [[kCore]].
+    * Returns surviving canonical edges with their in-truss support.
+    *
+    * Scale: per round, support is one wedge join (edges ⋈ adjacency ⋈
+    * adjacency on the two endpoints — bounded by Σ deg² like
+    * [[triangleCount]], degree-orient first at 100 TB) + a filter;
+    * edges checkpoint per round; early exit on stable edge count.
+    */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 2 && maxRounds >= 1 && maxRounds <= 64,
+      "need k >= 2 and maxRounds in [1, 64]")
+    def support(e: DataFrame): DataFrame = {
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      e.join(adj.as("na"), col("a") === col("na.u"))
+        .join(adj.as("nb"),
+          col("b") === col("nb.u") && col("na.v") === col("nb.v"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var e = canonical(edges).localCheckpoint(true)
+    var n = e.count()
+    var rounds = 0
+    var done = n == 0L
+    while (rounds < maxRounds && !done) {
+      rounds += 1
+      val e2 = support(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      val n2 = e2.count()
+      done = n2 == n
+      e = e2
+      n = n2
+    }
+    if (n == 0L) e.withColumn("support", lit(0L)).filter(lit(false))
+    else support(e)
+  }
+
   /** Exact triangle count. Each triangle {x<y<z} is counted exactly once
     * by wedging its two lowest edges and checking the closing edge:
     * (x,y)⋈(y,z) exists ∧ (x,z) exists.

@@ -47,6 +47,34 @@ object TimeSeries {
     * shape as the funnel fold. Emits the final smoothed value per key
     * (the online estimate "now"), plus the count folded in.
     */
+  /** Day-of-week seasonal profile — the "S" of an STL-lite
+    * decomposition: per (key, dow), the truncated mean level and its
+    * seasonal LIFT against the key's overall mean (both e6/cents
+    * integers: lift = sum_dow·cnt_all·1e6 div (cnt_dow·sum_all), the
+    * cross-multiplied form, so no intermediate mean truncation skews
+    * the ratio). Day-of-week from epoch days, Monday = 0 (1970-01-01
+    * was a Thursday). Callers subtract the dow mean for the
+    * deseasonalized residual and feed it to [[trendSlope]].
+    *
+    * Two keyed aggregates + a broadcast-size join of per-key totals.
+    * Long-range: s_dow·n_all·1e6 must fit a long — cents sums to ~1e8
+    * against ~1e4-row keys are safe; rescale cents beyond that.
+    */
+  def seasonalProfile(df: DataFrame, keyCol: String, tsMicrosCol: String,
+                      centsCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("key"),
+      expr(s"(($tsMicrosCol div 86400000000L) + 3) % 7").as("dow"),
+      col(centsCol).as("c"))
+    val perDow = base.groupBy(col("key"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val perKey = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_all"), sum(col("c")).as("s_all"))
+    perDow.join(perKey, "key")
+      .select(col("key"), col("dow"), col("n"),
+        expr("s div n").as("mean_cents"),
+        expr("(s * n_all * 1000000) div (n * s_all)").as("lift_e6"))
+  }
+
   /** NEAREST-event join: for every left row, the closest right row in
     * time on the same key — EITHER direction, unlike the backward-only
     * as-of join. Equidistant ties take the EARLIER right row. Built with

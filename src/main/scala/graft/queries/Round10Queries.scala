@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Bm25, Incremental, Ranking, Similarity}
+import graft.ops.{Anomaly, Bm25, Graph, Incremental, Ranking, Similarity, TimeSeries}
 
 /** Round-10 extensions: end-to-end hybrid retrieval (BM25 ∪ cosine →
   * RRF), binary retrieval metrics, and min/max incremental maintenance.
@@ -36,7 +36,122 @@ object Round10Queries {
        |           ORDER BY score_e6 DESC, doc_id ASC LIMIT $k)""".stripMargin
   }
 
+  /** Unrolled k-truss peeling oracle on the broken-ring graph (same
+    * graph as q_kcore); MATERIALIZED against exponential CTE inlining.
+    * Support of edge (a,b) = common in-truss neighbors of a and b. */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH nodes AS (SELECT DISTINCT p_partkey % 100 AS id FROM part),
+        |raw AS (SELECT id AS src, (id + 1) % 100 AS dst FROM nodes WHERE id % 7 <> 0
+        |        UNION
+        |        SELECT id AS src, (id * id + 7) % 100 AS dst FROM nodes WHERE id % 3 = 0),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM raw WHERE src <> dst)""".stripMargin
+    def supSql(i: Int): String =
+      s"""(SELECT e.a, e.b, count(*) AS support
+         | FROM e$i e
+         | JOIN (SELECT a AS u, b AS v FROM e$i UNION ALL SELECT b, a FROM e$i) na
+         |   ON e.a = na.u
+         | JOIN (SELECT a AS u, b AS v FROM e$i UNION ALL SELECT b, a FROM e$i) nb
+         |   ON e.b = nb.u AND na.v = nb.v
+         | GROUP BY e.a, e.b)""".stripMargin
+    val its = (1 to rounds).map { i =>
+      s"""e$i AS MATERIALIZED (SELECT a, b FROM ${supSql(i - 1)} s
+         |       WHERE support >= ${k - 2})""".stripMargin
+    }
+    (head +: its).mkString(",\n") +
+      s"\nSELECT a, b, CAST(support AS BIGINT) AS support FROM ${supSql(rounds)} s"
+  }
+
   def defs: Seq[QueryDef] = Seq(
+
+    // ── 4-truss of the broken-ring graph: edges need 2 in-truss
+    //    triangles; chord-crossings survive, chains evaporate.
+    QueryDef("q_ktruss",
+      (s, d) => {
+        val nodes = Tables.part(s, d)
+          .select((col("p_partkey") % 100).as("id")).distinct()
+        val edges = nodes.filter(col("id") % 7 =!= 0)
+          .select(col("id").as("a"), ((col("id") + 1) % 100).as("b"))
+          .unionByName(nodes.filter(col("id") % 3 === 0)
+            .select(col("id").as("a"), ((col("id") * col("id") + 7) % 100).as("b")))
+        Graph.kTruss(edges, 3, 8)
+      },
+      Some(kTrussSql(3, 8))),
+
+    // ── Day-of-week seasonal profile of event values per type: per-dow
+    //    truncated mean + cross-multiplied seasonal lift.
+    QueryDef("q_seasonal_profile",
+      (s, d) => TimeSeries.seasonalProfile(
+        Tables.events(s, d)
+          .withColumn("t_us", unix_micros(col("ts")))
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+        "event_type", "t_us", "cents"),
+      Some("""WITH e AS (SELECT event_type AS key,
+             |                 ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+             |           FROM events),
+             |pd AS (SELECT key, dow, CAST(count(*) AS BIGINT) AS n,
+             |              CAST(sum(c) AS BIGINT) AS s
+             |       FROM e GROUP BY key, dow),
+             |pk AS (SELECT key, CAST(count(*) AS BIGINT) AS n_all,
+             |              CAST(sum(c) AS BIGINT) AS s_all
+             |       FROM e GROUP BY key)
+             |SELECT pd.key, pd.dow, pd.n, pd.s // pd.n AS mean_cents,
+             |       (pd.s * pk.n_all * 1000000) // (pd.n * pk.s_all) AS lift_e6
+             |FROM pd JOIN pk ON pk.key = pd.key""".stripMargin)),
+
+    // ── Two-level binary segmentation: the dominant split per type plus
+    //    the best split inside each resulting half.
+    QueryDef("q_binary_segmentation",
+      (s, d) => Anomaly.binarySegmentation(
+        Tables.events(s, d)
+          .withColumn("t_us", unix_micros(col("ts")))
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+        "event_type", "t_us", "event_id", "cents"),
+      Some("""WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t, event_id AS tie,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+             |           FROM events),
+             |w1 AS (SELECT key, t, tie,
+             |              row_number() OVER (PARTITION BY key ORDER BY t, tie) AS rn,
+             |              sum(c) OVER (PARTITION BY key ORDER BY t, tie
+             |                           ROWS UNBOUNDED PRECEDING) AS s1,
+             |              CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+             |              sum(c) OVER (PARTITION BY key) AS s
+             |       FROM e),
+             |sc1 AS (SELECT key, t, tie, rn, n,
+             |               abs(s1 * (n - rn) - (s - s1) * rn) * 1000000
+             |                 // (rn * (n - rn)) AS score
+             |        FROM w1 WHERE rn < n),
+             |b1 AS (SELECT key, t AS s_t, tie AS s_tie, score, n FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY key
+             |                    ORDER BY score DESC, rn ASC) AS pick FROM sc1)
+             |       WHERE pick = 1),
+             |tag AS (SELECT e.key, e.t, e.tie, e.c,
+             |               CASE WHEN e.t < b1.s_t
+             |                      OR (e.t = b1.s_t AND e.tie <= b1.s_tie)
+             |                    THEN 0 ELSE 1 END AS side
+             |        FROM e JOIN b1 ON b1.key = e.key),
+             |w2 AS (SELECT key, side, t, tie,
+             |              row_number() OVER (PARTITION BY key, side ORDER BY t, tie) AS rn,
+             |              sum(c) OVER (PARTITION BY key, side ORDER BY t, tie
+             |                           ROWS UNBOUNDED PRECEDING) AS s1,
+             |              CAST(count(*) OVER (PARTITION BY key, side) AS BIGINT) AS n,
+             |              sum(c) OVER (PARTITION BY key, side) AS s
+             |       FROM tag),
+             |sc2 AS (SELECT key, side, t, rn, n,
+             |               abs(s1 * (n - rn) - (s - s1) * rn) * 1000000
+             |                 // (rn * (n - rn)) AS score
+             |        FROM w2 WHERE rn < n),
+             |b2 AS (SELECT key, side, t, score, n FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY key, side
+             |                    ORDER BY score DESC, rn ASC) AS pick FROM sc2)
+             |       WHERE pick = 1)
+             |SELECT key, CAST(1 AS BIGINT) AS level, CAST(-1 AS BIGINT) AS side,
+             |       s_t AS split_t, CAST(score AS BIGINT) AS score_e6, n FROM b1
+             |UNION ALL
+             |SELECT key, CAST(2 AS BIGINT), CAST(side AS BIGINT), t,
+             |       CAST(score AS BIGINT), n FROM b2""".stripMargin)),
 
     // ── Hybrid retrieval end-to-end: BM25 top-20 (lexical) fused with
     //    cosine top-20 (vector) by reciprocal rank — doc_id and vec_id

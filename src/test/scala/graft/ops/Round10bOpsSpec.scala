@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class Round10bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kTruss: 4-truss keeps K4, sheds the pendant triangle") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + triangle {4,5,6}
+    // hanging off: in the 4-truss the pendant triangle's edges have
+    // support 1 < 2 and peel away, taking {5,6} with them
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.kTruss(edges, 4, 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
+  test("kTruss: k=5 on K4 empties without diverging") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    assert(Graph.kTruss(edges, 5, 10).isEmpty)
+  }
+
+  test("seasonalProfile: dow means and cross-multiplied lift") {
+    val day = 86400000000L
+    // key a: Thu (day 0) values 10,20 -> mean 15; Fri (day 1) value 60
+    // overall mean 30 -> lift Thu = 15/30 = 0.5, Fri = 60/30 = 2.0
+    val events = Seq(("a", 0L * day, 10L), ("a", 0L * day + 5L, 20L),
+      ("a", 1L * day, 60L)).toDF("event_type", "t_us", "cents")
+    val got = TimeSeries.seasonalProfile(events, "event_type", "t_us", "cents")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // 1970-01-01 = Thursday = dow 3
+    assert(got === Set(("a", 3L, 2L, 15L, 500000L), ("a", 4L, 1L, 60L, 2000000L)))
+  }
+
+  test("binarySegmentation: three-level staircase yields both cuts") {
+    // 0,0,0 | 50,50,50 | 100,100,100 -> level-1 cut between 0s and rest
+    // is at rn=3 OR between 50s/100s (equal scores? check): means
+    // 0 vs 75 (diff 75) at rn=3; 25 vs 100 (diff 75) at rn=6 — tie,
+    // earliest wins (t=3). Level 2: left half all-0 -> best split still
+    // emitted (score 0? no: left half 0,0,0 constant -> all splits score
+    // 0, earliest chosen); right half 50,50,50,100,100,100 -> cut at t=6.
+    val events = (1L to 9L).map { i =>
+      val v = if (i <= 3) 0L else if (i <= 6) 50L else 100L
+      ("a", i, i, v)
+    }.toDF("event_type", "t_us", "event_id", "cents")
+    val got = Anomaly.binarySegmentation(events, "event_type", "t_us",
+        "event_id", "cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.contains(("a", 1L, -1L, 3L, 75000000L, 9L)))
+    assert(got.contains(("a", 2L, 1L, 6L, 50000000L, 6L)))
+    val leftL2 = got.filter(r => r._2 == 2L && r._3 == 0L)
+    assert(leftL2.size == 1 && leftL2.head._5 == 0L) // constant half: score 0
+  }
+
+  test("binarySegmentation: single-point halves emit no level-2 row") {
+    val events = Seq(("a", 1L, 1L, 0L), ("a", 2L, 2L, 100L))
+      .toDF("event_type", "t_us", "event_id", "cents")
+    val got = Anomaly.binarySegmentation(events, "event_type", "t_us",
+        "event_id", "cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 1 && got.head._2 === 1L) // only the level-1 split
+  }
+}
