@@ -92,6 +92,16 @@ object StreamFunnelWindowed {
       } else Iterator.empty
   }
 
+  /** Stateless rollup over [[attempts]] output: terminal outcomes
+    * (converted / expired) counted by (outcome, stage reached) — the
+    * live conversion dashboard. A plain streaming aggregate (run it in
+    * update mode); `advance` rows are progress deltas, not outcomes,
+    * and are excluded. */
+  def conversionCounts(attempts: Dataset[WindowedOut]): DataFrame =
+    attempts.filter(col("outcome") =!= "advance")
+      .groupBy(col("outcome"), col("stage"))
+      .count()
+
   /** `events` raw (unwatermarked); the watermark attaches here on `tsCol`
     * — event-time timers only fire as the watermark advances. */
   def attempts(events: DataFrame, entityCol: String, tsCol: String,

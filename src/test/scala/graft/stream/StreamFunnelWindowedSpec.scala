@@ -82,6 +82,36 @@ class StreamFunnelWindowedSpec extends SparkSpec {
     }
   }
 
+  test("conversionCounts: terminal outcomes aggregate by (outcome, stage)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.to_timestamp
+      val in = MemoryStream[(Long, String, String)]
+      val df = in.toDF().toDF("entity", "ts_s", "et")
+        .withColumn("ts", to_timestamp($"ts_s"))
+      val q = StreamFunnelWindowed.conversionCounts(
+          StreamFunnelWindowed.attempts(df, "entity", "ts", "et", steps, 10))
+        .writeStream.format("memory").queryName("wfc").outputMode("update").start()
+      try {
+        in.addData(
+          (1L, "2024-01-01T10:00:00Z", "view"),
+          (1L, "2024-01-01T10:01:00Z", "click"),
+          (1L, "2024-01-01T10:02:00Z", "purchase"), // converted @3
+          (2L, "2024-01-01T10:00:00Z", "view"))     // stalls @1
+        q.processAllAvailable()
+        in.addData((3L, "2024-01-01T11:00:00Z", "error")) // expire u2's timer
+        q.processAllAvailable()
+        in.addData((3L, "2024-01-01T11:01:00Z", "error"))
+        q.processAllAvailable()
+        val got = spark.table("wfc")
+          .as[(String, Int, Long)].collect()
+          .groupBy(r => (r._1, r._2)).map { case (k, vs) => k -> vs.map(_._3).max }
+        assert(got(("converted", 3)) === 1L)
+        assert(got(("expired", 1)) === 1L)
+      } finally q.stop()
+    }
+  }
+
   test("conversion deletes the timer: no phantom expiry after success") {
     run("wf3") { (in, q) =>
       in.addData(
