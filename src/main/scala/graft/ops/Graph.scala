@@ -394,6 +394,42 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** WIDEST path (maximum bottleneck capacity) from a seed set, bounded
+    * at `maxHops` edges: the max over paths of the minimum edge weight —
+    * bandwidth planning, max-flow lower bounds, "best guaranteed
+    * throughput to each node". The relax step swaps [[shortestPaths]]'
+    * (min, +) semiring for (max, min): cap′(v) = max(cap(v),
+    * max over in-edges min(cap(src), w)); seeds start at Long.MaxValue
+    * (unconstrained until an edge bounds them). Same 2-shuffle round,
+    * checkpoint-truncated lineage, early exit when nothing widens.
+    */
+  def widestPaths(nodes: DataFrame, edges: DataFrame, sourceCol: String,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, "maxHops must be in [1, 64]")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
+      .localCheckpoint(true)
+    var cap = nodes.filter(col(sourceCol))
+      .select(col("id"), lit(Long.MaxValue).as("cap")).localCheckpoint(true)
+    var hops = 0
+    var done = false
+    while (hops < maxHops && !done) {
+      hops += 1
+      val relaxed = cap.join(e, cap("id") === e("src"))
+        .select(e("dst").as("id"), least(col("cap"), col("w")).as("cap"))
+        .unionByName(cap)
+        .groupBy(col("id")).agg(max(col("cap")).as("cap"))
+        .localCheckpoint(true)
+      val improved = relaxed.as("n").join(cap.as("o"),
+          col("n.id") === col("o.id"), "left")
+        .filter(col("o.cap").isNull || col("n.cap") > col("o.cap"))
+        .count()
+      if (improved == 0L) done = true
+      cap = relaxed
+    }
+    cap
+  }
+
   /** k-truss of the undirected graph: the maximal subgraph where every
     * EDGE sits in at least k−2 triangles (of the truss itself) — the
     * edge-grained sharpening of [[kCore]], the standard community-core

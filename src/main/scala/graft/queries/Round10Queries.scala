@@ -79,6 +79,38 @@ object Round10Queries {
       },
       Some(kTrussSql(3, 8))),
 
+    // ── Widest (maximum-bottleneck) paths from seeds {0, 50} over the
+    //    variable-width ring + width-4 chords, ≤ 8 hops.
+    QueryDef("q_widest_paths",
+      (s, d) => {
+        val nodes = Tables.part(s, d)
+          .select((col("p_partkey") % 100).as("id")).distinct()
+          .withColumn("is_src", col("id") % 50 === 0)
+        val edges = nodes
+          .select(col("id").as("src"), ((col("id") + 1) % 100).as("dst"),
+            (lit(1L) + col("id") % 5).as("w"))
+          .unionByName(nodes.filter(col("id") % 3 === 0)
+            .select(col("id").as("src"),
+              ((col("id") * col("id") + 7) % 100).as("dst"), lit(4L).as("w")))
+        Graph.widestPaths(nodes, edges, "is_src", 8)
+      },
+      Some(("""WITH nodes AS (SELECT DISTINCT p_partkey % 100 AS id FROM part),
+             |e AS (SELECT src, dst, max(w) AS w FROM (
+             |        SELECT id AS src, (id + 1) % 100 AS dst, 1 + id % 5 AS w FROM nodes
+             |        UNION ALL
+             |        SELECT id AS src, (id * id + 7) % 100 AS dst, 4 AS w
+             |        FROM nodes WHERE id % 3 = 0) u
+             |      GROUP BY src, dst),
+             |wp AS (
+             |  SELECT id, CAST(9223372036854775807 AS BIGINT) AS cap, 0 AS hops
+             |  FROM nodes WHERE id % 50 = 0
+             |  UNION
+             |  SELECT e.dst AS id, least(wp.cap, CAST(e.w AS BIGINT)) AS cap,
+             |         wp.hops + 1 AS hops
+             |  FROM wp JOIN e ON e.src = wp.id WHERE wp.hops < 8)
+             |SELECT id, max(cap) AS cap FROM wp GROUP BY id""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
     // ── Day-of-week seasonal profile of event values per type: per-dow
     //    truncated mean + cross-multiplied seasonal lift.
     QueryDef("q_seasonal_profile",

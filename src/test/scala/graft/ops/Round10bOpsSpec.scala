@@ -55,6 +55,24 @@ class Round10bOpsSpec extends SparkSpec {
     assert(leftL2.size == 1 && leftL2.head._5 == 0L) // constant half: score 0
   }
 
+  test("widestPaths: takes the high-capacity detour over the direct pinch") {
+    // 1 -> 2 direct width 1; detour 1 -> 3 -> 2 width min(10, 8) = 8
+    val nodes = Seq((1L, true), (2L, false), (3L, false)).toDF("id", "is_src")
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 10L), (3L, 2L, 8L))
+      .toDF("src", "dst", "w")
+    val got = Graph.widestPaths(nodes, edges, "is_src", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> Long.MaxValue, 2L -> 8L, 3L -> 10L))
+  }
+
+  test("widestPaths: parallel edges keep the widest") {
+    val nodes = Seq((1L, true), (2L, false)).toDF("id", "is_src")
+    val edges = Seq((1L, 2L, 3L), (1L, 2L, 7L)).toDF("src", "dst", "w")
+    val got = Graph.widestPaths(nodes, edges, "is_src", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) === 7L)
+  }
+
   test("binarySegmentation: single-point halves emit no level-2 row") {
     val events = Seq(("a", 1L, 1L, 0L), ("a", 2L, 2L, 100L))
       .toDF("event_type", "t_us", "event_id", "cents")
