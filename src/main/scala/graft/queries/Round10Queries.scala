@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Anomaly, Bm25, Graph, Incremental, Ranking, Similarity, TimeSeries}
+import graft.ops.{Anomaly, Bm25, Graph, Identity, Incremental, Ranking, Similarity, TimeSeries}
 
 /** Round-10 extensions: end-to-end hybrid retrieval (BM25 ∪ cosine →
   * RRF), binary retrieval metrics, and min/max incremental maintenance.
@@ -78,6 +78,46 @@ object Round10Queries {
         Graph.kTruss(edges, 3, 8)
       },
       Some(kTrussSql(3, 8))),
+
+    // ── Identity stitching end-to-end: devices d and d+1 link when
+    //    d % 5 = 0 → connected components → events re-keyed by resolved
+    //    identity → 30-min gap sessions. Stitched sessions merge visits
+    //    that per-device sessionization would split.
+    QueryDef("q_identity_stitch",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+        val devices = ev.select(col("user_id").as("id")).distinct()
+        val links = devices.as("x").join(devices.as("y"),
+            col("y.id") === col("x.id") + 1 && col("x.id") % 5 === 0)
+          .select(col("x.id").as("a"), col("y.id").as("b"))
+        Identity.stitchSessions(ev, "user_id", "t_us", links,
+          30L * 60 * 1000000)
+      },
+      Some("""WITH RECURSIVE ev AS (SELECT user_id AS device, epoch_us(ts) AS t
+             |                      FROM events),
+             |devices AS (SELECT DISTINCT device AS id FROM ev),
+             |l0 AS (SELECT x.id AS a, y.id AS b FROM devices x
+             |       JOIN devices y ON y.id = x.id + 1 WHERE x.id % 5 = 0),
+             |e2 AS (SELECT a, b FROM l0 UNION ALL SELECT b, a FROM l0),
+             |reach(id, label) AS (
+             |  SELECT id, id FROM devices
+             |  UNION
+             |  SELECT e2.b, r.label FROM reach r JOIN e2 ON e2.a = r.id),
+             |cc AS (SELECT id, min(label) AS identity FROM reach GROUP BY id),
+             |nd AS (SELECT identity, CAST(count(*) AS BIGINT) AS n_devices
+             |       FROM cc GROUP BY 1),
+             |sess AS (SELECT cc.identity, ev.t,
+             |                CASE WHEN lag(ev.t) OVER (PARTITION BY cc.identity
+             |                                          ORDER BY ev.t) IS NULL
+             |                       OR ev.t - lag(ev.t) OVER (PARTITION BY cc.identity
+             |                                                 ORDER BY ev.t)
+             |                          > 1800000000
+             |                     THEN 1 ELSE 0 END AS brk
+             |         FROM ev JOIN cc ON cc.id = ev.device)
+             |SELECT s.identity, nd.n_devices, CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(s.brk) AS BIGINT) AS n_sessions
+             |FROM sess s JOIN nd USING (identity)
+             |GROUP BY s.identity, nd.n_devices""".stripMargin)),
 
     // ── Widest (maximum-bottleneck) paths from seeds {0, 50} over the
     //    variable-width ring + width-4 chords, ≤ 8 hops.
