@@ -47,6 +47,45 @@ object TimeSeries {
     * shape as the funnel fold. Emits the final smoothed value per key
     * (the online estimate "now"), plus the count folded in.
     */
+  /** Align N series onto ONE shared clock — the multi-way as-of: every
+    * `everySec` tick carries each series' last-known value (NULL before
+    * a series' first observation). This is what joins "sensor A at 10 Hz,
+    * sensor B on change" into one comparable frame; pairwise as-of joins
+    * compose the same answer in N−1 shuffles, this does it in one pass.
+    *
+    * Same-second duplicate observations collapse latest-writer-wins
+    * (max_by on `tieCol`) BEFORE the sweep, so the alignment is
+    * deterministic. The clock spans floor(min/E)·E .. max, per tick
+    * cross-joined onto the (tiny, distinct) series set.
+    *
+    * Scale: one (series, t) pre-aggregate + one series-keyed window over
+    * observations ∪ ticks — the union trick again; no join against the
+    * observation stream at all.
+    */
+  def alignClock(df: DataFrame, seriesCol: String, tsSecCol: String,
+                 tieCol: String, centsCol: String, everySec: Long): DataFrame = {
+    require(everySec > 0L, "everySec must be positive")
+    val obs = df.select(col(seriesCol).as("series"), col(tsSecCol).as("t"),
+        col(tieCol).as("tie"), col(centsCol).as("c"))
+      .groupBy(col("series"), col("t"))
+      .agg(max_by(col("c"), col("tie")).as("c"))
+      .withColumn("side", lit(0))
+    val bounds = df.select(col(tsSecCol).as("t"))
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val ticks = bounds.select(explode(
+      sequence(expr(s"(t0 div ${everySec}L) * ${everySec}L"), col("t1"),
+        lit(everySec))).as("t"))
+    val tickRows = obs.select(col("series")).distinct()
+      .crossJoin(broadcast(ticks))
+      .withColumn("c", lit(null).cast("long")).withColumn("side", lit(1))
+    val prefix = Window.partitionBy(col("series")).orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(tickRows)
+      .withColumn("ff", last(col("c"), ignoreNulls = true).over(prefix))
+      .filter(col("side") === 1)
+      .select(col("series"), col("t").as("bucket_es"), col("ff").as("v_cents"))
+  }
+
   /** Day-of-week seasonal profile — the "S" of an STL-lite
     * decomposition: per (key, dow), the truncated mean level and its
     * seasonal LIFT against the key's overall mean (both e6/cents

@@ -79,6 +79,29 @@ object Round10Queries {
       },
       Some(kTrussSql(3, 8))),
 
+    // ── Multi-series clock alignment: all event types forward-filled
+    //    onto one 6-hour grid (last-known value per tick, NULL before a
+    //    series starts). Oracle is DuckDB's native ASOF join.
+    QueryDef("q_align_clock",
+      (s, d) => TimeSeries.alignClock(
+        Tables.events(s, d)
+          .withColumn("t_s", expr("unix_micros(ts) div 1000000"))
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+        "event_type", "t_s", "event_id", "cents", 21600L),
+      Some("""WITH obs AS (SELECT event_type AS series, epoch_us(ts) // 1000000 AS t,
+             |                    arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT),
+             |                            event_id) AS c
+             |             FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(t) AS t0, max(t) AS t1
+             |      FROM (SELECT epoch_us(ts) // 1000000 AS t FROM events)),
+             |ticks AS (SELECT unnest(generate_series((b.t0 // 21600) * 21600,
+             |                                        b.t1, 21600)) AS t FROM b),
+             |grid AS (SELECT s.series, ticks.t
+             |         FROM (SELECT DISTINCT series FROM obs) s CROSS JOIN ticks)
+             |SELECT grid.series, grid.t AS bucket_es, obs.c AS v_cents
+             |FROM grid ASOF LEFT JOIN obs
+             |  ON obs.series = grid.series AND obs.t <= grid.t""".stripMargin)),
+
     // ── Identity stitching end-to-end: devices d and d+1 link when
     //    d % 5 = 0 → connected components → events re-keyed by resolved
     //    identity → 30-min gap sessions. Stitched sessions merge visits
