@@ -79,6 +79,40 @@ object Round10Queries {
       },
       Some(kTrussSql(3, 8))),
 
+    // ── Trailing-window maintenance: slide a 30-day grouped aggregate
+    //    forward 7 days WITHOUT rescanning the window — new days are
+    //    inserts, aged-out days are deletes, both through the same
+    //    delta-merge. Oracle recomputes the slid window directly.
+    QueryDef("q_incremental_window",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_orderpriority").as("g"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+        val d0 = o.agg(min(col("day")).as("d0"))
+        val w = o.crossJoin(broadcast(d0))
+        val base = w.filter(col("day") >= col("d0") && col("day") < col("d0") + 30)
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"))
+        val changes = w
+          .filter(col("day") >= col("d0") + 30 && col("day") < col("d0") + 37)
+          .select(col("g"), col("v"), lit(1L).as("op"))
+          .unionByName(w
+            .filter(col("day") >= col("d0") && col("day") < col("d0") + 7)
+            .select(col("g"), col("v"), lit(-1L).as("op")))
+        Incremental.maintainAgg(base, changes)
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS g,
+             |                 epoch(o_orderdate) // 86400 AS day,
+             |                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+             |           FROM orders),
+             |d0 AS (SELECT min(day) AS d0 FROM o)
+             |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(sum(v) AS BIGINT) AS total
+             |FROM o, d0
+             |WHERE day >= d0.d0 + 7 AND day < d0.d0 + 37
+             |GROUP BY g""".stripMargin)),
+
     // ── Multi-series clock alignment: all event types forward-filled
     //    onto one 6-hour grid (last-known value per tick, NULL before a
     //    series starts). Oracle is DuckDB's native ASOF join.
