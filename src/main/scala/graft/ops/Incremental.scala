@@ -66,6 +66,51 @@ object Incremental {
     fastPath.unionByName(rebuilt)
   }
 
+  /** Maintain per-group KMV distinct SKETCHES under a VALUE-level change
+    * feed — same touched-group shape as [[maintainMinMax]], because a
+    * KMV sketch is just "the k smallest hashes": inserts merge in
+    * O(delta) (union, re-sort, keep k), while deleting a value whose
+    * hash IS among the k minima invalidates the sketch and rebuilds
+    * that group from `raw`. Deleting a value whose hash is above the
+    * sketch's horizon never touches it — most deletes are free.
+    *
+    * `base`: (g, sketch array<long> — ascending k-minima of the 48-bit
+    * value hashes). `changes`: (g, v, op ±1) at VALUE grain (a delete
+    * means the value left the group's distinct set). `raw`: post-change
+    * distinct (g, v). Returns (g, sketch, est) with the integer KMV
+    * estimator ((k−1)·2⁴⁸ div kth-min when saturated, exact size
+    * below k) — the same estimator as [[graft.functions.KmvDistinct]].
+    */
+  def maintainKmv(base: DataFrame, changes: DataFrame, raw: DataFrame,
+                  k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val h = Dedup.hash48(col("v").cast("string"), lit("kmv"))
+    val ins = changes.filter(col("op") > 0)
+      .select(col("g"), h.as("h")).distinct()
+      .groupBy(col("g")).agg(collect_set(col("h")).as("ins_hs"))
+    val touched = changes.filter(col("op") < 0)
+      .withColumn("h", h)
+      .join(base, Seq("g"))
+      .filter(array_contains(col("sketch"), col("h")))
+      .select(col("g")).distinct()
+    val fastPath = base.join(touched, Seq("g"), "left_anti")
+      .join(ins, Seq("g"), "full_outer")
+      .select(col("g"),
+        slice(array_sort(array_union(
+          coalesce(col("sketch"), array().cast("array<long>")),
+          coalesce(col("ins_hs"), array().cast("array<long>")))), 1, k)
+          .as("sketch"))
+      .join(touched, Seq("g"), "left_anti")
+    val rebuilt = raw.join(touched, Seq("g"), "left_semi")
+      .select(col("g"), h.as("h")).distinct()
+      .groupBy(col("g"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sketch"))
+    fastPath.unionByName(rebuilt)
+      .withColumn("est",
+        when(size(col("sketch")) < k, size(col("sketch")).cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong}L * 281474976710656L div element_at(sketch, $k)")))
+  }
+
   def maintainAgg(base: DataFrame, changes: DataFrame): DataFrame = {
     val delta = changes.groupBy(col("g"))
       .agg(sum(col("op")).as("d_cnt"),

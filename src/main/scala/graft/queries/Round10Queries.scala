@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Anomaly, Bm25, Graph, Identity, Incremental, Ranking, Similarity, TimeSeries}
+import graft.ops.{Anomaly, Bm25, Dedup, Graph, Identity, Incremental, Ranking, Similarity, TimeSeries}
 
 /** Round-10 extensions: end-to-end hybrid retrieval (BM25 ∪ cosine →
   * RRF), binary retrieval metrics, and min/max incremental maintenance.
@@ -78,6 +78,44 @@ object Round10Queries {
         Graph.kTruss(edges, 3, 8)
       },
       Some(kTrussSql(3, 8))),
+
+    // ── KMV sketch maintenance: per-type distinct-user sketches under a
+    //    value-level change feed — inserts merge, deletes inside the
+    //    sketch horizon rebuild their group; oracle rebuilds everything.
+    QueryDef("q_kmv_maintain",
+      (s, d) => {
+        val eu = Tables.events(s, d)
+          .select(col("event_type").as("g"), col("user_id").as("v")).distinct()
+        val base = eu.filter(col("v") % 10 =!= 0)
+          .select(col("g"),
+            Dedup.hash48(col("v").cast("string"), lit("kmv")).as("h"))
+          .groupBy(col("g"))
+          .agg(slice(array_sort(collect_set(col("h"))), 1, 64).as("sketch"))
+        val changes = eu.filter(col("v") % 10 === 0)
+          .select(col("g"), col("v"), lit(1L).as("op"))
+          .unionByName(eu.filter(col("v") % 10 =!= 0 && col("v") % 7 === 0)
+            .select(col("g"), col("v"), lit(-1L).as("op")))
+        val raw = eu.filter(col("v") % 10 === 0 || col("v") % 7 =!= 0)
+        Incremental.maintainKmv(base, changes, raw, 64)
+      },
+      Some {
+        val h = PortableSql.hash48("CAST(u AS VARCHAR)", "'kmv'")
+        s"""WITH eu AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+           |fin AS (SELECT g, u FROM eu WHERE u % 10 = 0 OR u % 7 <> 0),
+           |hs AS (SELECT DISTINCT g, $h AS hh FROM fin),
+           |r AS (SELECT g, hh,
+           |             row_number() OVER (PARTITION BY g ORDER BY hh) AS rn,
+           |             count(*) OVER (PARTITION BY g) AS nh
+           |      FROM hs),
+           |sk AS (SELECT g, list(hh ORDER BY hh) FILTER (WHERE rn <= 64) AS sketch,
+           |              max(nh) AS nh,
+           |              min(CASE WHEN rn = 64 THEN hh END) AS kth
+           |       FROM r GROUP BY g)
+           |SELECT g, sketch,
+           |       CAST(CASE WHEN nh < 64 THEN nh
+           |            ELSE 63 * 281474976710656 // kth END AS BIGINT) AS est
+           |FROM sk""".stripMargin
+      }),
 
     // ── Trailing-window maintenance: slide a 30-day grouped aggregate
     //    forward 7 days WITHOUT rescanning the window — new days are

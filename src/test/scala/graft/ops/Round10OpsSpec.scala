@@ -41,6 +41,41 @@ class Round10OpsSpec extends SparkSpec {
     assert(Incremental.maintainMinMax(base, changes, raw).isEmpty)
   }
 
+  test("maintainKmv: sketch-horizon deletes rebuild, beyond-horizon are free") {
+    import org.apache.spark.sql.functions._
+    val k = 4
+    def h(v: Long) = Dedup.hash48(lit(v.toString), lit("kmv"))
+    // base group "a" over values 1..10: sketch = 4 smallest hashes
+    val vals = (1L to 10L)
+    val hashed = vals.map(v => v -> spark.range(1).select(h(v)).head().getLong(0)).toMap
+    val sorted = vals.sortBy(hashed)
+    val base = spark.range(1).select(lit("a").as("g"),
+      array(sorted.take(k).map(v => lit(hashed(v))): _*).as("sketch"))
+    // delete the value holding the sketch's minimum -> rebuild from raw
+    val victim = sorted.head
+    val changes = Seq(("a", victim, -1L)).toDF("g", "v", "op")
+    val raw = vals.filterNot(_ == victim).map(("a", _)).toDF("g", "v")
+    val got = Incremental.maintainKmv(base, changes, raw, k)
+      .select("g", "sketch").as[(String, Seq[Long])].collect().head
+    assert(got._2 === sorted.tail.take(k).map(hashed).sorted)
+    // delete a value OUTSIDE the sketch horizon: fast path, raw poisoned
+    val outside = sorted.last
+    val changes2 = Seq(("a", outside, -1L)).toDF("g", "v", "op")
+    val poisoned = Seq(("a", 999L)).toDF("g", "v")
+    val got2 = Incremental.maintainKmv(base, changes2, poisoned, k)
+      .select("g", "sketch").as[(String, Seq[Long])].collect().head
+    assert(got2._2 === sorted.take(k).map(hashed))
+  }
+
+  test("maintainKmv: unsaturated sketch estimates exactly") {
+    val base = Seq(("a", Seq.empty[Long])).toDF("g", "sketch")
+    val changes = Seq(("a", 1L, 1L), ("a", 2L, 1L)).toDF("g", "v", "op")
+    val raw = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val got = Incremental.maintainKmv(base, changes, raw, 64)
+      .select("g", "est").as[(String, Long)].collect().head
+    assert(got === (("a", 2L)))
+  }
+
   test("maintainMinMax: non-touching delete leaves extremes untouched") {
     val base = Seq(("x", 1L, 9L)).toDF("g", "mn", "mx")
     val changes = Seq(("x", 5L, -1L)).toDF("g", "v", "op")
