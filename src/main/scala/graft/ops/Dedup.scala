@@ -333,6 +333,73 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("wmin"), col("wuni"))
   }
 
+  /** [[jaccardPrefixJoin]] with a LENGTH-SCALED threshold: short
+    * documents demand a stricter Jaccard than long ones (a 4-token doc
+    * matching 2 tokens is noise; a 400-token doc overlapping 55% is a
+    * near-dup), so τ is a step function of the SMALLER document's size,
+    * supplied as a broadcast table (len_lo, len_hi, tau_e6) of
+    * disjoint [lo, hi) bands covering every size. A pair qualifies iff
+    * jacc ≥ τ(min(|A|, |B|)).
+    *
+    * Lossless prefix filtering still holds per doc with τ_doc = the
+    * threshold at ITS OWN size under one condition on the table: τ must
+    * be NON-INCREASING in length. Then for any valid pair,
+    * τ_pair = τ(min size) ≤ τ_doc of each side… and the pigeonhole
+    * needs α ≥ ⌈τ_doc·|D|⌉ for each doc D: α ≥ τ_pair·|A∪B| ≥
+    * τ_pair·|D| — which only bounds τ_pair prefixes. So each doc's
+    * prefix uses τ(its own size) when it is the SMALLER side, i.e. the
+    * safe per-doc prefix takes the threshold AT the doc's size, which
+    * for the larger side over-extends (τ non-increasing ⇒ its τ is ≤
+    * the pair's τ ⇒ longer prefix ⇒ superset of candidates). Lossless
+    * either way; the monotonicity requirement is validated.
+    */
+  def jaccardPrefixJoinAdaptive(docs: DataFrame,
+                                thresholds: DataFrame): DataFrame = {
+    val bands = thresholds.select(col("len_lo"), col("len_hi"), col("tau_e6"))
+    // validate non-increasing τ over ascending bands (driver-side: the
+    // table is definitionally tiny)
+    val collected = bands.orderBy(col("len_lo")).collect()
+    require(collected.nonEmpty, "thresholds must be non-empty")
+    collected.sliding(2).foreach {
+      case Array(a, b) =>
+        require(a.getLong(1) == b.getLong(0),
+          "threshold bands must tile contiguously")
+        require(a.getLong(2) >= b.getLong(2),
+          "tau must be non-increasing in length (else the prefix filter is lossy)")
+      case _ => ()
+    }
+    val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct().localCheckpoint(true)
+    val freq = w.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val ranked = w.join(freq, "word")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("word"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .join(broadcast(bands),
+        col("sz") >= col("len_lo") && col("sz") < col("len_hi"))
+      .withColumn("pfx",
+        col("sz") - expr("(sz * tau_e6 + 999999) div 1000000") + 1)
+    val prefix = ranked.filter(col("rk") <= col("pfx"))
+      .select(col("doc_id"), col("word"), col("sz"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .distinct()
+    cands
+      .join(w.select(col("doc_id").as("doc_a"), col("word")), "doc_a")
+      .join(w.select(col("doc_id").as("doc_b"), col("word")), Seq("doc_b", "word"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .join(broadcast(bands),
+        least(col("sza"), col("szb")) >= col("len_lo") &&
+          least(col("sza"), col("szb")) < col("len_hi"))
+      .filter(col("inter") * lit(1000000L) >= col("tau_e6") * col("uni"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        col("tau_e6").as("tau_applied_e6"))
+  }
+
   def jaccardPairs(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "").distinct()

@@ -79,6 +79,40 @@ object Round10Queries {
       },
       Some(kTrussSql(3, 8))),
 
+    // ── Length-scaled similarity join: τ steps down from 0.5 (short
+    //    docs) to 0.15 (long docs) on the smaller side's size; the
+    //    oracle applies the same bands to the naive all-pairs join.
+    QueryDef("q_jaccard_adaptive",
+      (s, d) => {
+        val bands = s.createDataFrame(Seq(
+          (0L, 40L, 500000L), (40L, 80L, 300000L),
+          (80L, 1000000000L, 150000L)))
+          .toDF("len_lo", "len_hi", "tau_e6")
+        Dedup.jaccardPrefixJoinAdaptive(
+          Tables.documents(s, d).filter(col("doc_id") < 80)
+            .select(col("doc_id"), col("text")), bands)
+      },
+      Some("""WITH w AS (SELECT DISTINCT doc_id, wd AS word
+             |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+             |                 FROM documents WHERE doc_id < 80) u
+             |           WHERE wd <> ''),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM w GROUP BY doc_id),
+             |bands(len_lo, len_hi, tau_e6) AS (VALUES (0, 40, 500000),
+             |        (40, 80, 300000), (80, 1000000000, 150000)),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                 CAST(count(*) AS BIGINT) AS inter
+             |          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT i.doc_a, i.doc_b, i.inter,
+             |       sa.sz + sb.sz - i.inter AS uni,
+             |       CAST(bands.tau_e6 AS BIGINT) AS tau_applied_e6
+             |FROM inter i
+             |JOIN sizes sa ON sa.doc_id = i.doc_a
+             |JOIN sizes sb ON sb.doc_id = i.doc_b
+             |JOIN bands ON least(sa.sz, sb.sz) >= bands.len_lo
+             |          AND least(sa.sz, sb.sz) < bands.len_hi
+             |WHERE i.inter * 1000000 >= bands.tau_e6 * (sa.sz + sb.sz - i.inter)""".stripMargin)),
+
     // ── KMV sketch maintenance: per-type distinct-user sketches under a
     //    value-level change feed — inserts merge, deletes inside the
     //    sketch horizon rebuild their group; oracle rebuilds everything.

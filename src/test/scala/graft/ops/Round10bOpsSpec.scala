@@ -55,6 +55,43 @@ class Round10bOpsSpec extends SparkSpec {
     assert(leftL2.size == 1 && leftL2.head._5 == 0L) // constant half: score 0
   }
 
+  test("jaccardPrefixJoinAdaptive: equals the naive join under banded tau") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"),          // sz 4: tau 0.6 -> J=3/5 passes
+      (3L, "a b x y"), (4L, "a b z w"),          // J=2/6 fails at 0.6
+      (5L, (1 to 12).map("t" + _).mkString(" ") + " a"),
+      (6L, (1 to 12).map("t" + _).mkString(" ") + " b") // sz 13: tau 0.2, J=12/14 passes
+    ).toDF("doc_id", "text")
+    val bands = spark.createDataFrame(Seq((0L, 10L, 600000L),
+      (10L, 1000L, 200000L))).toDF("len_lo", "len_hi", "tau_e6")
+    val fast = Dedup.jaccardPrefixJoinAdaptive(docs, bands)
+      .select("doc_a", "doc_b", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val naive = Dedup.jaccardPairs(docs)
+      .join(broadcast(docs.select(col("doc_id").as("doc_a"),
+        size(array_distinct(filter(split(col("text"), " "), _ =!= ""))).as("sza"))), "doc_a")
+      .join(broadcast(docs.select(col("doc_id").as("doc_b"),
+        size(array_distinct(filter(split(col("text"), " "), _ =!= ""))).as("szb"))), "doc_b")
+      .withColumn("tau", when(least(col("sza"), col("szb")) < 10, 600000L)
+        .otherwise(200000L))
+      .filter(col("inter") * 1000000L >= col("tau") * col("uni"))
+      .select("doc_a", "doc_b", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fast === naive)
+    assert(fast.contains((1L, 2L, 3L, 5L)) && fast.contains((5L, 6L, 12L, 14L)))
+    assert(!fast.exists(p => p._1 == 3L && p._2 == 4L))
+  }
+
+  test("jaccardPrefixJoinAdaptive: rejects a non-monotone threshold table") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val bad = spark.createDataFrame(Seq((0L, 10L, 200000L),
+      (10L, 1000L, 500000L))).toDF("len_lo", "len_hi", "tau_e6")
+    assertThrows[IllegalArgumentException] {
+      Dedup.jaccardPrefixJoinAdaptive(docs, bad).collect()
+    }
+  }
+
   test("widestPaths: takes the high-capacity detour over the direct pinch") {
     // 1 -> 2 direct width 1; detour 1 -> 3 -> 2 width min(10, 8) = 8
     val nodes = Seq((1L, true), (2L, false), (3L, false)).toDF("id", "is_src")
