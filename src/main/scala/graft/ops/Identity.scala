@@ -29,6 +29,24 @@ object Identity {
     * orderings cannot change the session count — deterministic without
     * a tie column.
     */
+  /** Per-IDENTITY funnel: resolve the device graph, re-key the event
+    * stream by identity, and run the one-shuffle funnel fold there —
+    * conversions that span devices (view on phone, purchase on laptop)
+    * count, where a per-device funnel would strand every entity at the
+    * stage its device happened to see. Returns (identity, stage). */
+  def stitchFunnel(events: DataFrame, deviceCol: String,
+                   tsMicrosCol: String, typeCol: String, links: DataFrame,
+                   steps: Seq[String]): DataFrame = {
+    val ev = events.select(col(deviceCol).as("device"),
+      col(tsMicrosCol).as("t"), col(typeCol).as("et"))
+    val devices = ev.select(col("device").as("id")).distinct()
+    val resolved = Dedup.connectedComponents(devices, links)
+      .select(col("id").as("device"), col("cluster_id").as("identity"))
+    Behavior.funnelStages(ev.join(resolved, "device"),
+        "identity", "t", "et", steps)
+      .withColumnRenamed("entity", "identity")
+  }
+
   def stitchSessions(events: DataFrame, deviceCol: String,
                      tsMicrosCol: String, links: DataFrame,
                      gapUs: Long): DataFrame = {

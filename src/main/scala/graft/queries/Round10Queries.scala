@@ -185,6 +185,43 @@ object Round10Queries {
              |WHERE day >= d0.d0 + 7 AND day < d0.d0 + 37
              |GROUP BY g""".stripMargin)),
 
+    // ── Per-identity funnel: the stitched view→click→purchase machine —
+    //    cross-device conversions count.
+    QueryDef("q_identity_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+        val devices = ev.select(col("user_id").as("id")).distinct()
+        val links = devices.as("x").join(devices.as("y"),
+            col("y.id") === col("x.id") + 1 && col("x.id") % 5 === 0)
+          .select(col("x.id").as("a"), col("y.id").as("b"))
+        Identity.stitchFunnel(ev, "user_id", "t_us", "event_type", links,
+          Seq("view", "click", "purchase"))
+      },
+      Some("""WITH RECURSIVE ev0 AS (SELECT user_id AS device, epoch_us(ts) AS t,
+             |                       event_type AS et FROM events),
+             |devices AS (SELECT DISTINCT device AS id FROM ev0),
+             |l0 AS (SELECT x.id AS a, y.id AS b FROM devices x
+             |       JOIN devices y ON y.id = x.id + 1 WHERE x.id % 5 = 0),
+             |e2 AS (SELECT a, b FROM l0 UNION ALL SELECT b, a FROM l0),
+             |reach(id, label) AS (
+             |  SELECT id, id FROM devices
+             |  UNION
+             |  SELECT e2.b, r.label FROM reach r JOIN e2 ON e2.a = r.id),
+             |cc AS (SELECT id, min(label) AS identity FROM reach GROUP BY id),
+             |e AS (SELECT cc.identity AS entity, ev0.t, ev0.et
+             |      FROM ev0 JOIN cc ON cc.id = ev0.device),
+             |u AS (SELECT DISTINCT entity FROM e),
+             |s1 AS (SELECT entity, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.entity, min(t) AS t2 FROM e JOIN s1 USING (entity)
+             |       WHERE et = 'click' AND t > t1 GROUP BY 1),
+             |s3 AS (SELECT e.entity, min(t) AS t3 FROM e JOIN s2 USING (entity)
+             |       WHERE et = 'purchase' AND t > t2 GROUP BY 1)
+             |SELECT entity AS identity,
+             |       CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+             |FROM u LEFT JOIN s1 USING (entity) LEFT JOIN s2 USING (entity)
+             |       LEFT JOIN s3 USING (entity)""".stripMargin)),
+
     // ── Multi-series clock alignment: all event types forward-filled
     //    onto one 6-hour grid (last-known value per tick, NULL before a
     //    series starts). Oracle is DuckDB's native ASOF join.

@@ -30,6 +30,18 @@ class IdentitySpec extends SparkSpec {
     assert(got === Set((1L, 3L, 3L, 1L)))
   }
 
+  test("stitchFunnel: cross-device conversion completes the funnel") {
+    val events = Seq(
+      (10L, 1L, "view"), (11L, 2L, "click"), (10L, 3L, "purchase"),
+      (99L, 1L, "view") // unlinked device stalls at stage 1
+    ).toDF("user_id", "t_us", "event_type")
+    val links = Seq((10L, 11L)).toDF("a", "b")
+    val got = Identity.stitchFunnel(events, "user_id", "t_us", "event_type",
+        links, Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(10L -> 3, 99L -> 1))
+  }
+
   test("stitchSessions: no links degenerates to per-device sessionization") {
     val events = Seq((7L, 0L), (8L, 0L)).toDF("user_id", "t_us")
     val links = Seq.empty[(Long, Long)].toDF("a", "b")
