@@ -185,6 +185,35 @@ object Round10Queries {
              |WHERE day >= d0.d0 + 7 AND day < d0.d0 + 37
              |GROUP BY g""".stripMargin)),
 
+    // ── Maximal triangles on the broken-ring graph: triads no fourth
+    //    vertex completes — wedge join + one maximality anti-join.
+    QueryDef("q_maximal_triangles",
+      (s, d) => {
+        val nodes = Tables.part(s, d)
+          .select((col("p_partkey") % 100).as("id")).distinct()
+        val edges = nodes.filter(col("id") % 7 =!= 0)
+          .select(col("id").as("a"), ((col("id") + 1) % 100).as("b"))
+          .unionByName(nodes.filter(col("id") % 3 === 0)
+            .select(col("id").as("a"), ((col("id") * col("id") + 7) % 100).as("b")))
+        Graph.maximalTriangles(edges)
+      },
+      Some("""WITH nodes AS (SELECT DISTINCT p_partkey % 100 AS id FROM part),
+             |raw AS (SELECT id AS src, (id + 1) % 100 AS dst FROM nodes WHERE id % 7 <> 0
+             |        UNION
+             |        SELECT id AS src, (id * id + 7) % 100 AS dst FROM nodes WHERE id % 3 = 0),
+             |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |      FROM raw WHERE src <> dst),
+             |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+             |SELECT t.x, t.y, t.z FROM tri t
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM adj wx
+             |  JOIN adj wy ON wy.u = t.y AND wy.v = wx.v
+             |  JOIN adj wz ON wz.u = t.z AND wz.v = wx.v
+             |  WHERE wx.u = t.x)""".stripMargin)),
+
     // ── Per-identity funnel: the stitched view→click→purchase machine —
     //    cross-device conversions count.
     QueryDef("q_identity_funnel",

@@ -55,6 +55,24 @@ class Round10bOpsSpec extends SparkSpec {
     assert(leftL2.size == 1 && leftL2.head._5 == 0L) // constant half: score 0
   }
 
+  test("maximalTriangles: K4 faces are not maximal, pendant triads are") {
+    // K4 {1,2,3,4}: all 4 triangles extend to the 4th vertex; the
+    // separate triangle {7,8,9} is maximal
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (7L, 8L), (8L, 9L), (7L, 9L)).toDF("a", "b")
+    val got = Graph.maximalTriangles(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((7L, 8L, 9L)))
+  }
+
+  test("maximalTriangles: triangle with a pendant vertex is still maximal") {
+    // {1,2,3} + edge 3-4: vertex 4 is adjacent to 3 only -> no extension
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.maximalTriangles(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 3L)))
+  }
+
   test("jaccardPrefixJoinAdaptive: equals the naive join under banded tau") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
