@@ -55,7 +55,13 @@ class PlanShapeSpec extends SparkSpec {
     ("q_interval_coverage", 1, 0), // sweep windows + agg share one keyed shuffle
     ("q_nearest_event", 1, 0),     // union + two-sided windows, one exchange
     ("q_ndcg", 2, 0),              // rank build + metric agg, both group-keyed
-    ("q_rank_fusion", 2, 0))       // vocab agg + fusion agg (global ntile singles)
+    ("q_rank_fusion", 2, 0),       // vocab agg + fusion agg (global ntile singles)
+    ("q_seasonal_profile", 2, 0),  // dow agg + key agg, totals join rides along
+    ("q_align_clock", 3, 0),       // obs pre-agg + series sweep + tick build
+    ("q_incremental_window", 3, 0),// base agg + delta agg + outer merge
+    ("q_incremental_minmax", 6, 0),// ins/touched/fast/rebuild branches, all keyed
+    ("q_identity_stitch", 3, 0),   // CC label join + session window + rollup
+    ("q_maximal_triangles", 3, 0)) // wedge join + extension join + anti
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
