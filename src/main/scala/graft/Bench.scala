@@ -65,17 +65,20 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    // SPARK_GRAFT_BENCH_REPEATS=N (default 1) runs N interleaved timed
+    // SPARK_GRAFT_BENCH_REPEATS=N (default 3) runs N interleaved timed
     // passes over the whole query set and reports the per-query MEDIAN as
     // the headline number, with IQR spread in bench_full.json — so one
     // host-contention spike (the r4/r5 lesson: disjoint "slow" sets for
     // identical code) cannot poison a round-to-round comparison. Passes
     // interleave whole-set sweeps rather than repeating each query
     // back-to-back, so a transient contention window hits each query at
-    // most once.
+    // most once. Default is 3: the driver invokes Bench exactly once per
+    // round, so the default itself must be the contention-immune median
+    // (r6 lesson: a single contended pass recorded 255 s where every
+    // committed run of the same code measured ~100 s).
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-      .filter(_ >= 1).getOrElse(1)
+      .filter(_ >= 1).getOrElse(3)
     val passes = (1 to repeats).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()

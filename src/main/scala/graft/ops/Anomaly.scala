@@ -118,8 +118,15 @@ object Anomaly {
       .withColumn("n", count(lit(1)).over(all))
       .withColumn("s", sum(col("c")).over(all))
       .filter(col("rn") < col("n")) // split after rn: needs a right segment
+      // The cross term s1·(n−rn)·1e6 can exceed Long for large |sums|·n
+      // (where it would wrap silently while the DuckDB oracle promotes to
+      // int128) — so compute it in DECIMAL(38,0), which is exact to 1e38
+      // and matches HUGEINT semantics over any realistic envelope; the
+      // final e6-scaled mean difference always fits a BIGINT.
       .withColumn("score_e6",
-        expr("abs(s1 * (n - rn) - (s - s1) * rn) * 1000000 div (rn * (n - rn))"))
+        expr("""CAST(abs(CAST(s1 AS DECIMAL(38,0)) * (n - rn)
+               |         - CAST(s - s1 AS DECIMAL(38,0)) * rn) * 1000000
+               |     div (rn * (n - rn)) AS BIGINT)""".stripMargin))
       .groupBy(ks: _*)
       .agg(max(struct(col("score_e6"), (-col("rn")).as("neg_rn"),
         col("t").as("split_t"), col("tie").as("split_tie"),

@@ -96,8 +96,9 @@ object TimeSeries {
     * deseasonalized residual and feed it to [[trendSlope]].
     *
     * Two keyed aggregates + a broadcast-size join of per-key totals.
-    * Long-range: s_dow·n_all·1e6 must fit a long — cents sums to ~1e8
-    * against ~1e4-row keys are safe; rescale cents beyond that.
+    * The s_dow·n_all·1e6 cross term is computed in DECIMAL(38,0) (exact
+    * to 1e38 — no silent long wrap at any realistic sum·count scale);
+    * the final e6 lift ratio always fits a BIGINT.
     */
   def seasonalProfile(df: DataFrame, keyCol: String, tsMicrosCol: String,
                       centsCol: String): DataFrame = {
@@ -111,7 +112,9 @@ object TimeSeries {
     perDow.join(perKey, "key")
       .select(col("key"), col("dow"), col("n"),
         expr("s div n").as("mean_cents"),
-        expr("(s * n_all * 1000000) div (n * s_all)").as("lift_e6"))
+        expr("""CAST((CAST(s AS DECIMAL(38,0)) * n_all * 1000000)
+               |     div (CAST(n AS DECIMAL(38,0)) * s_all) AS BIGINT)"""
+          .stripMargin).as("lift_e6"))
   }
 
   /** NEAREST-event join: for every left row, the closest right row in

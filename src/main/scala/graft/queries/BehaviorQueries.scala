@@ -48,7 +48,7 @@ object BehaviorQueries {
              |p AS (SELECT et AS src, lead(et) OVER (PARTITION BY user_id ORDER BY t) AS dst
              |      FROM e)
              |SELECT src, dst, count(*) AS cnt,
-             |       count(*) * 1000000 // sum(count(*)) OVER (PARTITION BY src) AS prob_e6
+             |       CAST(count(*) * 1000000 // sum(count(*)) OVER (PARTITION BY src) AS BIGINT) AS prob_e6
              |FROM p WHERE dst IS NOT NULL GROUP BY src, dst""".stripMargin)),
 
     // ── Top-15 most frequent consecutive length-3 event-type paths.

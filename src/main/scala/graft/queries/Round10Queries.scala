@@ -65,8 +65,9 @@ object Round10Queries {
 
   def defs: Seq[QueryDef] = Seq(
 
-    // ── 4-truss of the broken-ring graph: edges need 2 in-truss
-    //    triangles; chord-crossings survive, chains evaporate.
+    // ── 3-truss of the broken-ring graph: each surviving edge needs at
+    //    least one in-truss triangle (support ≥ k−2 = 1), so
+    //    chord-crossings survive and triangle-free chains evaporate.
     QueryDef("q_ktruss",
       (s, d) => {
         val nodes = Tables.part(s, d)
@@ -130,7 +131,12 @@ object Round10Queries {
           .unionByName(eu.filter(col("v") % 10 =!= 0 && col("v") % 7 === 0)
             .select(col("g"), col("v"), lit(-1L).as("op")))
         val raw = eu.filter(col("v") % 10 === 0 || col("v") % 7 =!= 0)
+        // Driver-portability: the checker's pandas sort cannot hash list
+        // cells, so project the sketch to a CSV string at the API edge
+        // (the library form keeps the array — q_collect_ops precedent).
         Incremental.maintainKmv(base, changes, raw, 64)
+          .withColumn("sketch",
+            concat_ws(",", col("sketch").cast("array<string>")))
       },
       Some {
         val h = PortableSql.hash48("CAST(u AS VARCHAR)", "'kmv'")
@@ -145,7 +151,7 @@ object Round10Queries {
            |              max(nh) AS nh,
            |              min(CASE WHEN rn = 64 THEN hh END) AS kth
            |       FROM r GROUP BY g)
-           |SELECT g, sketch,
+           |SELECT g, array_to_string(sketch, ',') AS sketch,
            |       CAST(CASE WHEN nh < 64 THEN nh
            |            ELSE 63 * 281474976710656 // kth END AS BIGINT) AS est
            |FROM sk""".stripMargin
@@ -365,7 +371,8 @@ object Round10Queries {
              |              CAST(sum(c) AS BIGINT) AS s_all
              |       FROM e GROUP BY key)
              |SELECT pd.key, pd.dow, pd.n, pd.s // pd.n AS mean_cents,
-             |       (pd.s * pk.n_all * 1000000) // (pd.n * pk.s_all) AS lift_e6
+             |       CAST((CAST(pd.s AS HUGEINT) * pk.n_all * 1000000)
+             |            // (CAST(pd.n AS HUGEINT) * pk.s_all) AS BIGINT) AS lift_e6
              |FROM pd JOIN pk ON pk.key = pd.key""".stripMargin)),
 
     // ── Two-level binary segmentation: the dominant split per type plus

@@ -349,7 +349,10 @@ object Round6Queries {
           .withColumn("event_type",
             when(col("event_id") % 31 === 0, lit("modified"))
               .otherwise(col("event_type")))
+        // Driver-portability: serialize the changed-column list to a CSV
+        // string (the checker's pandas sort cannot hash list cells).
         Snapshot.diffColumns(v1, v2, "user_id", Seq("event_type", "props"))
+          .withColumn("changed_cols", concat_ws(",", col("changed_cols")))
       },
       Some {
         val het = PortableSql.hash48("CAST(event_type AS VARCHAR)", "'event_type'")
@@ -373,11 +376,12 @@ object Round6Queries {
            |                  ELSE 'unchanged' END AS status,
            |             h1_et, h2_et, h1_pr, h2_pr FROM j)
            |SELECT user_id, status,
-           |       CASE WHEN status = 'changed' THEN
-           |              list_filter([CASE WHEN h1_et IS DISTINCT FROM h2_et THEN 'event_type' END,
-           |                           CASE WHEN h1_pr IS DISTINCT FROM h2_pr THEN 'props' END],
-           |                          x -> x IS NOT NULL)
-           |            ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+           |       coalesce(array_to_string(
+           |         CASE WHEN status = 'changed' THEN
+           |                list_filter([CASE WHEN h1_et IS DISTINCT FROM h2_et THEN 'event_type' END,
+           |                             CASE WHEN h1_pr IS DISTINCT FROM h2_pr THEN 'props' END],
+           |                            x -> x IS NOT NULL)
+           |              ELSE CAST([] AS VARCHAR[]) END, ','), '') AS changed_cols
            |FROM c WHERE status <> 'unchanged'""".stripMargin
       })
   )

@@ -223,7 +223,7 @@ object Round8Queries {
              |        lead(t) OVER (PARTITION BY key ORDER BY t, event_id) // 1000000
              |          - t // 1000000 AS dt_s
              |      FROM e)
-             |SELECT key, sum(c * dt_s) // nullif(sum(dt_s), 0) AS twa_cents,
+             |SELECT key, CAST(sum(c * dt_s) // nullif(sum(dt_s), 0) AS BIGINT) AS twa_cents,
              |       CAST(sum(dt_s) AS BIGINT) AS dwell_s,
              |       CAST(count(*) AS BIGINT) AS n_spans
              |FROM g WHERE dt_s IS NOT NULL GROUP BY key""".stripMargin)),

@@ -92,7 +92,8 @@ object Round9Queries {
              |             row_number() OVER (PARTITION BY key
              |                                ORDER BY score_e6 DESC, rn ASC) AS pick
              |      FROM sc)
-             |SELECT key, t AS split_t, score_e6, n FROM r WHERE pick = 1""".stripMargin)),
+             |SELECT key, t AS split_t, CAST(score_e6 AS BIGINT) AS score_e6, n
+             |FROM r WHERE pick = 1""".stripMargin)),
 
     // ── Reciprocal rank fusion of two document rankings (by raw length,
     //    by distinct-word count — both tie-broken on doc_id): the hybrid

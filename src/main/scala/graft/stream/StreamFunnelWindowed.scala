@@ -64,9 +64,15 @@ object StreamFunnelWindowed {
         }
         if (s == null) {
           if (e.et == steps.head) {
-            s = AttemptState(1, t, t)
-            getHandle.registerTimer(deadlineMs(s))
-            out += WindowedOut(key, 1, t, "advance")
+            if (steps.size == 1) {
+              // a single-step funnel converts on its opening event — no
+              // state, no timer (otherwise the attempt could only expire)
+              out += WindowedOut(key, 1, t, "converted")
+            } else {
+              s = AttemptState(1, t, t)
+              getHandle.registerTimer(deadlineMs(s))
+              out += WindowedOut(key, 1, t, "advance")
+            }
           }
         } else if (s.stage < steps.size && e.et == steps(s.stage) && t > s.t_us) {
           s = AttemptState(s.stage + 1, s.start_us, t)

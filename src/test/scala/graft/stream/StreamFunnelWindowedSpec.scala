@@ -112,6 +112,35 @@ class StreamFunnelWindowedSpec extends SparkSpec {
     }
   }
 
+  test("single-step funnel converts on the opening event, never expires") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.to_timestamp
+      val in = MemoryStream[(Long, String, String)]
+      val df = in.toDF().toDF("entity", "ts_s", "et")
+        .withColumn("ts", to_timestamp($"ts_s"))
+      val q = StreamFunnelWindowed.attempts(df, "entity", "ts", "et",
+          Seq("view"), windowMinutes = 10)
+        .writeStream.format("memory").queryName("wf1s")
+        .outputMode("append").start()
+      try {
+        in.addData((9L, "2024-01-01T10:00:00Z", "view"))
+        q.processAllAvailable()
+        // watermark far past any would-be deadline: a buggy 1-step funnel
+        // would emit "expired" here instead of having converted above
+        in.addData((10L, "2024-01-01T11:00:00Z", "error"))
+        q.processAllAvailable()
+        in.addData((10L, "2024-01-01T11:01:00Z", "error"))
+        q.processAllAvailable()
+        val got = spark.table("wf1s").as[WindowedOut].collect().toSet
+        assert(got.exists(r => r.entity == 9L && r.outcome == "converted" &&
+          r.stage == 1), s"1-step funnel must convert on open, got $got")
+        assert(!got.exists(r => r.entity == 9L && r.outcome == "expired"),
+          s"1-step funnel must not expire, got $got")
+      } finally q.stop()
+    }
+  }
+
   test("conversion deletes the timer: no phantom expiry after success") {
     run("wf3") { (in, q) =>
       in.addData(

@@ -37,11 +37,36 @@ def main(out_dir, sf_dir):
             n_bad += 1
             continue
         try:
+            # Portability lint FIRST: the driver loads results through
+            # pandas, which renders HUGEINT as float64 (hash mismatch vs
+            # Spark's int64) and crashes sorting list/struct cells
+            # ("unhashable numpy.ndarray"). tools/check.py used to
+            # stringify both, silently passing queries the driver rejects
+            # (the r6 meta-bug: 5 red rows the local gate called green).
+            desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+            bad_types = [(c, t) for c, t, *_ in desc
+                         if "HUGEINT" in t.upper()
+                         or any(k in t.upper()
+                                for k in ("[]", "STRUCT", "MAP(", "LIST"))]
+            if bad_types:
+                print(f"PORTABILITY {name}: driver-unsafe oracle column types "
+                      f"{bad_types} (CAST to BIGINT / serialize to string)")
+                n_bad += 1
+                continue
             o = con.execute(sql)
             o_cols = [d[0] for d in o.description]
             o_rows = o.fetchall()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {str(e).splitlines()[0][:160]}")
+            n_bad += 1
+            continue
+        s_desc = con.execute(
+            f"DESCRIBE (SELECT * FROM '{out_dir}/{name}/*.parquet')").fetchall()
+        s_bad = [(c, t) for c, t, *_ in s_desc
+                 if any(k in t.upper() for k in ("[]", "STRUCT", "MAP(", "LIST"))]
+        if s_bad:
+            print(f"PORTABILITY {name}: driver-unsafe SPARK column types "
+                  f"{s_bad} (serialize to string before writing)")
             n_bad += 1
             continue
         s = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
