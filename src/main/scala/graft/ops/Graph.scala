@@ -525,4 +525,74 @@ object Graph {
         col("x") === col("e3.a") && col("z") === col("e3.b"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** HITS hubs & authorities (Kleinberg) over a directed edge list
+    * (`src`, `dst`): `iters` synchronous rounds of
+    *   auth(v) = Σ_{u→v} hub(u),   hub(u) = Σ_{u→v} auth(v),
+    * each half-round ∞-norm-normalized to the e6 fixed point (top score
+    * = 1,000,000) with truncating integer division — all-integer, so
+    * bit-exact across engines (the [[pageRank]] portability trick; the
+    * usual L2 norm has no exact integer form, and ∞-norm preserves the
+    * same ranking). Nodes with no in-edges (resp. out-edges) get
+    * authority (resp. hub) 0.
+    *
+    * Scale: each half-round is one join (scores ⋈ edges) + one keyed
+    * aggregate + a broadcast of the scalar max — the same 2-shuffle
+    * round shape as [[pageRank]], with checkpoint-truncated lineage.
+    * Raw sums are ≤ maxdeg·1e6 and the rescale multiplies by 1e6, so
+    * values stay ≤ ~1e15 — inside long for any feasible degree. */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    def normalize(raw: DataFrame, c: String): DataFrame = {
+      val mx = raw.agg(max(col(c)).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"), expr(s"$c * 1000000L div mx").as(c))
+    }
+    var hub = nodes.select(col("id"), lit(1000000L).as("h"))
+    var auth = nodes.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      auth = normalize(
+        e.join(hub, e("src") === hub("id"))
+          .groupBy(e("dst").as("id")).agg(sum(col("h")).as("a")), "a")
+        .localCheckpoint(true)
+      hub = normalize(
+        e.join(auth, e("dst") === auth("id"))
+          .groupBy(e("src").as("id")).agg(sum(col("a")).as("h")), "h")
+        .localCheckpoint(true)
+    }
+    nodes.select(col("id"))
+      .join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_e6"),
+        coalesce(col("a"), lit(0L)).as("auth_e6"))
+  }
+
+  /** Adamic–Adar link prediction: distance-2 pairs scored
+    * Σ_z 1e6/log₂(deg z) over common neighbors z, with the reciprocal
+    * log as the e6 truncating integer 1e12 div log2E6(deg z) — between
+    * raw counting ([[commonNeighbors]]) and the harsher 1/deg of
+    * [[resourceAllocation]], and portable via the shared fixed-point
+    * log₂ ([[Bm25.log2E6]]). A wedge pivot always has degree ≥ 2 (it
+    * needs an edge to each endpoint), so log₂(deg z) > 0 and the
+    * division is safe with no filter.
+    *
+    * Same wedge join as [[commonNeighbors]] with the degree table
+    * pre-joined onto the pivot side. */
+  def adamicAdar(edges: DataFrame, minCommon: Long): DataFrame = {
+    val und = canonical(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u").as("z")).agg(count(lit(1)).as("degz"))
+    val wedge = adj.as("l")
+      .join(adj.as("r"), col("l.v") === col("r.u") && col("l.u") < col("r.v"))
+      .join(deg, col("l.v") === col("z"))
+      .withColumn("lg", Bm25.log2E6(col("degz")))
+      .select(col("l.u").as("a"), col("r.v").as("b"),
+        expr("1000000000000L div lg").as("aa"))
+    wedge.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("aa")).as("aa_e6"))
+      .join(und, Seq("a", "b"), "left_anti")
+      .filter(col("n_common") >= minCommon)
+  }
 }

@@ -164,4 +164,30 @@ object Quantiles {
       .select(col("g"), lit(pE6).as("p_e6"), col("k"), col("n").as("n_rows"),
         col("v").as("value"))
   }
+
+  /** WEIGHTED median per group: the smallest value v whose cumulative
+    * weight reaches half the group's total — e.g. "the price at which
+    * half the shipped QUANTITY sits below" rather than half the rows.
+    * Integer weights, integer compare (2·cum ≥ total — no division), so
+    * cross-engine exact; ties in v are impossible after pre-aggregation.
+    *
+    * Scale: a keyed pre-aggregate by (group, value) first — map-side
+    * combinable, so the window that follows orders DISTINCT values per
+    * group, not raw rows (for bounded domains like cents this caps the
+    * window input regardless of corpus size). Then one window pass +
+    * one keyed min. Output: (group, wmedian, total_w). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+    val ord = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("g"))
+    g.withColumn("cw", sum(col("w")).over(ord))
+      .withColumn("tw", sum(col("w")).over(all))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("wmedian"), max(col("tw")).as("total_w"))
+  }
 }

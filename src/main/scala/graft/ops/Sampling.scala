@@ -25,4 +25,30 @@ object Sampling {
     * CASE over the stratum column), keyed and salted for reproducibility. */
   def stratified(df: DataFrame, key: Column, salt: String, pct: Column): DataFrame =
     df.filter(keepHash(key, salt, pct))
+
+  /** Temperature-rebalanced mixture targets (α = 0.5): per class, the
+    * target row count when sampling the corpus so class shares follow
+    * n_k^α / Σ n^α instead of raw counts — the standard training-mix
+    * flattening that up-weights small sources without letting them
+    * dominate. α is fixed at 1/2 because n^½ = isqrt(n) is EXACT in
+    * integers: floor(sqrt(·)) of an IEEE double is the true integer
+    * square root for n < 2⁵², so both engines agree bit-for-bit with no
+    * FP-order dependence (arbitrary α would need a portable fixed-point
+    * pow).
+    *
+    * Output per class: n, weight = isqrt(n), target = N·w div Σw, and
+    * p_e6 — the per-row e6 keep probability (capped at 1e6) that a
+    * hash-gate sampler ([[keepHash]]) would apply downstream. One keyed
+    * aggregate + a broadcast of the two scalar totals; class cardinality
+    * is tiny by construction, so every post-aggregate step is
+    * broadcast-sized. */
+  def temperatureTargets(df: DataFrame, classCol: String): DataFrame = {
+    val c = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .withColumn("weight", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+    val tot = c.agg(sum(col("n")).as("nn"), sum(col("weight")).as("sw"))
+    c.crossJoin(broadcast(tot))
+      .select(col(classCol), col("n"), col("weight"),
+        expr("nn * weight div sw").as("target"),
+        expr("least(1000000L, (nn * weight div sw) * 1000000L div n)").as("p_e6"))
+  }
 }

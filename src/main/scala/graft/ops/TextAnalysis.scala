@@ -185,6 +185,50 @@ object TextAnalysis {
     * bands (hapaxes / stopwords); `cap` bounds the per-word payload the
     * way real indexes page posting lists — without it one hot word's list
     * is a single unsplittable giant row at corpus scale. */
+  /** Bigram language-model scoring: train an add-one-smoothed bigram LM
+    * on the corpus itself and score every document by its average
+    * per-bigram negative log-likelihood — the classic perplexity-style
+    * quality filter (high avg_nll = the document's word transitions are
+    * rare in the corpus = likely noise). All-integer via the shared
+    * fixed-point log₂ ([[Bm25.log2E6]]):
+    *   nll_e6(w1, w2) = log2E6(c(w1·) + V) − log2E6(c(w1, w2) + 1)
+    * where c(w1·) counts bigrams starting with w1 (so P sums to 1 over
+    * the vocabulary V). Scores are in log₂ units — a positive constant
+    * off ln, so rankings and thresholds are unaffected. Documents with
+    * fewer than 2 tokens emit nothing (no bigram to score).
+    *
+    * Scale: two keyed aggregates build the model (bigram counts shuffle
+    * on (w1, w2), prefix counts on w1), V is a scalar broadcast, and the
+    * scoring pass re-joins the bigram stream to the model on the same
+    * keys — the model tables are vocabulary-sized, far smaller than the
+    * corpus, so AQE broadcasts them when they fit. Output:
+    * (doc_id, n_bigrams, avg_nll_e6). */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val pair = toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = pair.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = pair.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("ws")).as("wd"))
+      .agg(countDistinct(col("wd")).as("v"))
+    pair.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll_e6",
+        Bm25.log2E6(col("c1") + col("v")) - Bm25.log2E6(col("c12") + lit(1L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(nll_e6) div count(*)").as("avg_nll_e6"))
+  }
+
+  /** Inverted index: word → document-frequency + the first `cap` doc ids
+    * of the sorted posting list (csv). `dfMin`/`dfMax` cut the useless
+    * bands (hapaxes / stopwords); `cap` bounds the per-word payload the
+    * way real indexes page posting lists — without it one hot word's list
+    * is a single unsplittable giant row at corpus scale. */
   def invertedIndex(docs: DataFrame, dfMin: Long = 2, dfMax: Long = 1000000L,
                     cap: Int = 10): DataFrame =
     // One exchange: collect_set dedups map-side (partial set-union), so a

@@ -249,6 +249,46 @@ object TimeSeries {
           .as("ewma_cents"),
         expr("size(seq)").cast("long").as("n_points"))
 
+  /** Lag-1 autocorrelation per key: Pearson correlation between each
+    * point and its successor in event-time order — the standard
+    * "is this series momentum or mean-reverting" probe (positive =
+    * trending, near 0 = noise, negative = oscillating).
+    *
+    * Determinism across engines: the five sums over the lagged pairs
+    * (Σx, Σy, Σx², Σy², Σxy) are computed EXACTLY in DECIMAL(38,0)
+    * (the oracle's int128 twin), and only the final ratio goes through
+    * doubles — both engines convert the same exact integers with IEEE
+    * round-to-nearest, then apply the same *,/,sqrt sequence, so
+    * round(…, 6) matches bit-for-bit (the repo's deterministic-double
+    * convention). Keys with zero variance on either side emit NULL.
+    *
+    * Scale: one window pass (lead over the per-key order — the same
+    * single exchange every per-key sequence op here pays) + one keyed
+    * aggregate. Output: (key, n_pairs, acf1). */
+  def autocorr(df: DataFrame, keyCol: String, tsMicrosCol: String,
+               tieCol: String, centsCol: String): DataFrame = {
+    val ord = Window.partitionBy(col("key")).orderBy(col("t"), col("tie"))
+    df.select(col(keyCol).as("key"), col(tsMicrosCol).as("t"),
+        col(tieCol).as("tie"), col(centsCol).as("x"))
+      .withColumn("y", lead(col("x"), 1).over(ord))
+      .filter(col("y").isNotNull)
+      .selectExpr("key",
+        "CAST(x AS DECIMAL(38,0)) AS x", "CAST(y AS DECIMAL(38,0)) AS y")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("s1"), sum(col("y")).as("s2"),
+        sum(col("x") * col("x")).as("s11"),
+        sum(col("y") * col("y")).as("s22"),
+        sum(col("x") * col("y")).as("s12"))
+      .selectExpr("key", "n_pairs",
+        """CASE WHEN n_pairs * s11 - s1 * s1 = 0 OR n_pairs * s22 - s2 * s2 = 0
+          |     THEN NULL
+          |     ELSE round(CAST(n_pairs * s12 - s1 * s2 AS DOUBLE) /
+          |                sqrt(CAST(n_pairs * s11 - s1 * s1 AS DOUBLE) *
+          |                     CAST(n_pairs * s22 - s2 * s2 AS DOUBLE)), 6)
+          |END AS acf1""".stripMargin)
+  }
+
   def fillGaps(resampled: DataFrame, key: String, everySec: Long = 300L): DataFrame = {
     val span = resampled.groupBy(col(key))
       .agg(min(col("bucket_es")).as("b0"), max(col("bucket_es")).as("b1"))

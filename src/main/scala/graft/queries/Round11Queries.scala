@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{Bm25, Graph, Quantiles, Sampling, TextAnalysis, TimeSeries}
+import graft.geo.Geofence
+import org.apache.spark.sql.functions._
+
+/** Round-11 extension batch: HITS hubs/authorities and Adamic–Adar on
+  * the shared broken-ring graph, corpus-self-trained bigram LM quality
+  * scoring, lag-1 autocorrelation, l-diversity (the k-anonymity
+  * companion audit), convex-polygon geofencing, temperature-rebalanced
+  * mixture targets, and the weighted median. Every oracle is plain
+  * DuckDB SQL over the shared parquet; every integer-fixed-point trick
+  * (e6 scores, fixed-point log₂, isqrt) matches an existing portability
+  * precedent in the repo. */
+object Round11Queries {
+
+  /** Shared directed test graph (same as Round8Queries): ring + quadratic
+    * chords over part-key residues. */
+  private val graphSql =
+    """WITH nodes AS MATERIALIZED (SELECT DISTINCT p_partkey % 100 AS id FROM part),
+      |e AS MATERIALIZED (SELECT id AS src, (id + 1) % 100 AS dst FROM nodes
+      |      UNION
+      |      SELECT id AS src, (id * id + 7) % 100 AS dst FROM nodes WHERE id % 3 = 0)""".stripMargin
+
+  private def graphNodesEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val nodes = Tables.part(s, d)
+      .select((col("p_partkey") % 100).as("id")).distinct()
+    val edges = nodes
+      .select(col("id").as("src"), ((col("id") + 1) % 100).as("dst"))
+      .unionByName(nodes.filter(col("id") % 3 === 0)
+        .select(col("id").as("src"), ((col("id") * col("id") + 7) % 100).as("dst")))
+      .distinct()
+    (nodes, edges)
+  }
+
+  /** Unrolled 2-iteration HITS oracle: each half-round is a sum along
+    * edges + an ∞-norm rescale to e6 (scalar-subquery max). */
+  private def hitsSql(iters: Int): String = {
+    require(iters >= 1)
+    val rounds = (1 to iters).flatMap { i =>
+      val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+      Seq(
+        s"""a${i}r AS (SELECT dst AS id, CAST(sum(h) AS BIGINT) AS ar
+           |        FROM e JOIN $hPrev ON $hPrev.id = e.src GROUP BY dst)""".stripMargin,
+        s"""a$i AS MATERIALIZED (SELECT id, ar * 1000000 // (SELECT max(ar) FROM a${i}r) AS a
+           |        FROM a${i}r)""".stripMargin,
+        s"""h${i}r AS (SELECT src AS id, CAST(sum(a) AS BIGINT) AS hr
+           |        FROM e JOIN a$i ON a$i.id = e.dst GROUP BY src)""".stripMargin,
+        s"""h$i AS MATERIALIZED (SELECT id, hr * 1000000 // (SELECT max(hr) FROM h${i}r) AS h
+           |        FROM h${i}r)""".stripMargin)
+    }
+    (graphSql +: ",\nh0 AS (SELECT id, 1000000 AS h FROM nodes)" +:
+      rounds.map("," + _)).mkString("\n") +
+      s"""
+         |SELECT n.id, CAST(coalesce(h$iters.h, 0) AS BIGINT) AS hub_e6,
+         |       CAST(coalesce(a$iters.a, 0) AS BIGINT) AS auth_e6
+         |FROM nodes n LEFT JOIN h$iters ON h$iters.id = n.id
+         |             LEFT JOIN a$iters ON a$iters.id = n.id""".stripMargin
+  }
+
+  /** Hexagonal fence (centidegrees) centered on the always-populated
+    * southern latitude band of the synthetic positions. */
+  private val fence = Seq((4000L, -8000L), (2000L, -5000L), (-2000L, -5000L),
+    (-4000L, -8000L), (-2000L, -11000L), (2000L, -11000L))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── HITS hubs & authorities, 2 synchronous rounds, ∞-norm e6
+    //    integers: chord targets accumulate authority, chord sources
+    //    hub mass — all-integer, so the unrolled SQL replays it exactly.
+    QueryDef("q_hits",
+      (s, d) => {
+        val (nodes, edges) = graphNodesEdges(s, d)
+        Graph.hits(nodes, edges, 2)
+      },
+      Some(hitsSql(2))),
+
+    // ── Adamic–Adar link prediction on the same graph: common neighbors
+    //    weighted 1e6/log₂(deg) via the shared fixed-point log₂ — the
+    //    middle ground between raw counts and 1/deg resource allocation.
+    QueryDef("q_adamic_adar",
+      (s, d) => {
+        val (_, edges) = graphNodesEdges(s, d)
+        Graph.adamicAdar(
+          edges.select(col("src").as("a"), col("dst").as("b")), 2L)
+      },
+      Some(graphSql +
+        s""",
+           |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |        FROM e WHERE src <> dst),
+           |adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+           |deg AS (SELECT u AS z, CAST(count(*) AS BIGINT) AS degz FROM adj GROUP BY u),
+           |wedge AS (SELECT l.u AS a, r.v AS b,
+           |                 1000000000000 // ${Bm25.log2E6Sql("deg.degz")} AS aa
+           |          FROM adj l JOIN adj r ON l.v = r.u AND l.u < r.v
+           |          JOIN deg ON deg.z = l.v),
+           |scored AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+           |                  CAST(sum(aa) AS BIGINT) AS aa_e6
+           |           FROM wedge GROUP BY a, b)
+           |SELECT s.a, s.b, s.n_common, s.aa_e6 FROM scored s
+           |LEFT JOIN und ON und.a = s.a AND und.b = s.b
+           |WHERE und.a IS NULL AND s.n_common >= 2""".stripMargin)),
+
+    // ── Perplexity-style quality scoring: add-one-smoothed bigram LM
+    //    trained on the corpus itself, per-doc average NLL in fixed-point
+    //    log₂ e6 units — rare word transitions score high (= suspect).
+    QueryDef("q_bigram_lm",
+      (s, d) => TextAnalysis.bigramNll(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      Some {
+        val nll = Bm25.log2E6Sql("(c1.c1 + vv.v)") + " - " +
+          Bm25.log2E6Sql("(c12.c12 + 1)")
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+           |              i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+           |       FROM t WHERE len(ws) >= 2),
+           |pair AS MATERIALIZED (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+           |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pair GROUP BY 1, 2),
+           |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pair GROUP BY 1),
+           |vv AS (SELECT CAST(count(DISTINCT wd) AS BIGINT) AS v
+           |       FROM (SELECT unnest(ws) AS wd FROM t)),
+           |sc AS (SELECT p.doc_id, $nll AS nll_e6
+           |       FROM pair p JOIN c12 ON c12.w1 = p.w1 AND c12.w2 = p.w2
+           |                   JOIN c1 ON c1.w1 = p.w1 CROSS JOIN vv)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |       CAST(sum(nll_e6) // count(*) AS BIGINT) AS avg_nll_e6
+           |FROM sc GROUP BY doc_id""".stripMargin
+      }),
+
+    // ── Lag-1 autocorrelation of the cents series per event type:
+    //    exact int128/decimal sums, one IEEE ratio at the end.
+    QueryDef("q_autocorr",
+      (s, d) => TimeSeries.autocorr(
+        Tables.events(s, d)
+          .withColumn("t_us", unix_micros(col("ts")))
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+        "event_type", "t_us", "event_id", "cents"),
+      Some("""WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t, event_id,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+             |p AS (SELECT key, c AS x,
+             |             lead(c) OVER (PARTITION BY key ORDER BY t, event_id) AS y
+             |      FROM e),
+             |s AS (SELECT key, CAST(count(*) AS BIGINT) AS n_pairs,
+             |             CAST(sum(x) AS HUGEINT) AS s1, CAST(sum(y) AS HUGEINT) AS s2,
+             |             CAST(sum(x * x) AS HUGEINT) AS s11,
+             |             CAST(sum(y * y) AS HUGEINT) AS s22,
+             |             CAST(sum(x * y) AS HUGEINT) AS s12
+             |      FROM p WHERE y IS NOT NULL GROUP BY key)
+             |SELECT key, n_pairs,
+             |       CASE WHEN n_pairs * s11 - s1 * s1 = 0 OR n_pairs * s22 - s2 * s2 = 0
+             |            THEN NULL
+             |            ELSE round(CAST(n_pairs * s12 - s1 * s2 AS DOUBLE) /
+             |                       sqrt(CAST(n_pairs * s11 - s1 * s1 AS DOUBLE) *
+             |                            CAST(n_pairs * s22 - s2 * s2 AS DOUBLE)), 6)
+             |       END AS acf1
+             |FROM s""".stripMargin)),
+
+    // ── l-diversity audit (companion to q_k_anonymity): per
+    //    quasi-identifier group, how many DISTINCT sensitive values —
+    //    a k-anonymous group with one sensitive value still leaks.
+    QueryDef("q_l_diversity",
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(floor(col("c_acctbal") / 1000).cast("long")).as("l_div"))
+        .filter(col("n") >= 3),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_div
+             |FROM customer GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)),
+
+    // ── Convex-hexagon geofence over integer centidegree positions:
+    //    a pure codegen'd cross-product predicate — scan, filter,
+    //    aggregate; zero joins at any scale.
+    QueryDef("q_geofence",
+      (s, d) => {
+        val p = Tables.events(s, d).select(col("event_type"),
+          (col("user_id") * 37 % 17000 - 8500).as("y"),
+          (col("event_id") * 91 % 35000 - 17500).as("x"))
+        p.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(Geofence.insideConvex(col("x"), col("y"), fence), 1L)
+              .otherwise(0L)).as("n_inside"))
+          .withColumn("share_e6", expr("n_inside * 1000000L div n_total"))
+      },
+      Some {
+        val inside = Geofence.insideConvexSql("x", "y", fence)
+        s"""WITH p AS (SELECT event_type, user_id * 37 % 17000 - 8500 AS y,
+           |                  event_id * 91 % 35000 - 17500 AS x FROM events)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+           |       CAST(count(*) FILTER (WHERE $inside) AS BIGINT) AS n_inside,
+           |       CAST(count(*) FILTER (WHERE $inside) * 1000000 // count(*) AS BIGINT) AS share_e6
+           |FROM p GROUP BY 1""".stripMargin
+      }),
+
+    // ── Temperature-rebalanced (α = ½) training-mix targets per event
+    //    type: shares follow √n instead of n — integer-exact via isqrt.
+    QueryDef("q_sample_temperature",
+      (s, d) => Sampling.temperatureTargets(Tables.events(s, d), "event_type"),
+      Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+             |w AS (SELECT event_type, n,
+             |             CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS weight FROM c),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(weight) AS BIGINT) AS sw FROM w)
+             |SELECT event_type, n, weight,
+             |       CAST(nn * weight // sw AS BIGINT) AS target,
+             |       CAST(least(1000000, (nn * weight // sw) * 1000000 // n) AS BIGINT) AS p_e6
+             |FROM w CROSS JOIN tot""".stripMargin)),
+
+    // ── Weighted median: the price below which half the shipped QUANTITY
+    //    sits, per return flag — cumulative-weight crossing, no division.
+    QueryDef("q_weighted_median",
+      (s, d) => Quantiles.weightedMedian(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("flag"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+            col("l_quantity").cast("long").as("qty")),
+        "flag", "cents", "qty")
+        .withColumnRenamed("g", "flag"),
+      Some("""WITH b AS (SELECT l_returnflag AS flag,
+             |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             |                  CAST(l_quantity AS BIGINT) AS w
+             |           FROM lineitem),
+             |g AS (SELECT flag, cents, CAST(sum(w) AS BIGINT) AS w FROM b GROUP BY 1, 2),
+             |c AS (SELECT flag, cents, w,
+             |             CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cw,
+             |             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+             |      FROM g)
+             |SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian,
+             |       CAST(max(tw) AS BIGINT) AS total_w
+             |FROM c WHERE cw * 2 >= tw GROUP BY flag""".stripMargin))
+  )
+}

@@ -61,7 +61,14 @@ class PlanShapeSpec extends SparkSpec {
     ("q_incremental_window", 3, 0),// base agg + delta agg + outer merge
     ("q_incremental_minmax", 6, 0),// ins/touched/fast/rebuild branches, all keyed
     ("q_identity_stitch", 3, 0),   // CC label join + session window + rollup
-    ("q_maximal_triangles", 3, 0)) // wedge join + extension join + anti
+    ("q_maximal_triangles", 3, 0), // wedge join + extension join + anti
+    ("q_hits", 3, 0),              // rounds checkpointed; final 2-join assembly
+    ("q_adamic_adar", 3, 0),       // wedge join + pair agg + anti-join
+    ("q_bigram_lm", 4, 1),         // c12/c1 aggs + scoring joins; V broadcast
+    ("q_autocorr", 1, 0),          // lead window + moment agg share one shuffle
+    ("q_geofence", 1, 0),          // pure scan → predicate → one agg exchange
+    ("q_sample_temperature", 2, 1),// class agg + broadcast scalar totals
+    ("q_weighted_median", 2, 0))   // (g,v) pre-agg + g-keyed window/min
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
