@@ -266,6 +266,70 @@ object Behavior {
       .drop("is_first")
   }
 
+  /** First/last-touch marketing attribution: for every conversion event,
+    * which channel (event type) touched the entity first and last inside
+    * the lookback window before it. The touch candidates are encoded as
+    * a single sortable long — t·8 + channel-code (timestamps are unique
+    * within an entity, codes < 8) — so min/max RANGE windows find both
+    * touches with no join, no struct comparison, and full cross-engine
+    * exactness (the as-of-join packing trick applied to attribution).
+    * Conversions with no in-window touch attribute to '(none)'.
+    *
+    * Scale: ONE entity-keyed shuffle carrying two range-frame windows,
+    * then a tiny channel-level aggregate. Output per channel:
+    * (channel, first_touch, last_touch) conversion counts. */
+  def attribution(events: DataFrame, entityCol: String, tsMicrosCol: String,
+                  typeCol: String, convType: String, channels: Seq[String],
+                  lookbackUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(channels.nonEmpty && channels.size < 8,
+      "channel-code packing needs 1..7 channels")
+    val code = channels.zipWithIndex
+      .foldLeft(when(lit(false), 0L)) { case (acc, (c, i)) =>
+        acc.when(col(typeCol) === c, (i + 1).toLong)
+      }.otherwise(0L) // 0 = not a touch channel
+    def decode(pkCol: String) = channels.zipWithIndex
+      .foldLeft(when(lit(false), "")) { case (acc, (c, i)) =>
+        acc.when(col(pkCol) % 8 === (i + 1).toLong, c)
+      }.otherwise("(none)") // includes pk NULL: no touch in window
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("t"))
+      .rangeBetween(-lookbackUs, -1L)
+    events
+      .select(col(entityCol), col(tsMicrosCol).as("t"), col(typeCol),
+        code.as("c"))
+      .withColumn("packed", when(col("c") > 0, col("t") * 8 + col("c")))
+      .withColumn("first_pk", min(col("packed")).over(w))
+      .withColumn("last_pk", max(col("packed")).over(w))
+      .filter(col(typeCol) === convType)
+      .select(decode("first_pk").as("first_ch"),
+        decode("last_pk").as("last_ch"))
+      .groupBy(col("first_ch"), col("last_ch"))
+      .agg(count(lit(1)).as("conversions"))
+  }
+
+  /** Activity-day gap profile per entity: over the span [first active
+    * day, last active day], how many days were active, how many gap runs
+    * (consecutive missing-day stretches), and the longest gap. The
+    * standard churn-risk / data-continuity probe. One entity-keyed
+    * aggregate to distinct days, one ordered window for day-over-day
+    * deltas, one final rollup — all integer day arithmetic. */
+  def dayGaps(events: DataFrame, entityCol: String,
+              tsMicrosCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("day"))
+    events
+      .select(col(entityCol),
+        expr(s"CAST($tsMicrosCol AS BIGINT) div 86400000000L").as("day"))
+      .distinct()
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w) - 1)
+      .groupBy(col(entityCol))
+      .agg(min(col("day")).as("d_min"), max(col("day")).as("d_max"),
+        count(lit(1)).as("active_days"),
+        sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(when(col("gap") > 0, col("gap"))), lit(0L))
+          .as("longest_gap"))
+  }
+
   /** Top-k most frequent length-3 event-type paths (consecutive per
     * entity). Same single ordering shuffle as [[transitions]]; the path
     * space is tiny (|types|³) so the final top-k is a broadcastable

@@ -38,6 +38,40 @@ object Ranking {
     * relevant rank (NULL mrr for groups with no relevant item at all —
     * distinguishable from a deep first hit). Integer-exact.
     */
+  /** ROC-AUC of an integer score as a binary-label predictor, by the
+    * Mann–Whitney rank-sum identity — the standard calibration check for
+    * any heuristic quality filter ("does my score actually separate the
+    * classes?"). Tie-exact: tied scores get their textbook AVERAGE rank,
+    * carried in doubled units so everything stays integer:
+    *   rank2(value group) = 2·cum_before + cnt + 1   (= min+max rank)
+    *   U2 = Σ_pos rank2 − n_pos·(n_pos+1)
+    *   auc_e6 = U2·1e6 div (2·n_pos·n_neg)
+    * so the result is bit-exact in any engine — no FP, no sampling.
+    *
+    * Scale: one aggregate by score value (map-side combinable), then a
+    * prefix sum over DISTINCT score values — bounded-domain scores keep
+    * that window tiny regardless of corpus size (same argument as the
+    * histogram percentiles); the final reduce is a scalar. Output one
+    * row: (n_pos, n_neg, auc_e6). */
+  def aucRank(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byVal = df.select(col(scoreCol).cast("long").as("v"),
+        when(col(labelCol), 1L).otherwise(0L).as("pos"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pc"))
+    val ord = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("r2", (col("cum") - col("cnt")) * 2 + col("cnt") + 1)
+      .agg(sum(col("pc") * col("r2")).as("sr2"),
+        sum(col("pc")).as("n_pos"), sum(col("cnt") - col("pc")).as("n_neg"))
+      .selectExpr("n_pos", "n_neg",
+        """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          |     ELSE (sr2 - n_pos * (n_pos + 1)) * 1000000
+          |          div (2 * n_pos * n_neg)
+          |END AS auc_e6""".stripMargin)
+  }
+
   def retrievalMetrics(df: DataFrame, groupCol: String, rankCol: String,
                        relCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

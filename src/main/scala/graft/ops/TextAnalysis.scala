@@ -80,6 +80,24 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col("text"), phonePattern, "[PHONE]"),
           emailPattern, "[EMAIL]"))
 
+  /** Per-source PII exposure profile: every document scanned with the
+    * shared phone/email patterns ([[redact]]), rolled up by source as
+    * (docs, docs_with_pii, pii_hits, pii_per_mtok) — hits per million
+    * whitespace tokens, the normalized rate a release review compares
+    * across corpora. Per-row regex work is codegen'd; the rollup is one
+    * partial-aggregable exchange on the source key. */
+  def piiDensity(docs: DataFrame, sourceCol: String): DataFrame =
+    redact(docs)
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("n_phone") + col("n_email") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("n_phone") + col("n_email")).as("pii_hits"),
+        sum(col("toks")).as("n_toks"))
+      .withColumn("pii_per_mtok", expr("pii_hits * 1000000L div n_toks"))
+      .drop("n_toks")
+
   /** Intra-document repetition ratio — the Gopher-style quality rule:
     * `1 - distinct_kgrams / total_kgrams` per doc (0 = no repetition).
     * Heavily repeated boilerplate scores high and gets filtered before

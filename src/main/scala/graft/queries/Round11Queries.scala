@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Bm25, Graph, Quantiles, Sampling, TextAnalysis, TimeSeries}
+import graft.ops.{Behavior, Bm25, Graph, Quantiles, Sampling, TextAnalysis, TimeSeries}
 import graft.geo.Geofence
 import org.apache.spark.sql.functions._
 
@@ -207,6 +207,107 @@ object Round11Queries {
              |       CAST(nn * weight // sw AS BIGINT) AS target,
              |       CAST(least(1000000, (nn * weight // sw) * 1000000 // n) AS BIGINT) AS p_e6
              |FROM w CROSS JOIN tot""".stripMargin)),
+
+    // ── ROC-AUC of doc length as an English-detector, by the tie-exact
+    //    Mann–Whitney rank sum in doubled-rank integer units.
+    QueryDef("q_auc_rank",
+      (s, d) => graft.ops.Ranking.aucRank(
+        Tables.documents(s, d).select(col("n_chars"),
+          (col("lang") === "en").as("is_en")),
+        "n_chars", "is_en"),
+      Some("""WITH byval AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt,
+             |                      CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pc
+             |               FROM documents GROUP BY 1),
+             |r AS (SELECT v, cnt, pc,
+             |             CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+             |      FROM byval)
+             |SELECT CAST(sum(pc) AS BIGINT) AS n_pos,
+             |       CAST(sum(cnt - pc) AS BIGINT) AS n_neg,
+             |       CAST(CASE WHEN sum(pc) = 0 OR sum(cnt - pc) = 0 THEN NULL
+             |            ELSE (sum(pc * ((cum - cnt) * 2 + cnt + 1)) - sum(pc) * (sum(pc) + 1))
+             |                 * 1000000 // (2 * sum(pc) * sum(cnt - pc))
+             |            END AS BIGINT) AS auc_e6
+             |FROM r""".stripMargin)),
+
+    // ── First/last-touch attribution of purchases to the four non-
+    //    purchase channels in a 1-day lookback — packed-long range
+    //    windows, one entity shuffle, no joins.
+    QueryDef("q_attribution",
+      (s, d) => Behavior.attribution(
+        Tables.events(s, d).withColumn("t_us", unix_micros(col("ts"))),
+        "user_id", "t_us", "event_type", "purchase",
+        Seq("view", "click", "signup", "error"), 86400000000L),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et FROM events),
+             |p AS (SELECT user_id, t, et,
+             |             CASE et WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             |                     WHEN 'signup' THEN 3 WHEN 'error' THEN 4
+             |                     ELSE 0 END AS c
+             |      FROM e),
+             |x AS (SELECT user_id, t, et,
+             |             min(CASE WHEN c > 0 THEN t * 8 + c END)
+             |               OVER (PARTITION BY user_id ORDER BY t
+             |                     RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS fpk,
+             |             max(CASE WHEN c > 0 THEN t * 8 + c END)
+             |               OVER (PARTITION BY user_id ORDER BY t
+             |                     RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS lpk
+             |      FROM p)
+             |SELECT CASE fpk % 8 WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+             |            WHEN 3 THEN 'signup' WHEN 4 THEN 'error'
+             |            ELSE '(none)' END AS first_ch,
+             |       CASE lpk % 8 WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+             |            WHEN 3 THEN 'signup' WHEN 4 THEN 'error'
+             |            ELSE '(none)' END AS last_ch,
+             |       CAST(count(*) AS BIGINT) AS conversions
+             |FROM x WHERE et = 'purchase' GROUP BY 1, 2""".stripMargin)),
+
+    // ── Activity-day continuity per user: active days, gap runs, and
+    //    the longest dark stretch between first and last activity.
+    QueryDef("q_day_gaps",
+      (s, d) => Behavior.dayGaps(
+        Tables.events(s, d).withColumn("t_us", unix_micros(col("ts"))),
+        "user_id", "t_us"),
+      Some("""WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+             |              FROM events),
+             |g AS (SELECT user_id, day,
+             |             day - lag(day) OVER (PARTITION BY user_id ORDER BY day) - 1 AS gap
+             |      FROM days)
+             |SELECT user_id, CAST(min(day) AS BIGINT) AS d_min,
+             |       CAST(max(day) AS BIGINT) AS d_max,
+             |       CAST(count(*) AS BIGINT) AS active_days,
+             |       CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+             |       CAST(coalesce(max(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT) AS longest_gap
+             |FROM g GROUP BY user_id""".stripMargin)),
+
+    // ── Per-source PII exposure: a third of the docs get a synthetic
+    //    phone+email appended; the profile normalizes hits per Mtoken.
+    QueryDef("q_pii_density",
+      (s, d) => TextAnalysis.piiDensity(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" or u"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+            .otherwise(col("text")).as("text")),
+        "source"),
+      Some(s"""WITH aug AS (SELECT doc_id, source,
+              |              CASE WHEN doc_id % 3 = 0 THEN
+              |                concat(text, ' call 555-',
+              |                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+              |                       ' or u', CAST(doc_id AS VARCHAR),
+              |                       '@example.com now')
+              |              ELSE text END AS text
+              |             FROM documents),
+              |sc AS (SELECT source,
+              |              CAST(len(regexp_extract_all(text, '${graft.ops.TextAnalysis.phonePattern}')) AS BIGINT) AS n_phone,
+              |              CAST(len(regexp_extract_all(text, '${graft.ops.TextAnalysis.emailPattern}')) AS BIGINT) AS n_email,
+              |              CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+              |       FROM aug)
+              |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+              |       CAST(sum(CASE WHEN n_phone + n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+              |       CAST(sum(n_phone + n_email) AS BIGINT) AS pii_hits,
+              |       CAST(sum(n_phone + n_email) * 1000000 // sum(toks) AS BIGINT) AS pii_per_mtok
+              |FROM sc GROUP BY source""".stripMargin)),
 
     // ── Weighted median: the price below which half the shipped QUANTITY
     //    sits, per return flag — cumulative-weight crossing, no division.

@@ -68,7 +68,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_autocorr", 1, 0),          // lead window + moment agg share one shuffle
     ("q_geofence", 1, 0),          // pure scan → predicate → one agg exchange
     ("q_sample_temperature", 2, 1),// class agg + broadcast scalar totals
-    ("q_weighted_median", 2, 0))   // (g,v) pre-agg + g-keyed window/min
+    ("q_weighted_median", 2, 0),   // (g,v) pre-agg + g-keyed window/min
+    ("q_auc_rank", 1, 0),          // score-value agg; prefix sum on distinct vals
+    ("q_attribution", 2, 0),       // entity range-windows + channel rollup
+    ("q_day_gaps", 2, 0),          // distinct days + entity-keyed window/agg
+    ("q_pii_density", 1, 0))       // per-row regex (codegen) + one source agg
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
