@@ -330,6 +330,73 @@ object Behavior {
           .as("longest_gap"))
   }
 
+  /** Stationary distribution of the event-type Markov chain by `iters`
+    * rounds of integer power iteration over the [[transitions]] matrix:
+    * π'(d) = Σ_s π(s)·prob_e6(s→d) div 1e6, every term truncating —
+    * all-integer, so the unrolled SQL oracle replays it exactly. Starts
+    * from the uniform e6 vector; states with no inbound transitions
+    * decay to 0. The state space is the TYPE vocabulary (tiny by
+    * construction), so after the one transition-counting shuffle every
+    * iteration round is broadcast-sized — the 100 TB cost is the
+    * [[transitions]] scan, not the chain analysis. */
+  def markovStationary(events: DataFrame, entityCol: String, tsCol: String,
+                       typeCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val tr = transitions(events, entityCol, tsCol, typeCol)
+      .select(col("src"), col("dst"), col("prob_e6")).localCheckpoint(true)
+    val states = tr.select(col("src").as("state"))
+      .unionByName(tr.select(col("dst").as("state")))
+      .distinct().localCheckpoint(true)
+    var pi = states.select(col("state"), lit(1000000L).as("pi_e6"))
+    for (_ <- 1 to iters) {
+      val mass = tr.join(pi, tr("src") === pi("state"))
+        .select(col("dst"), expr("pi_e6 * prob_e6 div 1000000L").as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("mass"))
+      pi = states.join(mass, states("state") === mass("dst"), "left")
+        .select(col("state"), coalesce(col("mass"), lit(0L)).as("pi_e6"))
+        .localCheckpoint(true)
+    }
+    pi
+  }
+
+  /** Session entry/exit/bounce profile: sessions are maximal runs with
+    * inter-event gaps ≤ `gapUs` per entity; each session's first and
+    * last event types are its entry and exit pages, and single-event
+    * sessions are bounces. Output per type: (et, entries, exits,
+    * bounces) — the standard web-analytics landing/exit report.
+    *
+    * ONE entity-keyed shuffle (gap flags + session ids + the per-session
+    * min_by/max_by all share it — timestamps are unique per entity so
+    * the argmin/argmax are deterministic), then a type-keyed rollup over
+    * session-level rows (two orders of magnitude smaller than events). */
+  def entryExit(events: DataFrame, entityCol: String, tsMicrosCol: String,
+                typeCol: String, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapUs > 0, "gapUs must be positive")
+    val sessions = events
+      .select(col(entityCol).as("ent"), col(tsMicrosCol).as("t"),
+        col(typeCol).as("et"))
+      .withColumn("new_s",
+        when(col("t") - lag(col("t"), 1).over(
+          Window.partitionBy(col("ent")).orderBy(col("t"))) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        Window.partitionBy(col("ent")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("ent"), col("sid"))
+      .agg(min_by(col("et"), col("t")).as("first_et"),
+        max_by(col("et"), col("t")).as("last_et"),
+        count(lit(1)).as("n"))
+    sessions
+      .select(col("first_et").as("et"), lit(1L).as("entry"), lit(0L).as("exit"),
+        when(col("n") === 1, 1L).otherwise(0L).as("bounce"))
+      .unionByName(sessions.select(col("last_et").as("et"),
+        lit(0L).as("entry"), lit(1L).as("exit"), lit(0L).as("bounce")))
+      .groupBy(col("et"))
+      .agg(sum(col("entry")).as("entries"), sum(col("exit")).as("exits"),
+        sum(col("bounce")).as("bounces"))
+  }
+
   /** Top-k most frequent length-3 event-type paths (consecutive per
     * entity). Same single ordering shuffle as [[transitions]]; the path
     * space is tiny (|types|³) so the final top-k is a broadcastable

@@ -249,6 +249,41 @@ object TimeSeries {
           .as("ewma_cents"),
         expr("size(seq)").cast("long").as("n_points"))
 
+  /** Clamp-at-zero running balance per key (inventory/credit semantics:
+    * stock can't go negative; excess demand is lost, not backordered).
+    * The recursion W_n = max(0, W_{n−1} + x_n) looks sequential, but the
+    * LINDLEY REFLECTION identity closes it over prefix sums:
+    *   W_n = S_n − min(0, min_{k≤n} S_k)
+    * so balance, running peak, and clamp events (W_{n−1} + x_n < 0 ⟺
+    * S_n < min_{k<n} S_k floored at 0) all fall out of ordinary
+    * cumulative windows — no fold, no per-key buffering, and the oracle
+    * is plain windowed SQL. All-integer. Output: (key, balance, peak,
+    * n_clamps, n_moves).
+    *
+    * Scale: ONE keyed shuffle — the cumulative sum/min windows and the
+    * final per-key aggregate all share the same partitioning; contrast
+    * with the collect-and-fold shape ([[ewmaHalf]]) this identity
+    * avoids. */
+  def clampedBalance(df: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, deltaCol: String): DataFrame = {
+    val ord = Window.partitionBy(col("key")).orderBy(col("t"), col("tie"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(keyCol).as("key"), col(tsCol).as("t"),
+        col(tieCol).as("tie"), col(deltaCol).as("d"))
+      .withColumn("run", sum(col("d")).over(cum))
+      .withColumn("floor_prev",
+        least(lit(0L), coalesce(min(col("run")).over(prev), lit(0L))))
+      .withColumn("bal",
+        col("run") - least(lit(0L), min(col("run")).over(cum)))
+      .withColumn("clamp", when(col("run") < col("floor_prev"), 1L)
+        .otherwise(0L))
+      .groupBy(col("key"))
+      .agg(expr("sum(d) - least(CAST(0 AS BIGINT), min(run))").as("balance"),
+        max(col("bal")).as("peak"), sum(col("clamp")).as("n_clamps"),
+        count(lit(1)).as("n_moves"))
+  }
+
   /** Lag-1 autocorrelation per key: Pearson correlation between each
     * point and its successor in event-time order — the standard
     * "is this series momentum or mean-reverting" probe (positive =

@@ -309,6 +309,97 @@ object Round11Queries {
               |       CAST(sum(n_phone + n_email) * 1000000 // sum(toks) AS BIGINT) AS pii_per_mtok
               |FROM sc GROUP BY source""".stripMargin)),
 
+    // ── Stationary distribution of the event-type Markov chain: 3
+    //    integer power-iteration rounds over the transition matrix.
+    QueryDef("q_markov_stationary",
+      (s, d) => Behavior.markovStationary(
+        Tables.events(s, d).withColumn("t_us", unix_micros(col("ts"))),
+        "user_id", "t_us", "event_type", 3),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et FROM events),
+             |p AS (SELECT et AS src, lead(et) OVER (PARTITION BY user_id ORDER BY t) AS dst FROM e),
+             |tr AS MATERIALIZED (SELECT src, dst,
+             |        CAST(count(*) * 1000000 // sum(count(*)) OVER (PARTITION BY src) AS BIGINT) AS prob_e6
+             |      FROM p WHERE dst IS NOT NULL GROUP BY src, dst),
+             |states AS MATERIALIZED (SELECT DISTINCT src AS state FROM tr
+             |                        UNION SELECT DISTINCT dst FROM tr),
+             |pi0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM states),
+             |pi1 AS MATERIALIZED (SELECT s.state, CAST(coalesce(sum(m.m), 0) AS BIGINT) AS pi
+             |      FROM states s LEFT JOIN (SELECT dst, pi * prob_e6 // 1000000 AS m
+             |                               FROM tr JOIN pi0 ON pi0.state = tr.src) m
+             |        ON m.dst = s.state GROUP BY s.state),
+             |pi2 AS MATERIALIZED (SELECT s.state, CAST(coalesce(sum(m.m), 0) AS BIGINT) AS pi
+             |      FROM states s LEFT JOIN (SELECT dst, pi * prob_e6 // 1000000 AS m
+             |                               FROM tr JOIN pi1 ON pi1.state = tr.src) m
+             |        ON m.dst = s.state GROUP BY s.state),
+             |pi3 AS (SELECT s.state, CAST(coalesce(sum(m.m), 0) AS BIGINT) AS pi
+             |      FROM states s LEFT JOIN (SELECT dst, pi * prob_e6 // 1000000 AS m
+             |                               FROM tr JOIN pi2 ON pi2.state = tr.src) m
+             |        ON m.dst = s.state GROUP BY s.state)
+             |SELECT state, pi AS pi_e6 FROM pi3""".stripMargin)),
+
+    // ── Clamp-at-zero inventory balance per supplier bucket: returns
+    //    deplete, other lines restock; the fold also counts stockouts.
+    QueryDef("q_clamped_balance",
+      (s, d) => TimeSeries.clampedBalance(
+        Tables.lineitem(s, d).select(
+          (col("l_suppkey") % 50).as("k"),
+          expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("t"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("tie"),
+          (col("l_quantity").cast("long") *
+            when(col("l_returnflag") === "R", -1L).otherwise(1L)).as("d")),
+        "k", "t", "tie", "d"),
+      // Lindley reflection: W_n = S_n − min(0, min_{k≤n} S_k) turns the
+      // clamp recursion into plain cumulative windows on both sides.
+      Some("""WITH b AS (SELECT l_suppkey % 50 AS k,
+             |                  epoch_us(l_shipdate) AS t,
+             |                  l_orderkey * 8 + l_linenumber AS tie,
+             |                  CAST(l_quantity AS BIGINT) *
+             |                    (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS d
+             |           FROM lineitem),
+             |r AS (SELECT k, t, tie, d,
+             |             sum(d) OVER (PARTITION BY k ORDER BY t, tie
+             |                          ROWS UNBOUNDED PRECEDING) AS run
+             |      FROM b),
+             |m AS (SELECT k, d, run,
+             |             least(0, coalesce(min(run) OVER (PARTITION BY k ORDER BY t, tie
+             |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS floor_prev,
+             |             run - least(0, min(run) OVER (PARTITION BY k ORDER BY t, tie
+             |                        ROWS UNBOUNDED PRECEDING)) AS bal
+             |      FROM r)
+             |SELECT k AS key,
+             |       CAST(sum(d) - least(0, min(run)) AS BIGINT) AS balance,
+             |       CAST(max(bal) AS BIGINT) AS peak,
+             |       CAST(sum(CASE WHEN run < floor_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_clamps,
+             |       CAST(count(*) AS BIGINT) AS n_moves
+             |FROM m GROUP BY k""".stripMargin)),
+
+    // ── Session entry/exit/bounce report: 30-minute-gap sessions per
+    //    user; landing and exit types plus single-event bounces.
+    QueryDef("q_entry_exit",
+      (s, d) => Behavior.entryExit(
+        Tables.events(s, d).withColumn("t_us", unix_micros(col("ts"))),
+        "user_id", "t_us", "event_type", 1800000000L),
+      Some("""WITH e AS (SELECT user_id AS ent, epoch_us(ts) AS t, event_type AS et FROM events),
+             |g AS (SELECT ent, t, et,
+             |             CASE WHEN t - lag(t) OVER (PARTITION BY ent ORDER BY t)
+             |                    > 1800000000 THEN 1 ELSE 0 END AS new_s
+             |      FROM e),
+             |sid AS (SELECT ent, t, et,
+             |               sum(new_s) OVER (PARTITION BY ent ORDER BY t
+             |                                ROWS UNBOUNDED PRECEDING) AS sid
+             |        FROM g),
+             |ses AS (SELECT ent, sid, min_by(et, t) AS first_et,
+             |               max_by(et, t) AS last_et, count(*) AS n
+             |        FROM sid GROUP BY ent, sid),
+             |u AS (SELECT first_et AS et, 1 AS entry, 0 AS exit0,
+             |             CASE WHEN n = 1 THEN 1 ELSE 0 END AS bounce FROM ses
+             |      UNION ALL
+             |      SELECT last_et, 0, 1, 0 FROM ses)
+             |SELECT et, CAST(sum(entry) AS BIGINT) AS entries,
+             |       CAST(sum(exit0) AS BIGINT) AS exits,
+             |       CAST(sum(bounce) AS BIGINT) AS bounces
+             |FROM u GROUP BY et""".stripMargin)),
+
     // ── Weighted median: the price below which half the shipped QUANTITY
     //    sits, per return flag — cumulative-weight crossing, no division.
     QueryDef("q_weighted_median",

@@ -72,7 +72,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_auc_rank", 1, 0),          // score-value agg; prefix sum on distinct vals
     ("q_attribution", 2, 0),       // entity range-windows + channel rollup
     ("q_day_gaps", 2, 0),          // distinct days + entity-keyed window/agg
-    ("q_pii_density", 1, 0))       // per-row regex (codegen) + one source agg
+    ("q_pii_density", 1, 0),       // per-row regex (codegen) + one source agg
+    ("q_clamped_balance", 1, 0),   // Lindley windows + agg share ONE keyed shuffle
+    ("q_markov_stationary", 1, 0), // rounds checkpointed; chain state broadcast-sized
+    ("q_entry_exit", 3, 0))        // session windows + union rollup
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
