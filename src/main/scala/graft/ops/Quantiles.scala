@@ -165,6 +165,49 @@ object Quantiles {
         col("v").as("value"))
   }
 
+  /** Percentile BANDS per group — p25/p50/p75-style multi-percentile in
+    * ONE histogram pass: [[groupedPercentile]] generalized so the
+    * per-group stats fan out over the requested percentiles (a literal
+    * explode — broadcast-sized) while the expensive parts, the histogram
+    * and the landing-bin row selection, are built and scanned ONCE and
+    * shared by every percentile. Asking for 5 percentiles costs the same
+    * shuffles as asking for 1 — the point of the histogram formulation
+    * at scale. Output: (g, p_e6, k, n_rows, value). */
+  def groupedPercentileBands(df: DataFrame, groupCol: String,
+                             valueCol: String, psE6: Seq[Long],
+                             bins: Long = 1024L): DataFrame = {
+    require(psE6.nonEmpty && psE6.forall(p => p > 0L && p <= 1000000L),
+      "each pE6 must be in (0, 1e6]")
+    require(psE6.distinct.size == psE6.size, "duplicate percentiles")
+    require(bins >= 2L, "bins must be >= 2")
+    val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val stats = v.groupBy(col("g"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+      .withColumn("width", greatest(lit(1L), expr(s"(hi - lo + ${bins}L) div ${bins}L")))
+      .withColumn("p_e6", explode(array(psE6.map(lit(_)): _*)))
+      .withColumn("k", expr("(n * p_e6 + 999999) div 1000000"))
+    val hist = v.join(stats.select(col("g"), col("lo"), col("width")).distinct(), "g")
+      .groupBy(col("g"), expr("(v - lo) div width").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+    val landing = cum.join(stats, "g")
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("g"), col("p_e6"), col("k"), col("n"),
+        (col("k") - (col("cum") - col("cnt"))).as("residual"),
+        (col("lo") + col("bin") * col("width")).as("b_lo"),
+        (col("lo") + (col("bin") + 1) * col("width") - 1).as("b_hi"))
+    v.join(landing, "g")
+      .filter(col("v") >= col("b_lo") && col("v") <= col("b_hi"))
+      .withColumn("vrn", row_number().over(
+        Window.partitionBy(col("g"), col("p_e6")).orderBy(col("v"))))
+      .filter(col("vrn") === col("residual"))
+      .select(col("g"), col("p_e6"), col("k"), col("n").as("n_rows"),
+        col("v").as("value"))
+  }
+
   /** WEIGHTED median per group: the smallest value v whose cumulative
     * weight reaches half the group's total — e.g. "the price at which
     * half the shipped QUANTITY sits below" rather than half the rows.

@@ -38,6 +38,31 @@ object Ranking {
     * relevant rank (NULL mrr for groups with no relevant item at all —
     * distinguishable from a deep first hit). Integer-exact.
     */
+  /** Top-k members per group with an "other" rollup — the reporting
+    * contract every dashboard needs (pie charts, budget tables): the k
+    * largest members keep their identity, the tail collapses to one
+    * deterministic bucket so output stays k+1 rows per group no matter
+    * the cardinality. Rank ties break on member id. Output: (group, who,
+    * total, n_members).
+    *
+    * Scale: one keyed pre-aggregate, one rank window over members (far
+    * smaller than rows), one keyed re-aggregate — the window never sees
+    * raw rows. */
+  def topKWithOther(df: DataFrame, groupCol: String, memberCol: String,
+                    valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val t = df.select(col(groupCol).as("grp"), col(memberCol).as("member"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("member")).agg(sum(col("v")).as("total"))
+    val rk = Window.partitionBy(col("grp"))
+      .orderBy(col("total").desc, col("member"))
+    t.withColumn("rk", row_number().over(rk))
+      .withColumn("who",
+        when(col("rk") <= k, col("member").cast("string")).otherwise("other"))
+      .groupBy(col("grp"), col("who"))
+      .agg(sum(col("total")).as("total"), count(lit(1)).as("n_members"))
+  }
+
   /** ROC-AUC of an integer score as a binary-label predictor, by the
     * Mann–Whitney rank-sum identity — the standard calibration check for
     * any heuristic quality filter ("does my score actually separate the

@@ -400,6 +400,88 @@ object Round11Queries {
              |       CAST(sum(bounce) AS BIGINT) AS bounces
              |FROM u GROUP BY et""".stripMargin)),
 
+    // ── PSI drift between the first and second half of the event
+    //    stream, per type, over cents deciles — add-one-smoothed shares
+    //    on the full bucket grid, fixed-point log₂, all integer.
+    QueryDef("q_psi_drift",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          unix_micros(col("ts")).as("t"), col("event_type").as("g"),
+          expr("least(9L, greatest(0L, CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000L))")
+            .as("bucket"))
+        val mid = e.agg(expr("min(t) + (max(t) - min(t)) div 2").as("m"))
+        val h = e.crossJoin(broadcast(mid))
+          .withColumn("half", when(col("t") <= col("m"), 0L).otherwise(1L))
+        graft.ops.Drift.psi(h, "g", "half", "bucket", 9)
+      },
+      Some {
+        val term = s"(p_e6 - q_e6) * (${Bm25.log2E6Sql("p_e6")} - ${Bm25.log2E6Sql("q_e6")})"
+        s"""WITH e AS (SELECT epoch_us(ts) AS t, event_type AS g,
+           |                  least(9, greatest(0, CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000)) AS bucket
+           |           FROM events),
+           |mid AS (SELECT min(t) + (max(t) - min(t)) // 2 AS m FROM e),
+           |h AS (SELECT g, bucket, CASE WHEN t <= m THEN 0 ELSE 1 END AS half
+           |      FROM e CROSS JOIN mid),
+           |cnt AS (SELECT g, half, bucket, CAST(count(*) AS BIGINT) AS n
+           |        FROM h GROUP BY 1, 2, 3),
+           |tot AS (SELECT g, half, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY 1, 2),
+           |gb AS (SELECT gg.g, b.bucket, hh.half
+           |       FROM (SELECT DISTINCT g FROM cnt) gg
+           |       CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) b
+           |       CROSS JOIN (SELECT unnest([0, 1]) AS half) hh),
+           |sh AS (SELECT gb.g, gb.bucket, gb.half,
+           |              (coalesce(cnt.n, 0) + 1) * 1000000 // (tot.nt + 10) AS share_e6
+           |       FROM gb LEFT JOIN cnt ON cnt.g = gb.g AND cnt.half = gb.half
+           |                            AND cnt.bucket = gb.bucket
+           |               JOIN tot ON tot.g = gb.g AND tot.half = gb.half),
+           |pq AS (SELECT g, bucket,
+           |              CAST(max(CASE WHEN half = 0 THEN share_e6 END) AS BIGINT) AS p_e6,
+           |              CAST(max(CASE WHEN half = 1 THEN share_e6 END) AS BIGINT) AS q_e6
+           |       FROM sh GROUP BY 1, 2)
+           |SELECT g, CAST(sum($term) // 1000000 AS BIGINT) AS psi_e6,
+           |       CAST(count(*) AS BIGINT) AS n_buckets
+           |FROM pq GROUP BY g""".stripMargin
+      }),
+
+    // ── Top-3 customers-per-priority with an "other" rollup: identity
+    //    for the head, one deterministic bucket for the tail.
+    QueryDef("q_topk_other",
+      (s, d) => graft.ops.Ranking.topKWithOther(
+        Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+          (col("o_custkey") % 10).as("member"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")),
+        "grp", "member", "cents", 3),
+      Some("""WITH t AS (SELECT o_orderpriority AS grp, o_custkey % 10 AS member,
+             |                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total
+             |           FROM orders GROUP BY 1, 2),
+             |r AS (SELECT grp, member, total,
+             |             row_number() OVER (PARTITION BY grp
+             |                                ORDER BY total DESC, member) AS rk
+             |      FROM t)
+             |SELECT grp,
+             |       CASE WHEN rk <= 3 THEN CAST(member AS VARCHAR) ELSE 'other' END AS who,
+             |       CAST(sum(total) AS BIGINT) AS total,
+             |       CAST(count(*) AS BIGINT) AS n_members
+             |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    // ── p25/p50/p75 cents per event type from ONE shared histogram
+    //    pass — multi-percentile at the cost of one.
+    QueryDef("q_percentile_bands",
+      (s, d) => Quantiles.groupedPercentileBands(
+        Tables.events(s, d).select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "g", "cents", Seq(250000L, 500000L, 750000L)),
+      Some("""WITH e AS (SELECT event_type AS g,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+             |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             |             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+             |      FROM e),
+             |ps AS (SELECT unnest([250000, 500000, 750000]) AS p_e6)
+             |SELECT r.g, CAST(ps.p_e6 AS BIGINT) AS p_e6,
+             |       CAST((n * ps.p_e6 + 999999) // 1000000 AS BIGINT) AS k,
+             |       n AS n_rows, v AS value
+             |FROM r JOIN ps ON rn = (n * ps.p_e6 + 999999) // 1000000""".stripMargin)),
+
     // ── Weighted median: the price below which half the shipped QUANTITY
     //    sits, per return flag — cumulative-weight crossing, no division.
     QueryDef("q_weighted_median",

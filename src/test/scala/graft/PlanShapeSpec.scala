@@ -75,7 +75,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_pii_density", 1, 0),       // per-row regex (codegen) + one source agg
     ("q_clamped_balance", 1, 0),   // Lindley windows + agg share ONE keyed shuffle
     ("q_markov_stationary", 1, 0), // rounds checkpointed; chain state broadcast-sized
-    ("q_entry_exit", 3, 0))        // session windows + union rollup
+    ("q_entry_exit", 3, 0),        // session windows + union rollup
+    ("q_psi_drift", 6, 2),         // count agg + grid/total joins (broadcast-sized)
+    ("q_topk_other", 2, 0),        // member pre-agg + rank window + rollup
+    ("q_percentile_bands", 4, 1))  // stats + shared hist + landing select
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
