@@ -208,6 +208,30 @@ object Quantiles {
         col("v").as("value"))
   }
 
+  /** Winsorized mean per group: values clamped to the group's own
+    * [pLo, pHi] percentiles before averaging — the robust mean that
+    * survives fat tails without dropping rows (clamping keeps n stable,
+    * unlike trimming). Percentile cutpoints come from ONE shared
+    * histogram pass ([[groupedPercentileBands]]); the clamp + means are
+    * a join-back and one aggregate. All integer (truncating div means).
+    * Output: (g, n_rows, p_lo, p_hi, raw_mean, win_mean). */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+                     pLoE6: Long, pHiE6: Long): DataFrame = {
+    require(pLoE6 < pHiE6, "pLo must be below pHi")
+    val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val cuts = groupedPercentileBands(v, "g", "v", Seq(pLoE6, pHiE6))
+      .groupBy(col("g"))
+      .agg(max(when(col("p_e6") === pLoE6, col("value"))).as("p_lo"),
+        max(when(col("p_e6") === pHiE6, col("value"))).as("p_hi"))
+    v.join(cuts, "g")
+      .withColumn("w", greatest(col("p_lo"), least(col("p_hi"), col("v"))))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), first(col("p_lo")).as("p_lo"),
+        first(col("p_hi")).as("p_hi"),
+        expr("sum(v) div count(*)").as("raw_mean"),
+        expr("sum(w) div count(*)").as("win_mean"))
+  }
+
   /** WEIGHTED median per group: the smallest value v whose cumulative
     * weight reaches half the group's total — e.g. "the price at which
     * half the shipped QUANTITY sits below" rather than half the rows.

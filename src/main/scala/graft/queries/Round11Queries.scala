@@ -482,6 +482,77 @@ object Round11Queries {
              |       n AS n_rows, v AS value
              |FROM r JOIN ps ON rn = (n * ps.p_e6 + 999999) // 1000000""".stripMargin)),
 
+    // ── Winsorized mean: cents clamped to each type's own [p05, p95]
+    //    before averaging — robust mean without dropping rows.
+    QueryDef("q_winsorized_mean",
+      (s, d) => Quantiles.winsorizedMean(
+        Tables.events(s, d).select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "g", "cents", 50000L, 950000L),
+      Some("""WITH e AS (SELECT event_type AS g,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+             |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             |             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+             |      FROM e),
+             |cuts AS (SELECT g,
+             |                max(CASE WHEN rn = (n * 50000 + 999999) // 1000000 THEN v END) AS p_lo,
+             |                max(CASE WHEN rn = (n * 950000 + 999999) // 1000000 THEN v END) AS p_hi
+             |         FROM r GROUP BY g)
+             |SELECT e.g, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(max(p_lo) AS BIGINT) AS p_lo, CAST(max(p_hi) AS BIGINT) AS p_hi,
+             |       CAST(sum(v) // count(*) AS BIGINT) AS raw_mean,
+             |       CAST(sum(greatest(p_lo, least(p_hi, v))) // count(*) AS BIGINT) AS win_mean
+             |FROM e JOIN cuts ON cuts.g = e.g GROUP BY e.g""".stripMargin)),
+
+    // ── Order-lifecycle latency: per priority, line-level ship delays
+    //    from order date — the accumulating-snapshot fact rollup.
+    QueryDef("q_order_lifecycle",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          expr("""(unix_micros(CAST(l_shipdate AS TIMESTAMP))
+                 | - unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000L"""
+            .stripMargin).as("delay_days"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("sum(delay_days) * 100 div count(*)").as("avg_delay_days_e2"),
+          min(col("delay_days")).as("min_days"),
+          max(col("delay_days")).as("max_days")),
+      Some("""SELECT o_orderpriority AS priority,
+             |       CAST(count(*) AS BIGINT) AS n_lines,
+             |       CAST(sum((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000) * 100
+             |            // count(*) AS BIGINT) AS avg_delay_days_e2,
+             |       CAST(min((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000) AS BIGINT) AS min_days,
+             |       CAST(max((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000) AS BIGINT) AS max_days
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin)),
+
+    // ── Skew advisor over candidate shuffle keys: hot-key share and the
+    //    salt factor that would level its partition to the mean.
+    QueryDef("q_skew_advisor",
+      (s, d) => graft.ops.Skew.advisor(
+        Tables.events(s, d), Seq("event_type", "user_id")),
+      Some("""WITH a AS (SELECT CAST(event_type AS VARCHAR) AS k FROM events),
+             |ga AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY k),
+             |sa AS (SELECT CAST('event_type' AS VARCHAR) AS key_col,
+             |              CAST(sum(c) AS BIGINT) AS n_rows,
+             |              CAST(count(*) AS BIGINT) AS n_keys,
+             |              CAST((SELECT c FROM ga ORDER BY c DESC, k DESC LIMIT 1) AS BIGINT) AS top1_cnt
+             |       FROM ga),
+             |b AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+             |gb AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY k),
+             |sb AS (SELECT CAST('user_id' AS VARCHAR) AS key_col,
+             |              CAST(sum(c) AS BIGINT) AS n_rows,
+             |              CAST(count(*) AS BIGINT) AS n_keys,
+             |              CAST((SELECT c FROM gb ORDER BY c DESC, k DESC LIMIT 1) AS BIGINT) AS top1_cnt
+             |       FROM gb),
+             |u AS (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+             |SELECT key_col, n_rows, n_keys, top1_cnt,
+             |       CAST(top1_cnt * 1000000 // n_rows AS BIGINT) AS top1_share_e6,
+             |       CAST((top1_cnt * n_keys + n_rows - 1) // n_rows AS BIGINT) AS salt_factor
+             |FROM u""".stripMargin)),
+
     // ── Weighted median: the price below which half the shipped QUANTITY
     //    sits, per return flag — cumulative-weight crossing, no division.
     QueryDef("q_weighted_median",

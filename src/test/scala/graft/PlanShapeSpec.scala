@@ -78,7 +78,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_entry_exit", 3, 0),        // session windows + union rollup
     ("q_psi_drift", 6, 2),         // count agg + grid/total joins (broadcast-sized)
     ("q_topk_other", 2, 0),        // member pre-agg + rank window + rollup
-    ("q_percentile_bands", 4, 1))  // stats + shared hist + landing select
+    ("q_percentile_bands", 4, 1),  // stats + shared hist + landing select
+    ("q_winsorized_mean", 4, 1),   // bands cutpoints + clamp join-back + agg
+    ("q_order_lifecycle", 1, 1),   // orders broadcast into lineitem + one agg
+    ("q_skew_advisor", 2, 0))      // one count agg per candidate column
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
