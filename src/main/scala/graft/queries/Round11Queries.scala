@@ -102,6 +102,46 @@ object Round11Queries {
            |LEFT JOIN und ON und.a = s.a AND und.b = s.b
            |WHERE und.a IS NULL AND s.n_common >= 2""".stripMargin)),
 
+    // ── Minimum spanning forest by distributed Borůvka over the shared
+    //    graph with unique weights w = a·1000 + b. The oracle is an
+    //    INDEPENDENT formulation: the cut property under distinct
+    //    weights — e ∈ MSF iff the minimax bottleneck path cost between
+    //    its endpoints equals its own weight — evaluated by all-pairs
+    //    path-doubling relaxation (7 rounds cover paths ≤ 128 edges).
+    QueryDef("q_msf",
+      (s, d) => {
+        val (nodes, edges) = graphNodesEdges(s, d)
+        Graph.minimumSpanningForest(nodes,
+          edges.filter(col("src") =!= col("dst"))
+            .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+            .distinct()
+            .withColumn("w", col("a") * 1000 + col("b")),
+          10)
+      },
+      Some {
+        val head = graphSql +
+          """,
+            |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            |       FROM e WHERE src <> dst),
+            |we AS MATERIALIZED (SELECT a, b, a * 1000 + b AS w FROM und),
+            |d0 AS MATERIALIZED (SELECT a AS u, b AS v, w AS d FROM we
+            |      UNION ALL SELECT b, a, w FROM we)""".stripMargin
+        val rounds = (1 to 7).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT u, v, min(d) AS d FROM (
+             |      SELECT u, v, d FROM d${i - 1}
+             |      UNION ALL
+             |      SELECT x.u, y.v, greatest(x.d, y.d) AS d
+             |      FROM d${i - 1} x JOIN d${i - 1} y ON x.v = y.u AND x.u <> y.v)
+             |      GROUP BY u, v)""".stripMargin
+        }
+        (head +: rounds.map("," + _)).mkString("\n") +
+          """
+            |SELECT we.a, we.b, CAST(we.w AS BIGINT) AS w
+            |FROM we JOIN d7 ON d7.u = we.a AND d7.v = we.b
+            |WHERE d7.d = we.w""".stripMargin
+      }),
+
     // ── Perplexity-style quality scoring: add-one-smoothed bigram LM
     //    trained on the corpus itself, per-doc average NLL in fixed-point
     //    log₂ e6 units — rare word transitions score high (= suspect).

@@ -81,7 +81,8 @@ class PlanShapeSpec extends SparkSpec {
     ("q_percentile_bands", 4, 1),  // stats + shared hist + landing select
     ("q_winsorized_mean", 4, 1),   // bands cutpoints + clamp join-back + agg
     ("q_order_lifecycle", 1, 1),   // orders broadcast into lineitem + one agg
-    ("q_skew_advisor", 2, 0))      // one count agg per candidate column
+    ("q_skew_advisor", 2, 0),      // one count agg per candidate column
+    ("q_msf", 1, 0))               // Boruvka rounds fully checkpointed
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
