@@ -43,4 +43,40 @@ object Sketches {
     keyed.join(broadcast(counters), Seq("j", "bucket"))
       .groupBy(col(itemCol)).agg(min(col("c")).as("cms_est"))
   }
+
+  /** DDSketch-style RELATIVE-error quantiles: values land in logarithmic
+    * buckets `log₂(v)·1e6 div kE6` (γ = 2^(kE6/1e6), relative error
+    * α ≈ (γ−1)/(γ+1)), so per-key sketch state is O(log range) counters
+    * that MERGE by addition — the modern alternative to rank sketches
+    * when tail latencies / price tails need bounded RELATIVE accuracy.
+    * The fixed-point log₂ ([[Bm25.log2E6]]) keeps bucketing bit-exact
+    * across engines, so the sketch and the landing buckets are fully
+    * oracle-checkable. Values are clamped below at 1 (log domain).
+    *
+    * Returns for each key × requested percentile: the landing bucket
+    * index, the target rank k = ⌈p·n⌉, and n — ONE count aggregate on
+    * (key, bucket) + a cumulative window over the tiny bucket axis.
+    * (Reconstructing a representative value 2^((b+½)·kE6/1e6) is a
+    * client-side float op by design — the engine contract stays
+    * integer.) */
+  def logBucketQuantile(df: DataFrame, keyCol: String, valueCol: String,
+                        kE6: Long, psE6: Seq[Long]): DataFrame = {
+    require(kE6 >= 1000L && kE6 <= 1000000L, "kE6 must be in [1e3, 1e6]")
+    require(psE6.nonEmpty && psE6.forall(p => p > 0L && p <= 1000000L),
+      "each pE6 must be in (0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(keyCol).as("g"),
+        Bm25.log2E6(greatest(lit(1L), col(valueCol).cast("long"))).as("l"))
+      .withColumn("bucket", expr(s"l div ${kE6}L"))
+      .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("g"))
+    val cum = b.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(all))
+    cum.withColumn("p_e6", explode(array(psE6.map(lit(_)): _*)))
+      .withColumn("k", expr("(n * p_e6 + 999999) div 1000000"))
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("g"), col("p_e6"), col("bucket"), col("k"), col("n"))
+  }
 }

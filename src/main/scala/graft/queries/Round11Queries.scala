@@ -593,6 +593,88 @@ object Round11Queries {
              |       CAST((top1_cnt * n_keys + n_rows - 1) // n_rows AS BIGINT) AS salt_factor
              |FROM u""".stripMargin)),
 
+    // ── DDSketch-style relative-error quantiles: log₂ buckets via the
+    //    fixed-point log (γ = 2^0.057536 ≈ 1.041, α ≈ 2%), mergeable by
+    //    addition; landing buckets for p50/p95/p99 per type.
+    QueryDef("q_ddsketch",
+      (s, d) => graft.ops.Sketches.logBucketQuantile(
+        Tables.events(s, d).select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "g", "cents", 57536L, Seq(500000L, 950000L, 990000L)),
+      Some {
+        val lg = Bm25.log2E6Sql("v")
+        s"""WITH e AS (SELECT event_type AS g,
+           |                 greatest(1, CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+           |           FROM events),
+           |b AS (SELECT g, $lg // 57536 AS bucket FROM e),
+           |c AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+           |w AS (SELECT g, bucket, cnt,
+           |             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT) AS cum,
+           |             CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+           |      FROM c),
+           |ps AS (SELECT unnest([500000, 950000, 990000]) AS p_e6)
+           |SELECT g, CAST(ps.p_e6 AS BIGINT) AS p_e6, CAST(bucket AS BIGINT) AS bucket,
+           |       CAST((n * ps.p_e6 + 999999) // 1000000 AS BIGINT) AS k, n
+           |FROM w JOIN ps ON cum >= (n * ps.p_e6 + 999999) // 1000000
+           |              AND cum - cnt < (n * ps.p_e6 + 999999) // 1000000""".stripMargin
+      }),
+
+    // ── CUPED variance-reduced A/B read: pre-period spend adjusts the
+    //    post-period metric; adjusted means need only per-variant sums.
+    QueryDef("q_cuped",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          unix_micros(col("ts")).as("t"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val mid = e.agg(expr("min(t) + (max(t) - min(t)) div 2").as("m"))
+        val units = e.crossJoin(broadcast(mid))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("t") <= col("m"), col("cents")).otherwise(0L)).as("x"),
+            sum(when(col("t") > col("m"), col("cents")).otherwise(0L)).as("y"))
+          .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+        graft.ops.Experiment.cuped(units, "variant", "x", "y")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS t, user_id,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+             |mid AS (SELECT min(t) + (max(t) - min(t)) // 2 AS m FROM e),
+             |u AS (SELECT user_id % 2 AS variant,
+             |             CAST(sum(CASE WHEN t <= m THEN cents ELSE 0 END) AS HUGEINT) AS x,
+             |             CAST(sum(CASE WHEN t > m THEN cents ELSE 0 END) AS HUGEINT) AS y
+             |      FROM e CROSS JOIN mid GROUP BY user_id),
+             |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |             sum(x) AS sx, sum(y) AS sy,
+             |             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
+             |             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |             sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS sx_a,
+             |             sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS sy_a,
+             |             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |             sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS sx_b,
+             |             sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS sy_b
+             |      FROM u),
+             |m AS (SELECT n_a, n_b,
+             |             CAST(n * sxy - sx * sy AS DOUBLE) AS cnum,
+             |             CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+             |             CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+             |             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+             |             CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y_a,
+             |             CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_y_b,
+             |             CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_x_a,
+             |             CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_x_b
+             |      FROM s)
+             |SELECT n_a, n_b,
+             |       round(mean_y_a, 6) AS mean_y_a, round(mean_y_b, 6) AS mean_y_b,
+             |       CASE WHEN dx = 0 THEN NULL ELSE round(cnum / dx, 6) END AS theta,
+             |       CASE WHEN dx = 0 THEN NULL
+             |            ELSE round(mean_y_a - (cnum / dx) * (mean_x_a - xbar), 6)
+             |       END AS mean_adj_a,
+             |       CASE WHEN dx = 0 THEN NULL
+             |            ELSE round(mean_y_b - (cnum / dx) * (mean_x_b - xbar), 6)
+             |       END AS mean_adj_b,
+             |       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+             |            ELSE round(cnum * cnum / (dx * dy), 6)
+             |       END AS r2
+             |FROM m""".stripMargin)),
+
     // ── Weighted median: the price below which half the shipped QUANTITY
     //    sits, per return flag — cumulative-weight crossing, no division.
     QueryDef("q_weighted_median",

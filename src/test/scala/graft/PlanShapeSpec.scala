@@ -82,7 +82,9 @@ class PlanShapeSpec extends SparkSpec {
     ("q_winsorized_mean", 4, 1),   // bands cutpoints + clamp join-back + agg
     ("q_order_lifecycle", 1, 1),   // orders broadcast into lineitem + one agg
     ("q_skew_advisor", 2, 0),      // one count agg per candidate column
-    ("q_msf", 1, 0))               // Boruvka rounds fully checkpointed
+    ("q_msf", 1, 0),               // Boruvka rounds fully checkpointed
+    ("q_ddsketch", 2, 0),          // (key, log-bucket) agg + tiny bucket window
+    ("q_cuped", 2, 1))             // per-unit agg + scalar moment reduce
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
