@@ -35,6 +35,16 @@ object Bm25 {
   val mantissaE6: IndexedSeq[Long] =
     (0 until 32).map(i => math.round(math.log1p(i / 32.0) / math.log(2.0) * 1e6))
 
+  /** Pure-Scala twin of [[log2E6]] for computing LITERAL constants at
+    * plan-build time (e.g. SPRT log-likelihood coefficients) — same msb
+    * + 5-bit mantissa algorithm, so a constant embedded in both the
+    * Spark plan and the SQL oracle is identical by construction. */
+  def log2E6Int(v: Long): Long = {
+    require(v >= 1, "log2E6Int needs a positive argument")
+    val m = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    m * 1000000L + mantissaE6((((v * 32) >> m) - 32).toInt)
+  }
+
   /** Highest set bit of a positive BIGINT (floor(log₂ v)) as a literal
     * comparison ladder — no log in sight. */
   def msb(v: Column): Column =

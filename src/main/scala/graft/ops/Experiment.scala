@@ -43,6 +43,54 @@ object Experiment {
     agg.withColumn("significant", lhs > rhs)
   }
 
+  /** Sequential probability ratio test (Wald SPRT) on a Bernoulli
+    * conversion stream: walk each variant's events in time order
+    * accumulating the log-likelihood ratio
+    *   LLR_n = conv_n·c1 + (n − conv_n)·c0
+    * (c1 = log₂(p1/p0), c0 = log₂((1−p1)/(1−p0)), both e6 fixed-point
+    * constants the caller derives from [[Bm25.log2E6Int]] so the SQL
+    * oracle embeds the IDENTICAL literals) and stop at the first
+    * boundary crossing: LLR ≥ aE6 accepts H1, LLR ≤ −aE6 accepts H0,
+    * never crossing means keep sampling. This is the always-monitoring
+    * alternative to the fixed-horizon [[twoProportionTest]] — peeking
+    * is sound by construction.
+    *
+    * One variant-keyed window (cumsum + row_number share the shuffle),
+    * one filter for crossings, one min-struct per variant — the
+    * decision point is the FIRST crossing even if the walk later
+    * re-crosses. Output per variant: (variant, n, conv, llr_final_e6,
+    * decision, n_at_decision — NULL while 'continue'). */
+  def sprt(events: DataFrame, variantCol: String, tsCol: String,
+           tieCol: String, convCol: String, c1E6: Long, c0E6: Long,
+           aE6: Long): DataFrame = {
+    require(aE6 > 0L, "aE6 must be positive")
+    require(c1E6 > 0L && c0E6 < 0L,
+      "H1 must make conversions evidence FOR it (c1 > 0 > c0)")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("variant")).orderBy(col("t"), col("tie"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = events.select(col(variantCol).as("variant"),
+        col(tsCol).as("t"), col(tieCol).as("tie"),
+        col(convCol).cast("long").as("x"))
+      .withColumn("llr",
+        sum(col("x") * c1E6 + (lit(1L) - col("x")) * c0E6).over(cum))
+      .withColumn("rn", row_number().over(ord))
+    val firstCross = walked
+      .filter(col("llr") >= aE6 || col("llr") <= -aE6)
+      .groupBy(col("variant"))
+      .agg(min(struct(col("rn"), col("llr"))).as("fc"))
+    walked.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("conv"),
+        max(struct(col("rn"), col("llr"))).as("last"))
+      .join(firstCross, Seq("variant"), "left")
+      .select(col("variant"), col("n"), col("conv"),
+        col("last.llr").as("llr_final_e6"),
+        when(col("fc.llr") >= aE6, "h1")
+          .when(col("fc.llr") <= -aE6, "h0")
+          .otherwise("continue").as("decision"),
+        col("fc.rn").as("n_at_decision"))
+  }
+
   /** CUPED variance reduction (Deng et al.): adjust each unit's
     * experiment metric y by its PRE-experiment covariate x,
     *   y_adj = y − θ·(x − x̄),   θ = cov(x, y)/var(x)  (pooled),

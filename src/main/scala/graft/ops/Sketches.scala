@@ -59,6 +59,31 @@ object Sketches {
     * (Reconstructing a representative value 2^((b+½)·kE6/1e6) is a
     * client-side float op by design — the engine contract stays
     * integer.) */
+  /** invT[i] = round(2^(i/32)·10⁶), i ∈ [0, 31] — the inverse of
+    * [[Bm25.mantissaE6]]. */
+  val pow2MantissaE6: IndexedSeq[Long] =
+    (0 until 32).map(i => math.round(math.pow(2.0, i / 32.0) * 1e6))
+
+  /** Fixed-point 2^x for x ≥ 0 in e6 log₂ units (the inverse of
+    * [[Bm25.log2E6]], same 5-bit-mantissa accuracy ~2%):
+    *   2^x ≈ (1 << ⌊x/1e6⌋) · invT[frac·32 div 1e6] div 1e6
+    * — all integer, so sketch-value RECONSTRUCTION is engine-portable
+    * too, not just bucketing. `colName` is a column name (string-based
+    * like [[Bm25.idfE6]] because of the `div`/shift operators). */
+  def pow2E6Expr(colName: String): Column = {
+    val t = pow2MantissaE6.mkString("array(", "L, ", "L)")
+    expr(s"""shiftleft(CAST(1 AS BIGINT), CAST(($colName) div 1000000L AS INT))
+            | * element_at($t,
+            |     CAST((($colName) % 1000000L) * 32 div 1000000L AS INT) + 1)
+            | div 1000000L""".stripMargin)
+  }
+
+  /** SQL twin of [[pow2E6Expr]] for the DuckDB oracle. */
+  def pow2E6Sql(x: String): String = {
+    val t = pow2MantissaE6.mkString("[", ", ", "]")
+    s"((CAST(1 AS BIGINT) << CAST(($x) // 1000000 AS INT)) * $t[CAST((($x) % 1000000) * 32 // 1000000 AS INT) + 1] // 1000000)"
+  }
+
   def logBucketQuantile(df: DataFrame, keyCol: String, valueCol: String,
                         kE6: Long, psE6: Seq[Long]): DataFrame = {
     require(kE6 >= 1000L && kE6 <= 1000000L, "kE6 must be in [1e3, 1e6]")

@@ -59,6 +59,14 @@ object Round11Queries {
          |             LEFT JOIN a$iters ON a$iters.id = n.id""".stripMargin
   }
 
+  /** SPRT coefficients for H0 p=0.18 vs H1 p=0.22, α = 0.05 — derived
+    * through [[Bm25.log2E6Int]] so the Spark plan and the SQL oracle
+    * embed the IDENTICAL e6 literals (c1 = log₂(p1/p0) > 0 >
+    * c0 = log₂((1−p1)/(1−p0)); A = log₂(1/α)). */
+  private val sprtC1 = Bm25.log2E6Int(220000L * 4096L / 180000L) - 12000000L
+  private val sprtC0 = Bm25.log2E6Int(780000L * 4096L / 820000L) - 12000000L
+  private val sprtA = Bm25.log2E6Int(20L)
+
   /** Hexagonal fence (centidegrees) centered on the always-populated
     * southern latitude band of the synthetic positions. */
   private val fence = Seq((4000L, -8000L), (2000L, -5000L), (-2000L, -5000L),
@@ -618,6 +626,70 @@ object Round11Queries {
            |FROM w JOIN ps ON cum >= (n * ps.p_e6 + 999999) // 1000000
            |              AND cum - cnt < (n * ps.p_e6 + 999999) // 1000000""".stripMargin
       }),
+
+    // ── DDSketch with reconstructed values: the fixed-point 2^x inverse
+    //    turns each landing bucket's midpoint back into a representative
+    //    cents estimate — reconstruction stays engine-portable integer.
+    QueryDef("q_ddsketch_values",
+      (s, d) => graft.ops.Sketches.logBucketQuantile(
+        Tables.events(s, d).select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "g", "cents", 57536L, Seq(500000L, 990000L))
+        .withColumn("mid_l", expr("bucket * 57536L + 28768L"))
+        .withColumn("est_cents", graft.ops.Sketches.pow2E6Expr("mid_l"))
+        .drop("mid_l"),
+      Some {
+        val lg = Bm25.log2E6Sql("v")
+        val est = graft.ops.Sketches.pow2E6Sql("bucket * 57536 + 28768")
+        s"""WITH e AS (SELECT event_type AS g,
+           |                 greatest(1, CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+           |           FROM events),
+           |b AS (SELECT g, $lg // 57536 AS bucket FROM e),
+           |c AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+           |w AS (SELECT g, bucket, cnt,
+           |             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT) AS cum,
+           |             CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+           |      FROM c),
+           |ps AS (SELECT unnest([500000, 990000]) AS p_e6)
+           |SELECT g, CAST(ps.p_e6 AS BIGINT) AS p_e6, CAST(bucket AS BIGINT) AS bucket,
+           |       CAST((n * ps.p_e6 + 999999) // 1000000 AS BIGINT) AS k, n,
+           |       CAST($est AS BIGINT) AS est_cents
+           |FROM w JOIN ps ON cum >= (n * ps.p_e6 + 999999) // 1000000
+           |              AND cum - cnt < (n * ps.p_e6 + 999999) // 1000000""".stripMargin
+      }),
+
+    // ── Wald SPRT on the purchase-conversion stream per variant:
+    //    sequential LLR walk with e6 fixed-point coefficients shared as
+    //    literals by plan and oracle; peeking-sound decisions.
+    QueryDef("q_sprt", {
+      (s, d) => graft.ops.Experiment.sprt(
+        Tables.events(s, d).select((col("user_id") % 2).as("variant"),
+          unix_micros(col("ts")).as("t"), col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("x")),
+        "variant", "t", "event_id", "x", sprtC1, sprtC0, sprtA)
+    },
+      Some(s"""WITH e AS (SELECT user_id % 2 AS variant, epoch_us(ts) AS t, event_id,
+              |                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+              |           FROM events),
+              |w AS (SELECT variant, x,
+              |             CAST(sum(x * ($sprtC1) + (1 - x) * ($sprtC0))
+              |                    OVER (PARTITION BY variant ORDER BY t, event_id
+              |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr,
+              |             row_number() OVER (PARTITION BY variant ORDER BY t, event_id) AS rn
+              |      FROM e),
+              |fc AS (SELECT variant, CAST(arg_min(llr, rn) AS BIGINT) AS fllr,
+              |              CAST(min(rn) AS BIGINT) AS frn
+              |       FROM w WHERE llr >= $sprtA OR llr <= -($sprtA) GROUP BY variant),
+              |tot AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+              |               CAST(sum(x) AS BIGINT) AS conv,
+              |               CAST(arg_max(llr, rn) AS BIGINT) AS llr_final_e6
+              |        FROM w GROUP BY variant)
+              |SELECT t.variant, n, conv, llr_final_e6,
+              |       CASE WHEN f.fllr >= $sprtA THEN 'h1'
+              |            WHEN f.fllr <= -($sprtA) THEN 'h0'
+              |            ELSE 'continue' END AS decision,
+              |       f.frn AS n_at_decision
+              |FROM tot t LEFT JOIN fc f ON f.variant = t.variant""".stripMargin)),
 
     // ── CUPED variance-reduced A/B read: pre-period spend adjusts the
     //    post-period metric; adjusted means need only per-variant sums.

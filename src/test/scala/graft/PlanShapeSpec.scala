@@ -84,7 +84,9 @@ class PlanShapeSpec extends SparkSpec {
     ("q_skew_advisor", 2, 0),      // one count agg per candidate column
     ("q_msf", 1, 0),               // Boruvka rounds fully checkpointed
     ("q_ddsketch", 2, 0),          // (key, log-bucket) agg + tiny bucket window
-    ("q_cuped", 2, 1))             // per-unit agg + scalar moment reduce
+    ("q_cuped", 2, 1),             // per-unit agg + scalar moment reduce
+    ("q_ddsketch_values", 2, 0),   // same sketch; reconstruction is per-row
+    ("q_sprt", 2, 1))              // variant walk window + crossing reduce
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
