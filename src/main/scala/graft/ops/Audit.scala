@@ -51,4 +51,36 @@ object Audit {
     wide.select(explode(map(
         names.flatMap(n => Seq(lit(n), col(n))): _*)).as(Seq("rule", "n_violations")))
   }
+
+  /** Benford's-law expected first-digit shares, e6 (round(log₁₀(1+1/d)
+    * ·10⁶), d = 1..9) — fixed literals so plan and oracle agree by
+    * construction. */
+  val benfordE6: IndexedSeq[Long] =
+    (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  /** Benford first-digit screening per group — the classic fabricated-
+    * numbers audit: naturally occurring multi-magnitude amounts follow
+    * log₁₀(1+1/d); invented ones usually don't. Emits per (group, digit):
+    * count, observed e6 share, expected e6 share, absolute deviation.
+    * The first digit comes from the value's decimal string (codegen'd,
+    * engine-portable for positive integers); non-positive values are
+    * excluded (no leading digit). One keyed count + a broadcast-sized
+    * share projection. */
+  def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val expected = benfordE6.zipWithIndex
+      .foldLeft(when(lit(false), 0L)) { case (acc, (e, i)) =>
+        acc.when(col("digit") === (i + 1).toLong, e)
+      }.otherwise(0L)
+    val d = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .withColumn("digit", expr("CAST(substring(CAST(v AS STRING), 1, 1) AS BIGINT)"))
+      .groupBy(col("g"), col("digit")).agg(count(lit(1)).as("n"))
+    val tot = d.groupBy(col("g")).agg(sum(col("n")).as("nt"))
+    d.join(tot, "g")
+      .withColumn("share_e6", expr("n * 1000000L div nt"))
+      .withColumn("expected_e6", expected)
+      .withColumn("dev_e6", abs(col("share_e6") - col("expected_e6")))
+      .select(col("g"), col("digit"), col("n"), col("share_e6"),
+        col("expected_e6"), col("dev_e6"))
+  }
 }

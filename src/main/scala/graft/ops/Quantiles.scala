@@ -208,6 +208,32 @@ object Quantiles {
         col("v").as("value"))
   }
 
+  /** Gini coefficient per group over non-negative integer values, e6:
+    *   G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx),  x₍ᵢ₎ ascending —
+    * the standard concentration metric (0 = perfectly even, →1e6 = one
+    * row owns everything). Tie order cannot matter: within a block of
+    * equal x the rank-weighted sum is x·Σi whatever the permutation, so
+    * the result is deterministic even though row_number among ties is
+    * not. Sums are exact DECIMAL(38,0); the final ratio is truncating
+    * integer. Groups with zero total emit NULL. One rank window + one
+    * keyed aggregate. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("v") >= 0)
+    v.withColumn("i", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+      .selectExpr("g", "CAST(v AS DECIMAL(38,0)) AS v",
+        "CAST(i AS DECIMAL(38,0)) AS i")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("i") * col("v")).as("siv"))
+      .selectExpr("g", "CAST(n AS BIGINT) AS n_rows",
+        """CASE WHEN s = 0 THEN NULL
+          |     ELSE CAST((2 * siv - (n + 1) * s) * 1000000
+          |               div (n * s) AS BIGINT)
+          |END AS gini_e6""".stripMargin)
+  }
+
   /** Winsorized mean per group: values clamped to the group's own
     * [pLo, pHi] percentiles before averaging — the robust mean that
     * survives fat tails without dropping rows (clamping keeps n stable,

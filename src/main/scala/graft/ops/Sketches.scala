@@ -85,21 +85,39 @@ object Sketches {
   }
 
   def logBucketQuantile(df: DataFrame, keyCol: String, valueCol: String,
-                        kE6: Long, psE6: Seq[Long]): DataFrame = {
+                        kE6: Long, psE6: Seq[Long]): DataFrame =
+    logBucketLanding(logBucketSketch(df, keyCol, valueCol, kE6), psE6)
+
+  /** The sketch itself: per-key log-bucket counts (g, bucket, cnt).
+    * Because the state is plain counts keyed by bucket, two sketches
+    * MERGE by summing cnt per (g, bucket) — a groupBy, which is also
+    * exactly what Spark's partial aggregation already does map-side. */
+  def logBucketSketch(df: DataFrame, keyCol: String, valueCol: String,
+                      kE6: Long): DataFrame = {
     require(kE6 >= 1000L && kE6 <= 1000000L, "kE6 must be in [1e3, 1e6]")
-    require(psE6.nonEmpty && psE6.forall(p => p > 0L && p <= 1000000L),
-      "each pE6 must be in (0, 1e6]")
-    import org.apache.spark.sql.expressions.Window
-    val b = df.select(col(keyCol).as("g"),
+    df.select(col(keyCol).as("g"),
         Bm25.log2E6(greatest(lit(1L), col(valueCol).cast("long"))).as("l"))
       .withColumn("bucket", expr(s"l div ${kE6}L"))
       .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches produced by [[logBucketSketch]] (rows (g, bucket,
+    * cnt) from any number of shards/engines/days): counts add. */
+  def mergeLogBuckets(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("g"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Landing buckets for the requested percentiles over a (possibly
+    * merged) sketch. */
+  def logBucketLanding(sketch: DataFrame, psE6: Seq[Long]): DataFrame = {
+    require(psE6.nonEmpty && psE6.forall(p => p > 0L && p <= 1000000L),
+      "each pE6 must be in (0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy(col("g")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col("g"))
-    val cum = b.withColumn("cum", sum(col("cnt")).over(wCum))
+    sketch.withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(all))
-    cum.withColumn("p_e6", explode(array(psE6.map(lit(_)): _*)))
+      .withColumn("p_e6", explode(array(psE6.map(lit(_)): _*)))
       .withColumn("k", expr("(n * p_e6 + 999999) div 1000000"))
       .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
       .select(col("g"), col("p_e6"), col("bucket"), col("k"), col("n"))

@@ -747,6 +747,84 @@ object Round11Queries {
              |       END AS r2
              |FROM m""".stripMargin)),
 
+    // ── Sketch MERGEABILITY proved by the oracle: per-shard DDSketches
+    //    merged by adding counts must land identically to the one-shot
+    //    sketch — the oracle computes the direct form, the engine the
+    //    sharded+merged form.
+    QueryDef("q_ddsketch_merged",
+      (s, d) => {
+        val base = Tables.events(s, d).select(col("event_type").as("g0"),
+          (col("user_id") % 4).as("shard"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val perShard = graft.ops.Sketches.logBucketSketch(
+          base.select(concat_ws("|", col("g0"), col("shard")).as("g"),
+            col("cents")), "g", "cents", 57536L)
+          .select(expr("split(g, '\\\\|')[0]").as("g"), col("bucket"), col("cnt"))
+        graft.ops.Sketches.logBucketLanding(
+          graft.ops.Sketches.mergeLogBuckets(perShard), Seq(500000L, 950000L))
+      },
+      Some {
+        val lg = Bm25.log2E6Sql("v")
+        s"""WITH e AS (SELECT event_type AS g,
+           |                 greatest(1, CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+           |           FROM events),
+           |b AS (SELECT g, $lg // 57536 AS bucket FROM e),
+           |c AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+           |w AS (SELECT g, bucket, cnt,
+           |             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT) AS cum,
+           |             CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+           |      FROM c),
+           |ps AS (SELECT unnest([500000, 950000]) AS p_e6)
+           |SELECT g, CAST(ps.p_e6 AS BIGINT) AS p_e6, CAST(bucket AS BIGINT) AS bucket,
+           |       CAST((n * ps.p_e6 + 999999) // 1000000 AS BIGINT) AS k, n
+           |FROM w JOIN ps ON cum >= (n * ps.p_e6 + 999999) // 1000000
+           |              AND cum - cnt < (n * ps.p_e6 + 999999) // 1000000""".stripMargin
+      }),
+
+    // ── Gini concentration of spend per event type — rank-weighted
+    //    exact integer identity, tie-order invariant.
+    QueryDef("q_gini",
+      (s, d) => Quantiles.gini(
+        Tables.events(s, d).select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "g", "cents"),
+      Some("""WITH e AS (SELECT event_type AS g,
+             |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events
+             |           WHERE floor(value * 100 + 0.5) >= 0),
+             |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS i FROM e),
+             |s AS (SELECT g, CAST(count(*) AS HUGEINT) AS n, CAST(sum(v) AS HUGEINT) AS sv,
+             |             CAST(sum(CAST(i AS HUGEINT) * v) AS HUGEINT) AS siv
+             |      FROM r GROUP BY g)
+             |SELECT g, CAST(n AS BIGINT) AS n_rows,
+             |       CASE WHEN sv = 0 THEN NULL
+             |            ELSE CAST((2 * siv - (n + 1) * sv) * 1000000 // (n * sv) AS BIGINT)
+             |       END AS gini_e6
+             |FROM s""".stripMargin)),
+
+    // ── Benford first-digit screen on order totals per priority: the
+    //    fabricated-numbers audit with shared e6 expectation literals.
+    QueryDef("q_benford",
+      (s, d) => graft.ops.Audit.benford(
+        Tables.orders(s, d).select(col("o_orderpriority").as("g"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")),
+        "g", "cents"),
+      Some {
+        val exp = graft.ops.Audit.benfordE6.zipWithIndex
+          .map { case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ")
+        s"""WITH e AS (SELECT o_orderpriority AS g,
+           |                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+           |           FROM orders),
+           |d AS (SELECT g, CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           |             CAST(count(*) AS BIGINT) AS n
+           |      FROM e WHERE v > 0 GROUP BY 1, 2),
+           |t AS (SELECT g, CAST(sum(n) AS BIGINT) AS nt FROM d GROUP BY g)
+           |SELECT d.g, digit, n,
+           |       CAST(n * 1000000 // nt AS BIGINT) AS share_e6,
+           |       CAST(CASE digit $exp ELSE 0 END AS BIGINT) AS expected_e6,
+           |       CAST(abs(n * 1000000 // nt - (CASE digit $exp ELSE 0 END)) AS BIGINT) AS dev_e6
+           |FROM d JOIN t ON t.g = d.g""".stripMargin
+      }),
+
     // ── Weighted median: the price below which half the shipped QUANTITY
     //    sits, per return flag — cumulative-weight crossing, no division.
     QueryDef("q_weighted_median",

@@ -86,7 +86,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_ddsketch", 2, 0),          // (key, log-bucket) agg + tiny bucket window
     ("q_cuped", 2, 1),             // per-unit agg + scalar moment reduce
     ("q_ddsketch_values", 2, 0),   // same sketch; reconstruction is per-row
-    ("q_sprt", 2, 1))              // variant walk window + crossing reduce
+    ("q_sprt", 2, 1),              // variant walk window + crossing reduce
+    ("q_ddsketch_merged", 3, 0),   // shard sketches + merge agg + landing
+    ("q_gini", 1, 0),              // rank window + moment agg share one shuffle
+    ("q_benford", 3, 1))           // digit agg + totals join (broadcast-sized)
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
