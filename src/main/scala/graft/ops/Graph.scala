@@ -652,4 +652,86 @@ object Graph {
       .join(und, Seq("a", "b"), "left_anti")
       .filter(col("n_common") >= minCommon)
   }
+
+  /** Bridge (cut-edge) detection by the tree-XOR technique (the SURVEY
+    * §7.4j plan, unblocked by [[minimumSpanningForest]]):
+    *
+    *  1. build the unique MSF of the graph (weights must be DISTINCT —
+    *     uniqueness is what lets an independent oracle reconstruct the
+    *     same forest);
+    *  2. every NON-forest edge gets a deterministic 64-bit label
+    *     (`xxhash64(a, b)`) XORed into both endpoints;
+    *  3. peel the forest leaf-by-leaf, each pruned leaf folding its
+    *     accumulated XOR into its neighbor. When leaf `l` is pruned over
+    *     forest edge (l, p), its accumulator equals the XOR of labels of
+    *     non-forest edges with EXACTLY ONE endpoint on l's side (edges
+    *     with both endpoints inside cancel) — so the edge is a bridge
+    *     iff that cut-XOR is 0. A spurious zero needs a non-empty label
+    *     subset XORing to 0 (probability ≈ 2⁻⁶⁴ per edge, and
+    *     deterministic across runs since the labels are hashes).
+    *
+    * Every forest edge is eventually a leaf edge, so every forest edge
+    * gets a verdict; non-forest edges are never bridges by definition.
+    * A tree with ≥2 vertices always has ≥2 leaves, so each round
+    * strictly shrinks every remaining tree: rounds ≤ the largest tree
+    * radius (`maxRounds` bounds it, same contract as [[bfsLevels]]'
+    * bounded hops). Per round: one degree aggregate, one leaf join, and
+    * one accumulator merge — all keyed shuffles on node ids, with
+    * checkpoint-truncated lineage. The scale path for deep trees is the
+    * documented Euler-tour pointer-doubling variant; event-graph radii
+    * make bounded peeling the right default.
+    *
+    * Input: `edges` as canonical (a < b, w) with distinct weights over
+    * `nodes` (id). Output: (a, b, is_bridge) for every forest edge. */
+  def bridges(nodes: DataFrame, edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 60, "maxRounds must be in [1, 60]")
+    val und = edges.select(col("a"), col("b"), col("w"))
+    val forest = minimumSpanningForest(nodes, und, maxRounds)
+      .select(col("a"), col("b")).localCheckpoint(true)
+    val nonForest = und.select(col("a"), col("b"))
+      .join(forest, Seq("a", "b"), "left_anti")
+      .withColumn("lbl", xxhash64(col("a"), col("b")))
+    val acc0 = nonForest.select(col("a").as("id"), col("lbl"))
+      .unionByName(nonForest.select(col("b").as("id"), col("lbl")))
+      .groupBy(col("id")).agg(expr("bit_xor(lbl)").as("acc"))
+    var acc = nodes.select(col("id")).distinct()
+      .join(acc0, Seq("id"), "left")
+      .select(col("id"), coalesce(col("acc"), lit(0L)).as("acc"))
+      .localCheckpoint(true)
+    var rem = forest
+    var verdict = forest.filter(lit(false))
+      .withColumn("cut_xor", lit(0L)).localCheckpoint(true)
+    var round = 0
+    while (round < maxRounds && rem.count() > 0L) {
+      val adj = rem.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(rem.select(col("b").as("u"), col("a").as("v")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      // leaves; when BOTH endpoints are leaves (a 2-vertex tree) only the
+      // smaller id acts, so the edge is pruned exactly once
+      val pruned = adj.join(deg.filter(col("d") === 1L).select(col("u")), "u")
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+        .filter(col("dv") > 1L || col("u") < col("v"))
+        .select(col("u").as("leaf"), col("v").as("parent"))
+        .join(acc.select(col("id").as("leaf"), col("acc")), "leaf")
+        .localCheckpoint(true)
+      verdict = verdict.unionByName(
+          pruned.select(least(col("leaf"), col("parent")).as("a"),
+            greatest(col("leaf"), col("parent")).as("b"),
+            col("acc").as("cut_xor")))
+        .localCheckpoint(true)
+      val fold = pruned.groupBy(col("parent").as("id"))
+        .agg(expr("bit_xor(acc)").as("dx"))
+      acc = acc.join(fold, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(expr("acc ^ dx"), col("acc")).as("acc"))
+        .localCheckpoint(true)
+      rem = rem.join(pruned
+          .select(least(col("leaf"), col("parent")).as("a"),
+            greatest(col("leaf"), col("parent")).as("b")),
+          Seq("a", "b"), "left_anti")
+        .localCheckpoint(true)
+      round += 1
+    }
+    verdict.select(col("a"), col("b"), (col("cut_xor") === 0L).as("is_bridge"))
+  }
 }

@@ -89,7 +89,8 @@ class PlanShapeSpec extends SparkSpec {
     ("q_sprt", 2, 1),              // variant walk window + crossing reduce
     ("q_ddsketch_merged", 3, 0),   // shard sketches + merge agg + landing
     ("q_gini", 1, 0),              // rank window + moment agg share one shuffle
-    ("q_benford", 3, 1))           // digit agg + totals join (broadcast-sized)
+    ("q_benford", 3, 1),           // digit agg + totals join (broadcast-sized)
+    ("q_bridges", 1, 0))           // peel rounds checkpointed; final select narrow
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
