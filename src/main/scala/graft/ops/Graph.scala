@@ -653,6 +653,100 @@ object Graph {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** Per-vertex local clustering coefficient: lcc(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1)) as a truncating e6 integer, with T(v) the
+    * triangles through v. Same wedge-join shape as [[commonNeighbors]]
+    * but pivot-centric: wedges (u−v−w, u < w) closed by an edge (u, w).
+    * Output for every vertex of degree ≥ 1: (id, degree, triangles,
+    * lcc_e6); degree-1 vertices score 0.
+    *
+    * Scale: the wedge join is the standard triangle-counting shape
+    * (adjacency self-join on the pivot, closure semi-join against the
+    * canonical edge list) — all keyed shuffles, no all-pairs. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = canonical(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
+    val tri = adj.as("l")
+      .join(adj.as("r"), col("l.u") === col("r.u") && col("l.v") < col("r.v"))
+      .select(col("l.u").as("id"), col("l.v").as("a"), col("r.v").as("b"))
+      .join(und, Seq("a", "b"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc_e6",
+        when(col("degree") >= 2L,
+          expr("2 * triangles * 1000000L div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Degree assortativity: the Pearson correlation of (deg(u), deg(v))
+    * over all DIRECTED realizations of the undirected edges (each edge
+    * counted both ways, the standard Newman convention — it makes the
+    * two marginals identical). Exact DECIMAL(38,0) moment sums, one
+    * final IEEE ratio rounded to 6 (the [[TimeSeries.autocorr]]
+    * determinism recipe). Output one row: (n_dir, r). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = canonical(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    adj.join(deg, "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .selectExpr("CAST(d AS DECIMAL(38,0)) AS x",
+        "CAST(dv AS DECIMAL(38,0)) AS y")
+      .agg(count(lit(1)).as("n_dir"),
+        sum(col("x")).as("s1"), sum(col("y")).as("s2"),
+        sum(col("x") * col("x")).as("s11"),
+        sum(col("y") * col("y")).as("s22"),
+        sum(col("x") * col("y")).as("s12"))
+      .selectExpr("n_dir",
+        """CASE WHEN n_dir * s11 - s1 * s1 = 0 OR n_dir * s22 - s2 * s2 = 0
+          |     THEN NULL
+          |     ELSE round(CAST(n_dir * s12 - s1 * s2 AS DOUBLE) /
+          |                sqrt(CAST(n_dir * s11 - s1 * s1 AS DOUBLE) *
+          |                     CAST(n_dir * s22 - s2 * s2 AS DOUBLE)), 6)
+          |END AS r""".stripMargin)
+  }
+
+  /** Synchronous label propagation community detection: every vertex
+    * starts labeled with its own id; each round it adopts the most
+    * frequent label among its NEIGHBORS (deterministic tie-break:
+    * highest count, then smallest label — the argmax is a
+    * min-on-struct(−cnt, lbl), the repo's standard trick), isolated
+    * vertices keep their label. Synchronous update + deterministic
+    * ties make every round — and therefore the oracle's unrolled SQL
+    * replay — exactly reproducible. Output after `iters` rounds:
+    * (id, label).
+    *
+    * Scale per round: one adjacency⋈labels join + one (v, label) count
+    * + one per-vertex argmax — all keyed shuffles, lineage
+    * checkpoint-truncated each round. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val und = canonical(edges)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val n = nodes.select(col("id")).distinct().localCheckpoint(true)
+    var lbl = n.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val win = adj.join(lbl.select(col("id").as("u"), col("label")), "u")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v").as("id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("best"))
+        .select(col("id"), col("best.l").as("nl"))
+      lbl = lbl.join(win, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    lbl
+  }
+
   /** Bridge (cut-edge) detection by the tree-XOR technique (the SURVEY
     * §7.4j plan, unblocked by [[minimumSpanningForest]]):
     *

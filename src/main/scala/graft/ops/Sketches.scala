@@ -84,6 +84,25 @@ object Sketches {
     s"((CAST(1 AS BIGINT) << CAST(($x) // 1000000 AS INT)) * $t[CAST((($x) % 1000000) * 32 // 1000000 AS INT) + 1] // 1000000)"
   }
 
+  /** Fixed-point 2^(−y)·10⁶ for y ≥ 0 in e6 log₂ units — the NEGATIVE
+    * exponent companion of [[pow2E6Expr]] (probabilities / survival
+    * curves live in [0, 1], where the plain-integer 2^x truncates to
+    * junk). With y = q·10⁶ + r:
+    *   2^(−y)·10⁶ = (10¹² div invT[r·32 div 10⁶]) >> q
+    * — all integer, same 5-bit-mantissa accuracy. */
+  def pow2NegE6Expr(colName: String): Column = {
+    val t = pow2MantissaE6.mkString("array(", "L, ", "L)")
+    expr(s"""shiftright(1000000000000L div element_at($t,
+            |    CAST((($colName) % 1000000L) * 32 div 1000000L AS INT) + 1),
+            |  CAST(($colName) div 1000000L AS INT))""".stripMargin)
+  }
+
+  /** SQL twin of [[pow2NegE6Expr]]. */
+  def pow2NegE6Sql(y: String): String = {
+    val t = pow2MantissaE6.mkString("[", ", ", "]")
+    s"((1000000000000 // $t[CAST((($y) % 1000000) * 32 // 1000000 AS INT) + 1]) >> CAST(($y) // 1000000 AS INT))"
+  }
+
   def logBucketQuantile(df: DataFrame, keyCol: String, valueCol: String,
                         kE6: Long, psE6: Seq[Long]): DataFrame =
     logBucketLanding(logBucketSketch(df, keyCol, valueCol, kE6), psE6)

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Classical statistical tests and curves, engine-portable by the
+  * repo's two standing conventions: exact integer (or DECIMAL(38,0) /
+  * HUGEINT) accumulation wherever sums can overflow a double's 53-bit
+  * mantissa, and per-row (never cross-row) IEEE double arithmetic with
+  * identical operation order on both engines where a ratio/sqrt is
+  * unavoidable. Nothing here adds a shuffle beyond the grouping the
+  * statistic itself requires.
+  */
+object Stats {
+
+  /** Two-sample Kolmogorov–Smirnov over INTEGER-valued samples.
+    * `df` carries (`sampleCol` ∈ {0, 1}, `valueCol` long). The KS
+    * statistic D = max_v |F̂₁(v) − F̂₂(v)| is computed EXACTLY as
+    * max |n₂·cum₁(v) − n₁·cum₂(v)| over the distinct pooled values —
+    * integer throughout, so the argmax value is well defined (ties →
+    * smallest v). Output one row: (n1, n2, at_v, d_e6) with
+    * d_e6 = D·10⁶ div (n₁·n₂).
+    *
+    * Scale: one (value)-keyed count aggregate, then the cumulative
+    * walk runs on the DISTINCT value axis — bounded by the value
+    * domain, not the row count (same single-axis window contract as
+    * q_auc_rank's rank prefix). */
+  def ks2(df: DataFrame, sampleCol: String, valueCol: String): DataFrame = {
+    val ord = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = df.select(col(sampleCol).as("s"), col(valueCol).as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("s") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(true) // distinct-value axis: tiny; ONE raw scan
+    val tot = cells.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cells
+      .withColumn("cum1", sum(col("c1")).over(ord))
+      .withColumn("cum2", sum(col("c2")).over(ord))
+      .crossJoin(broadcast(tot))
+      .withColumn("d_abs", abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
+      .orderBy(col("d_abs").desc, col("v").asc)
+      .limit(1)
+      .selectExpr("n1", "n2", "v AS at_v",
+        "d_abs * 1000000L div (n1 * n2) AS d_e6")
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V. Per-cell: the residual O·N − R·C is
+    * EXACT in int64; only the square-over-expected ratio goes through
+    * doubles, and it is rounded to an e6 INTEGER PER CELL before the
+    * cross-cell sum — identical IEEE ops per cell on both engines, and
+    * an order-independent integer sum across cells (the same
+    * determinism recipe as the repo's e6 scores). Output one row:
+    * (n, dof, chi2_e6, v_e6).
+    *
+    * Scale: one (x, y) count aggregate; margins derive from the cells
+    * (broadcast-sized: |X|·|Y| cells). */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // |X|x|Y| cells: tiny; ONE raw scan
+    val rm = cells.groupBy(col("x")).agg(sum(col("o")).as("r"))
+    val cm = cells.groupBy(col("y")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("x")).as("nx"), countDistinct(col("y")).as("ny"))
+    // the FULL margin grid — zero cells carry (0 − E)²/E too
+    broadcast(rm).crossJoin(broadcast(cm))
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .selectExpr("n", "nx", "ny", "o * n - r * c AS dres", "r * c * n AS rcn")
+      .selectExpr("n", "nx", "ny",
+        """CAST(floor(CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE)
+          |  / CAST(rcn AS DOUBLE) * CAST('1000000' AS DOUBLE)
+          |  + CAST('0.5' AS DOUBLE)) AS BIGINT) AS term_e6""".stripMargin)
+      .groupBy(col("n"), col("nx"), col("ny"))
+      .agg(sum(col("term_e6")).as("chi2_e6"))
+      .selectExpr("n", "(nx - 1) * (ny - 1) AS dof", "chi2_e6",
+        """CAST(floor(sqrt(CAST(chi2_e6 AS DOUBLE) / CAST('1000000' AS DOUBLE)
+          |  / CAST(n * least(nx - 1, ny - 1) AS DOUBLE))
+          |  * CAST('1000000' AS DOUBLE) + CAST('0.5' AS DOUBLE)) AS BIGINT) AS v_e6""".stripMargin)
+  }
+
+  /** Mutual information I(X; Y) between two categorical columns in e6
+    * log₂ units (bits·10⁶) — fully integer via the shared fixed-point
+    * log₂: I = Σ_cells c_xy·(log₂(c_xy·N) − log₂(c_x·c_y)) / N, with
+    * both log arguments positive integers and the division a final
+    * truncating `div`. Truncated logs can leave a tiny negative
+    * residue on independent columns — that is the fixed-point
+    * contract, identical on both engines. Output one row:
+    * (n, n_cells, mi_e6).
+    *
+    * Scale: one (x, y) count aggregate; margins broadcast. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .localCheckpoint(true) // |X|x|Y| cells: tiny; ONE raw scan
+    val rm = cells.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val cm = cells.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val tot = cells.agg(sum(col("cxy")).as("n"))
+    cells.join(broadcast(rm), "x").join(broadcast(cm), "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        col("cxy") * (Bm25.log2E6(col("cxy") * col("n"))
+          - Bm25.log2E6(col("cx") * col("cy"))))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("contrib")).as("csum"))
+      .selectExpr("n", "n_cells", "csum div n AS mi_e6")
+  }
+
+  /** Kaplan–Meier survival estimator over right-censored durations.
+    * `df` carries one subject per row: (`durationCol` long ≥ 0,
+    * `eventCol` 0/1 — 1 = event observed, 0 = censored at that time).
+    * Using the convention that subjects censored at t are still AT
+    * RISK at t, the curve at each distinct EVENT time is
+    *   S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ),
+    * computed portably as a fixed-point log₂ sum (each factor is
+    * log₂(nᵢ−dᵢ) − log₂(nᵢ) via the shared mantissa table) inverted
+    * through [[Sketches.pow2NegE6Expr]] — all integer, no cross-row
+    * doubles. Once nᵢ = dᵢ (everyone at risk dies) survival is exactly
+    * 0 from that time on. Output per event time:
+    * (t, n_risk, d, surv_e6).
+    *
+    * Scale: one (t)-keyed aggregate; the cumulative walk runs on the
+    * distinct-time axis (same bounded single-axis window as [[ks2]]). */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val ord = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = df.select(col(durationCol).as("t"), col(eventCol).as("ev"))
+      .groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("leave"))
+      .localCheckpoint(true) // distinct-time axis: tiny; ONE raw scan
+    val tot = grp.agg(sum(col("leave")).as("n_all"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_all") - (sum(col("leave")).over(ord) - col("leave")))
+      .filter(col("d") > 0L)
+      .withColumn("step_l",
+        when(col("n_risk") > col("d"),
+          Bm25.log2E6(col("n_risk") - col("d")) - Bm25.log2E6(col("n_risk")))
+          .otherwise(lit(0L)))
+      .withColumn("dead", max((col("n_risk") === col("d")).cast("int")).over(ord))
+      .withColumn("y", -sum(col("step_l")).over(ord))
+      .select(col("t"), col("n_risk"), col("d"),
+        when(col("dead") === 1, lit(0L))
+          .otherwise(Sketches.pow2NegE6Expr("y")).as("surv_e6"))
+  }
+}

@@ -324,6 +324,49 @@ object TimeSeries {
           |END AS acf1""".stripMargin)
   }
 
+  /** Lagged cross-correlation between two integer series sampled on a
+    * shared integer clock. `x` carries (h, x) and `y` carries (h, y) —
+    * one row per OBSERVED bucket; the op densifies both onto the
+    * [min h, max h] spine with 0-fill, then for every lag k ∈
+    * [0, maxLag] correlates (x_t, y_{t+k}) with the same exactness
+    * contract as [[autocorr]]: DECIMAL(38,0) moment sums, one final
+    * IEEE ratio, round(…, 6). Output per lag: (lag, n_pairs, xcorr).
+    *
+    * Scale: the spine is generated per-partition from broadcast
+    * bounds; the lag fan-out is an explode by (maxLag+1) before ONE
+    * (lag)-keyed moment aggregate — no self-join of the series. */
+  def crossCorr(x: DataFrame, y: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 64, "maxLag must be in [0, 64]")
+    val xc = x.localCheckpoint(true) // bucket axis: tiny; ONE pass per input
+    val yc = y.localCheckpoint(true)
+    val bounds = xc.select(col("h")).unionByName(yc.select(col("h")))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = broadcast(bounds)
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val sx = spine.join(xc, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val sy = spine.join(yc, Seq("h"), "left")
+      .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
+    val lagged = sy.select(explode(sequence(lit(0), lit(maxLag))).as("lag"),
+      (col("h") - col("lag")).as("h"), col("y"))
+    sx.join(lagged, "h")
+      .selectExpr("lag", "CAST(x AS DECIMAL(38,0)) AS x",
+        "CAST(y AS DECIMAL(38,0)) AS y")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("s1"), sum(col("y")).as("s2"),
+        sum(col("x") * col("x")).as("s11"),
+        sum(col("y") * col("y")).as("s22"),
+        sum(col("x") * col("y")).as("s12"))
+      .selectExpr("CAST(lag AS BIGINT) AS lag", "n_pairs",
+        """CASE WHEN n_pairs * s11 - s1 * s1 = 0 OR n_pairs * s22 - s2 * s2 = 0
+          |     THEN NULL
+          |     ELSE round(CAST(n_pairs * s12 - s1 * s2 AS DOUBLE) /
+          |                sqrt(CAST(n_pairs * s11 - s1 * s1 AS DOUBLE) *
+          |                     CAST(n_pairs * s22 - s2 * s2 AS DOUBLE)), 6)
+          |END AS xcorr""".stripMargin)
+  }
+
   def fillGaps(resampled: DataFrame, key: String, everySec: Long = 300L): DataFrame = {
     val span = resampled.groupBy(col(key))
       .agg(min(col("bucket_es")).as("b0"), max(col("bucket_es")).as("b1"))

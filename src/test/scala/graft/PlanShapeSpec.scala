@@ -90,7 +90,15 @@ class PlanShapeSpec extends SparkSpec {
     ("q_ddsketch_merged", 3, 0),   // shard sketches + merge agg + landing
     ("q_gini", 1, 0),              // rank window + moment agg share one shuffle
     ("q_benford", 3, 1),           // digit agg + totals join (broadcast-sized)
-    ("q_bridges", 1, 0))           // peel rounds checkpointed; final select narrow
+    ("q_bridges", 1, 0),           // peel rounds checkpointed; final select narrow
+    ("q_ks_test", 3, 1),           // value agg + distinct-axis window + top-1
+    ("q_chi_square", 4, 3),        // cell agg; margins/totals all broadcast
+    ("q_mutual_info", 3, 3),       // cell agg; margins/totals all broadcast
+    ("q_kaplan_meier", 3, 1),      // subject agg + time-axis windows
+    ("q_cross_corr", 4, 2),        // bounds broadcast; lag explode + ONE moment agg
+    ("q_local_clustering", 4, 0),  // wedge join + closure semi + deg/tri joins
+    ("q_assortativity", 3, 0),     // deg agg + two deg joins + scalar reduce
+    ("q_label_prop", 2, 0))        // rounds checkpointed; final label join
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
