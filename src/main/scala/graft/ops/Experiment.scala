@@ -146,4 +146,35 @@ object Experiment {
           |     ELSE round(cnum * cnum / (dx * dy), 6)
           |END AS r2""".stripMargin)
   }
+
+  /** Difference-in-differences — the workhorse quasi-experimental
+    * estimator when treatment wasn't randomized: compare the treated
+    * group's pre→post change against the control group's,
+    *   DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre),
+    * which nets out both the fixed group gap and the common time trend.
+    *
+    * Values are integer cents; means are kept as exact rationals in e4
+    * fixed point (sum·10⁴ div n), so the estimate replays integer-exact
+    * in the oracle. One aggregate (map-side combinable) over the events
+    * — the four cells are conditional sums, no join, no second pass.
+    * Output one row: per-cell ns + means, did_e4 (cents · 10⁻⁴). */
+  def diffInDiff(df: DataFrame, treatCol: String, postCol: String,
+                 centsCol: String): DataFrame = {
+    val t = col(treatCol)
+    val p = col(postCol)
+    def cell(tv: Int, pv: Int, tag: String) = Seq(
+      sum(when(t === tv && p === pv, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(t === tv && p === pv, col(centsCol)).otherwise(0L)).as(s"s_$tag"))
+    val cells = cell(0, 0, "c_pre") ++ cell(0, 1, "c_post") ++
+      cell(1, 0, "t_pre") ++ cell(1, 1, "t_post")
+    df.agg(cells.head, cells.tail: _*)
+      .selectExpr("n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+        "s_c_pre * 10000L div n_c_pre AS mean_c_pre_e4",
+        "s_c_post * 10000L div n_c_post AS mean_c_post_e4",
+        "s_t_pre * 10000L div n_t_pre AS mean_t_pre_e4",
+        "s_t_post * 10000L div n_t_post AS mean_t_post_e4")
+      .withColumn("did_e4",
+        (col("mean_t_post_e4") - col("mean_t_pre_e4")) -
+          (col("mean_c_post_e4") - col("mean_c_pre_e4")))
+  }
 }

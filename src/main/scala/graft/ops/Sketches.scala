@@ -141,4 +141,57 @@ object Sketches {
       .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
       .select(col("g"), col("p_e6"), col("bucket"), col("k"), col("n"))
   }
+
+  // ── HyperLogLog (register-based, Flajolet et al. 2007) ──────────────
+  // The classic m-register estimator, all-integer so the oracle replays
+  // it bit-for-bit: bucket = h % m, the rank ρ = position of the first
+  // set bit in a 26-bit window of the remaining hash, registers are
+  // max(ρ) per bucket (one map-side-combining aggregate — shuffle is m
+  // rows regardless of input size, and registers MERGE by max, so
+  // shard/day sketches combine for free). The harmonic mean is computed
+  // exactly in integers by factoring out 2^ρmax:
+  //   E = α_m·m² / Σ 2^(−ρ_j)  =  α_m·m²·2^ρmax / Σ 2^(ρmax−ρ_j).
+
+  /** Number of HLL registers (2^6). */
+  val hllM = 64
+
+  /** ρ (first-set-bit position, 1-based) of a 26-bit integer `w`,
+    * w = 0 → 27 — as a CASE chain evaluable identically in Spark and
+    * DuckDB (no bit_length / leading-zero builtin shared by both). */
+  def hllRhoSql(w: String): String = {
+    val cases = (25 to 0 by -1).map(b =>
+      s"WHEN ($w) >= ${1L << b} THEN ${26 - b}").mkString(" ")
+    s"(CASE $cases ELSE 27 END)"
+  }
+
+  /** Column twin of [[hllRhoSql]] (same CASE chain, built innermost-out
+    * so the highest bit is tested first). */
+  def hllRho(w: Column): Column =
+    (0 to 25).foldLeft(lit(27): Column) { (acc, b) =>
+      when(w >= (1L << b), lit(26 - b)).otherwise(acc)
+    }
+
+  /** One-row HLL summary over `itemCol`: (rmax, nz_registers, s, est).
+    * The register table never leaves the executors un-aggregated — the
+    * shuffle is at most m rows. */
+  def hll(df: DataFrame, itemCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val h = Dedup.hash48(col(itemCol).cast("string"), lit("hll"))
+    val regs = df
+      .select((h % hllM).as("bucket"),
+        hllRho(shiftright(h, 6).bitwiseAND(lit((1L << 26) - 1))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+    // zero-fill absent registers (ρ = 0 ⇒ a full 2^ρmax harmonic term)
+    val filled = spark.range(hllM).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("r"), lit(0L)).cast("long").as("r"))
+    filled.agg(sort_array(collect_list(col("r"))).as("rs"))
+      .select(expr("array_max(rs)").as("rmax"),
+        expr("CAST(size(filter(rs, x -> x > 0)) AS BIGINT)").as("nz_registers"),
+        expr("aggregate(rs, 0L, (acc, x) -> acc + shiftleft(1L, CAST(array_max(rs) - x AS INT)))").as("s"))
+      .select(col("rmax"), col("nz_registers"), col("s"),
+        // α_64 = 0.709 (Flajolet's constant for m = 64), in e3
+        expr(s"709L * ${hllM}L * ${hllM}L * shiftleft(1L, CAST(rmax AS INT)) div (s * 1000L)")
+          .as("est"))
+  }
 }

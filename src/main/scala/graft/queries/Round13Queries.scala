@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{Experiment, Privacy, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Round-13 extension batch: the relational melt (unpivot) gap, the
+  * diff-in-differences quasi-experimental estimator, t-closeness (the
+  * third privacy audit after k-anonymity and l-diversity), and a
+  * register-based HyperLogLog whose harmonic mean is computed exactly
+  * in integers. Every oracle is plain DuckDB SQL over the shared
+  * parquet. */
+object Round13Queries {
+
+  import PortableSql.{hash48 => hash48Sql}
+
+  private def centsCol(c: String) = floor(col(c) * 100 + 0.5).cast("long")
+  private def cents(c: String) = s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Unpivot / melt — wide metric columns to (metric, value) rows,
+    //    the inverse of q_pivot. Spark's native `unpivot` keeps the
+    //    melt inside whole-stage codegen (one Expand node, no shuffle
+    //    until the final aggregate).
+    QueryDef("q_unpivot",
+      (s, d) => {
+        val src = Tables.lineitem(s, d).select(
+          centsCol("l_quantity").as("qty_cents"),
+          centsCol("l_extendedprice").as("price_cents"),
+          centsCol("l_discount").as("disc_cents"),
+          centsCol("l_tax").as("tax_cents"))
+        src.unpivot(Array.empty, src.columns.map(col), "metric", "v_cents")
+          .groupBy(col("metric"))
+          .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("sum_cents"))
+          .withColumn("mean_e4", expr("sum_cents * 10000L div n"))
+      },
+      Some(s"""WITH src AS (SELECT ${cents("l_quantity")} AS qty_cents,
+              |                    ${cents("l_extendedprice")} AS price_cents,
+              |                    ${cents("l_discount")} AS disc_cents,
+              |                    ${cents("l_tax")} AS tax_cents FROM lineitem),
+              |u AS (UNPIVOT src ON qty_cents, price_cents, disc_cents, tax_cents
+              |      INTO NAME metric VALUE v_cents)
+              |SELECT metric, CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+              |       CAST(sum(v_cents) * 10000 // count(*) AS BIGINT) AS mean_e4
+              |FROM u GROUP BY 1""".stripMargin)),
+
+    // ── Difference-in-differences over the events stream: treatment =
+    //    odd user ids, post-period = second half of the observed clock
+    //    (cutoff derived from the data, so it is SF-stable). All-integer
+    //    e4 means make the estimate replay exactly.
+    QueryDef("q_diff_in_diff",
+      (s, d) => {
+        val raw = Tables.events(s, d).select(
+          (col("user_id") % 2).cast("int").as("treat"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+          centsCol("value").as("cents"))
+        val bounds = raw.agg(
+          expr("(min(us) + max(us)) div 2").as("cutoff"))
+        val cells = raw.crossJoin(broadcast(bounds))
+          .withColumn("post", when(col("us") >= col("cutoff"), 1).otherwise(0))
+        Experiment.diffInDiff(cells, "treat", "post", "cents")
+      },
+      Some(s"""WITH raw AS (SELECT user_id % 2 AS treat,
+              |                    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+              |                    ${cents("value")} AS cents FROM events),
+              |b AS (SELECT (min(us) + max(us)) // 2 AS cutoff FROM raw),
+              |p AS (SELECT treat, CASE WHEN us >= cutoff THEN 1 ELSE 0 END AS post,
+              |             cents FROM raw CROSS JOIN b),
+              |agg AS (SELECT
+              |  CAST(count(*) FILTER (WHERE treat = 0 AND post = 0) AS BIGINT) AS n_c_pre,
+              |  CAST(count(*) FILTER (WHERE treat = 0 AND post = 1) AS BIGINT) AS n_c_post,
+              |  CAST(count(*) FILTER (WHERE treat = 1 AND post = 0) AS BIGINT) AS n_t_pre,
+              |  CAST(count(*) FILTER (WHERE treat = 1 AND post = 1) AS BIGINT) AS n_t_post,
+              |  CAST(coalesce(sum(cents) FILTER (WHERE treat = 0 AND post = 0), 0) AS BIGINT) AS s_c_pre,
+              |  CAST(coalesce(sum(cents) FILTER (WHERE treat = 0 AND post = 1), 0) AS BIGINT) AS s_c_post,
+              |  CAST(coalesce(sum(cents) FILTER (WHERE treat = 1 AND post = 0), 0) AS BIGINT) AS s_t_pre,
+              |  CAST(coalesce(sum(cents) FILTER (WHERE treat = 1 AND post = 1), 0) AS BIGINT) AS s_t_post
+              |  FROM p),
+              |m AS (SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+              |             CAST(s_c_pre * 10000 // n_c_pre AS BIGINT) AS mean_c_pre_e4,
+              |             CAST(s_c_post * 10000 // n_c_post AS BIGINT) AS mean_c_post_e4,
+              |             CAST(s_t_pre * 10000 // n_t_pre AS BIGINT) AS mean_t_pre_e4,
+              |             CAST(s_t_post * 10000 // n_t_post AS BIGINT) AS mean_t_post_e4
+              |      FROM agg)
+              |SELECT *, (mean_t_post_e4 - mean_t_pre_e4)
+              |        - (mean_c_post_e4 - mean_c_pre_e4) AS did_e4 FROM m""".stripMargin)),
+
+    // ── t-closeness audit (completes the k-anonymity / l-diversity
+    //    trio): EMD between each quasi-identifier group's sensitive
+    //    distribution (acctbal thousands-buckets) and the global one,
+    //    as a cumulative window over the zero-filled bucket grid.
+    QueryDef("q_t_closeness",
+      (s, d) => Privacy.tCloseness(
+        Tables.customer(s, d).select(
+          col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bucket")),
+        Seq("nation", "segment"), "bucket"),
+      Some("""WITH cnt AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |                    c_mktsegment AS segment,
+             |                    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+             |                    CAST(count(*) AS BIGINT) AS n
+             |             FROM customer GROUP BY 1, 2, 3),
+             |gb AS (SELECT DISTINCT bucket FROM cnt),
+             |gl AS (SELECT bucket,
+             |              CAST(sum(n) * 1000000 // (SELECT sum(n) FROM cnt) AS BIGINT) AS q_e6
+             |       FROM cnt GROUP BY 1),
+             |gr AS (SELECT nation, segment, CAST(sum(n) AS BIGINT) AS ntot
+             |       FROM cnt GROUP BY 1, 2),
+             |grid AS (SELECT nation, segment, ntot, bucket FROM gr CROSS JOIN gb),
+             |sh AS (SELECT g.nation, g.segment, g.bucket, g.ntot,
+             |              coalesce(c.n, 0) * 1000000 // g.ntot - q.q_e6 AS d_e6
+             |       FROM grid g
+             |       LEFT JOIN cnt c ON g.nation = c.nation
+             |            AND g.segment = c.segment AND g.bucket = c.bucket
+             |       JOIN gl q ON g.bucket = q.bucket),
+             |cm AS (SELECT nation, segment, ntot,
+             |              sum(d_e6) OVER (PARTITION BY nation, segment
+             |                              ORDER BY bucket) AS cum
+             |       FROM sh)
+             |SELECT nation, segment, CAST(max(ntot) AS BIGINT) AS n,
+             |       CAST(count(*) AS BIGINT) AS m_buckets,
+             |       CAST(sum(abs(cum)) // (count(*) - 1) AS BIGINT) AS t_e6
+             |FROM cm GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin)),
+
+    // ── Register-based HyperLogLog over lineitem order keys: 64
+    //    registers of max first-set-bit rank; the harmonic mean is
+    //    factored as α·m²·2^ρmax / Σ 2^(ρmax−ρ) so the whole estimate
+    //    is integer (oracle replays bit-for-bit). countDistinct would
+    //    shuffle every distinct key; this shuffles 64 rows.
+    QueryDef("q_hll",
+      (s, d) => Sketches.hll(
+        Tables.lineitem(s, d).select(col("l_orderkey")), "l_orderkey"),
+      Some {
+        val h = hash48Sql("CAST(l_orderkey AS VARCHAR)", "'hll'")
+        val rho = Sketches.hllRhoSql(s"(h >> 6) & ${(1L << 26) - 1}")
+        s"""WITH hx AS (SELECT $h AS h FROM lineitem),
+           |r0 AS (SELECT h % 64 AS bucket, $rho AS rho FROM hx),
+           |regs AS (SELECT bucket, max(rho) AS r FROM r0 GROUP BY 1),
+           |grid AS (SELECT range AS bucket FROM range(64)),
+           |filled AS (SELECT CAST(coalesce(r, 0) AS BIGINT) AS r
+           |           FROM grid LEFT JOIN regs USING (bucket)),
+           |m AS (SELECT CAST(max(r) AS BIGINT) AS rmax FROM filled),
+           |sm AS (SELECT rmax,
+           |              CAST(count(*) FILTER (WHERE r > 0) AS BIGINT) AS nz_registers,
+           |              CAST(sum(CAST(1 AS BIGINT) << CAST(rmax - r AS INT)) AS BIGINT) AS s
+           |       FROM filled CROSS JOIN m GROUP BY rmax)
+           |SELECT rmax, nz_registers, s,
+           |       CAST(709 * 64 * 64 * (CAST(1 AS BIGINT) << CAST(rmax AS INT)) // (s * 1000) AS BIGINT) AS est
+           |FROM sm""".stripMargin
+      })
+  )
+}

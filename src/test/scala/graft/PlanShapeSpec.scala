@@ -98,7 +98,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_cross_corr", 4, 2),        // bounds broadcast; lag explode + ONE moment agg
     ("q_local_clustering", 4, 0),  // wedge join + closure semi + deg/tri joins
     ("q_assortativity", 3, 0),     // deg agg + two deg joins + scalar reduce
-    ("q_label_prop", 2, 0))        // rounds checkpointed; final label join
+    ("q_label_prop", 2, 0),        // rounds checkpointed; final label join
+    ("q_unpivot", 1, 0),           // Expand is narrow; one agg exchange
+    ("q_diff_in_diff", 1, 1),      // bounds broadcast; one conditional agg
+    ("q_t_closeness", 5, 3),       // cell agg; grid/global all broadcast
+    ("q_hll", 2, 1))               // 64-row register agg; grid join broadcast
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
