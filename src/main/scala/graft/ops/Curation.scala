@@ -53,4 +53,33 @@ object Curation {
     cs.join(broadcast(bs), "shingle")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Smoothed leave-one-out target encoding — the feature-engineering
+    * trick that replaces a categorical with the mean target of its
+    * category while (a) excluding each row's OWN target (no leakage)
+    * and (b) shrinking small categories toward the global mean with
+    * pseudo-count m:  enc_i = (S_c − y_i + m·μ) div (n_c − 1 + m).
+    * All integer cents, so the oracle replays it exactly.
+    *
+    * Per-row encodings are windowed over the category (partition =
+    * groupBy key, so the window and the final rollup share ONE
+    * exchange); the global mean is a broadcast scalar. Output per
+    * category: (cat, n, enc_min, enc_max, enc_avg) — the rollup grades
+    * every row's encoding without emitting per-row data. */
+  def targetEncoding(df: DataFrame, catCol: String, centsCol: String,
+                     m: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.agg(expr(s"sum($centsCol) div count(1)").as("mu"))
+    val w = Window.partitionBy(col(catCol))
+    df.select(col(catCol).as("cat"), col(centsCol).as("y"))
+      .withColumn("s_c", sum(col("y")).over(w))
+      .withColumn("n_c", count(lit(1)).over(w))
+      .crossJoin(broadcast(g))
+      .withColumn("enc",
+        expr(s"(s_c - y + ${m}L * mu) div (n_c - 1L + ${m}L)"))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"), min(col("enc")).as("enc_min"),
+        max(col("enc")).as("enc_max"),
+        expr("sum(enc) div count(1)").as("enc_avg"))
+  }
 }

@@ -194,4 +194,47 @@ object Sketches {
         expr(s"709L * ${hllM}L * ${hllM}L * shiftleft(1L, CAST(rmax AS INT)) div (s * 1000L)")
           .as("est"))
   }
+
+  // ── Theta/KMV set operations ────────────────────────────────────────
+  // Two KMV sketches (k smallest 48-bit hashes of each set) support
+  // estimated UNION / INTERSECTION / DIFFERENCE cardinalities without
+  // ever joining the raw sets: merge to the union's k smallest, take
+  // θ = the kth (the union sketch's threshold), then count each
+  // sketch's retained hashes below θ. Estimates are c·2⁴⁸ div θ — all
+  // integer, so the oracle replays them exactly. Each sketch build is a
+  // TakeOrdered (top-k, no full sort); everything after is ≤ 2k rows.
+
+  private val maxH48 = 281474976710656L // 2^48
+
+  /** One-row estimate set: (k, theta, est_a, est_b, est_union,
+    * est_inter, est_diff_ab). `dfA`/`dfB` are single-column key frames
+    * (duplicates fine — hashing dedups). Caller must ensure both sets
+    * have ≥ k distinct keys, else θ degenerates (documented contract,
+    * mirroring the KMV aggregator's small-set fallback). */
+  def thetaSetOps(dfA: DataFrame, dfB: DataFrame, k: Int): DataFrame = {
+    def kmv(df: DataFrame) = df
+      .select(Dedup.hash48(df.columns.head match { case c => col(c).cast("string") },
+        lit("theta")).as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+    val a = kmv(dfA).localCheckpoint(true)
+    val b = kmv(dfB).localCheckpoint(true)
+    val theta = a.union(b).distinct().orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("theta"))
+    val stats = a.select(col("h"), lit(1).as("in_a"))
+      .join(b.select(col("h"), lit(1).as("in_b")), Seq("h"), "full")
+      .crossJoin(broadcast(theta))
+      .filter(col("h") < col("theta"))
+      .agg(max(col("theta")).as("theta"),
+        sum(coalesce(col("in_a"), lit(0))).as("c_a"),
+        sum(coalesce(col("in_b"), lit(0))).as("c_b"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0)).as("c_i"),
+        sum(when(col("in_a") === 1 && col("in_b").isNull, 1).otherwise(0)).as("c_d"),
+        count(lit(1)).as("c_u"))
+    stats.select(lit(k.toLong).as("k"), col("theta"),
+      expr(s"c_a * ${maxH48}L div theta").as("est_a"),
+      expr(s"c_b * ${maxH48}L div theta").as("est_b"),
+      expr(s"c_u * ${maxH48}L div theta").as("est_union"),
+      expr(s"c_i * ${maxH48}L div theta").as("est_inter"),
+      expr(s"c_d * ${maxH48}L div theta").as("est_diff_ab"))
+  }
 }

@@ -148,4 +148,34 @@ object Stats {
         when(col("dead") === 1, lit(0L))
           .otherwise(Sketches.pow2NegE6Expr("y")).as("surv_e6"))
   }
+
+  /** Pairwise Pearson correlation matrix over integer (cents) columns —
+    * ONE aggregate computes every moment exactly in DECIMAL(38,0)
+    * (n + per-column sums/squares + per-pair cross sums, all map-side
+    * combinable), then each pair's r goes through doubles once with the
+    * repo's deterministic-double convention (same IEEE sequence as the
+    * oracle, round 6). Zero-variance columns yield NULL. Output one row
+    * per unordered pair: (pair, n, corr). */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = "decimal(38,0)"
+    val pairs = for (i <- cols.indices; j <- i + 1 until cols.size)
+      yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(c).cast(dec)).as(s"s_$c")) ++
+      cols.map(c => sum(col(c).cast(dec) * col(c).cast(dec)).as(s"q_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(col(a).cast(dec) * col(b).cast(dec)).as(s"x_${a}_$b") }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"""'$a~$b', CASE WHEN n * q_$a - s_$a * s_$a = 0
+         |               OR n * q_$b - s_$b * s_$b = 0 THEN NULL
+         |          ELSE round(CAST(n * x_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |               sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE) *
+         |                    CAST(n * q_$b - s_$b * s_$b AS DOUBLE)), 6)
+         |          END""".stripMargin
+    }.mkString(", ")
+    m.selectExpr("n", s"stack(${pairs.size}, $stackArgs) AS (pair, corr)")
+      .select(col("pair"), col("n"), col("corr"))
+  }
 }

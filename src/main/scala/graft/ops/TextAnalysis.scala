@@ -260,4 +260,26 @@ object TextAnalysis {
         expr(s"array_join(transform(slice(sort_array(docs), 1, $cap), x -> cast(x as string)), ',')")
           .as("postings_head"))
       .filter(col("df").between(dfMin, dfMax))
+
+  /** The hashing trick — project an unbounded vocabulary onto a fixed
+    * `dims`-dimensional count vector via dim = h(token) % dims, the
+    * standard way to featurize text when a fitted vocabulary would be
+    * a scale bottleneck (no dictionary to broadcast, no OOV). Emits the
+    * corpus-wide load per dimension: total token count plus how many
+    * DISTINCT tokens collided into it (the quality cost of hashing).
+    * Top-`topK` dims by count, ties broken by dim — deterministic.
+    *
+    * Scale: explode → (dim, token) partial agg → dims-bounded agg; the
+    * result is ≤ dims rows no matter the corpus size. */
+  def featureHashing(docs: DataFrame, dims: Int = 256,
+                     topK: Int = 20): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select((Dedup.hash48(col("token"), lit("fh")) % dims).as("dim"),
+        col("token"))
+      .groupBy(col("dim"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("dim"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+      .orderBy(col("n_tokens").desc, col("dim"))
+      .limit(topK)
 }

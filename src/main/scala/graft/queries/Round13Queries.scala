@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Experiment, Privacy, Sketches}
+import graft.ops.{Curation, Experiment, Privacy, Sketches, Stats, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-13 extension batch: the relational melt (unpivot) gap, the
@@ -150,6 +150,112 @@ object Round13Queries {
            |SELECT rmax, nz_registers, s,
            |       CAST(709 * 64 * 64 * (CAST(1 AS BIGINT) << CAST(rmax AS INT)) // (s * 1000) AS BIGINT) AS est
            |FROM sm""".stripMargin
+      }),
+
+    // ── Theta/KMV sketch set operations over two corpus snapshots
+    //    ("yesterday" = doc_id%10 < 8, "today" = doc_id%10 > 1): union /
+    //    intersection / difference cardinalities from two k=16 sketches
+    //    — never joining the raw sets. All-integer c·2⁴⁸ div θ.
+    QueryDef("q_theta_sketch",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Sketches.thetaSetOps(
+          docs.filter(col("doc_id") % 10 < 8).select(col("doc_id")),
+          docs.filter(col("doc_id") % 10 > 1).select(col("doc_id")), 16)
+      },
+      Some {
+        val h = hash48Sql("CAST(doc_id AS VARCHAR)", "'theta'")
+        s"""WITH ka AS (SELECT DISTINCT $h AS h FROM documents
+           |            WHERE doc_id % 10 < 8 ORDER BY h LIMIT 16),
+           |kb AS (SELECT DISTINCT $h AS h FROM documents
+           |       WHERE doc_id % 10 > 1 ORDER BY h LIMIT 16),
+           |u AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+           |      ORDER BY h LIMIT 16),
+           |th AS (SELECT max(h) AS theta FROM u),
+           |j AS (SELECT coalesce(a.h, b.h) AS h,
+           |             a.h IS NOT NULL AS ia, b.h IS NOT NULL AS ib
+           |      FROM ka a FULL JOIN kb b ON a.h = b.h),
+           |f AS (SELECT * FROM j CROSS JOIN th WHERE h < theta)
+           |SELECT CAST(16 AS BIGINT) AS k, CAST(max(theta) AS BIGINT) AS theta,
+           |       CAST(count(*) FILTER (WHERE ia) * 281474976710656 // max(theta) AS BIGINT) AS est_a,
+           |       CAST(count(*) FILTER (WHERE ib) * 281474976710656 // max(theta) AS BIGINT) AS est_b,
+           |       CAST(count(*) * 281474976710656 // max(theta) AS BIGINT) AS est_union,
+           |       CAST(count(*) FILTER (WHERE ia AND ib) * 281474976710656 // max(theta) AS BIGINT) AS est_inter,
+           |       CAST(count(*) FILTER (WHERE ia AND NOT ib) * 281474976710656 // max(theta) AS BIGINT) AS est_diff_ab
+           |FROM f""".stripMargin
+      }),
+
+    // ── Hashing-trick featurization load report: project the corpus
+    //    vocabulary onto 256 dims, emit the 20 heaviest dims with their
+    //    token mass and collision counts.
+    QueryDef("q_feature_hashing",
+      (s, d) => TextAnalysis.featureHashing(Tables.documents(s, d)),
+      Some {
+        val h = hash48Sql("token", "'fh'")
+        """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+          |t2 AS (SELECT token FROM toks WHERE token <> ''),
+          |d AS (SELECT HEXPR % 256 AS dim, token FROM t2),
+          |c AS (SELECT dim, token, count(*) AS c FROM d GROUP BY 1, 2),
+          |g AS (SELECT dim, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |             CAST(count(*) AS BIGINT) AS n_distinct FROM c GROUP BY 1)
+          |SELECT dim, n_tokens, n_distinct FROM g
+          |ORDER BY n_tokens DESC, dim LIMIT 20""".stripMargin
+          .replace("HEXPR", h)
+      }),
+
+    // ── Smoothed leave-one-out target encoding of order priority
+    //    against order value: the no-leakage categorical featurizer,
+    //    graded by each category's encoding envelope (min/max/avg).
+    QueryDef("q_target_encoding",
+      (s, d) => Curation.targetEncoding(
+        Tables.orders(s, d).select(col("o_orderpriority").as("cat"),
+          centsCol("o_totalprice").as("y")), "cat", "y"),
+      Some(s"""WITH src AS (SELECT o_orderpriority AS cat,
+              |                    ${cents("o_totalprice")} AS y FROM orders),
+              |g AS (SELECT sum(y) // count(*) AS mu FROM src),
+              |w AS (SELECT cat, y, sum(y) OVER (PARTITION BY cat) AS s_c,
+              |             count(*) OVER (PARTITION BY cat) AS n_c FROM src),
+              |e AS (SELECT cat, (s_c - y + 10 * mu) // (n_c - 1 + 10) AS enc
+              |      FROM w CROSS JOIN g)
+              |SELECT cat, CAST(count(*) AS BIGINT) AS n,
+              |       CAST(min(enc) AS BIGINT) AS enc_min,
+              |       CAST(max(enc) AS BIGINT) AS enc_max,
+              |       CAST(sum(enc) // count(*) AS BIGINT) AS enc_avg
+              |FROM e GROUP BY 1""".stripMargin)),
+
+    // ── Pairwise Pearson correlation matrix over the four lineitem
+    //    money columns: one exact-moment aggregate (DECIMAL(38,0)),
+    //    six pairs stacked out, doubles touched once per pair.
+    QueryDef("q_corr_matrix",
+      (s, d) => Stats.corrMatrix(Tables.lineitem(s, d).select(
+        centsCol("l_quantity").as("qty"),
+        centsCol("l_extendedprice").as("price"),
+        centsCol("l_discount").as("disc"),
+        centsCol("l_tax").as("tax")), Seq("qty", "price", "disc", "tax")),
+      Some {
+        val cs = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+          "disc" -> "l_discount", "tax" -> "l_tax")
+        val pairs = for (i <- cs.indices; j <- i + 1 until cs.size)
+          yield (cs(i)._1, cs(j)._1)
+        val moments =
+          cs.map { case (a, s0) => s"sum(CAST(${cents(s0)} AS HUGEINT)) AS s_$a" } ++
+          cs.map { case (a, s0) =>
+            s"sum(CAST(${cents(s0)} AS HUGEINT) * CAST(${cents(s0)} AS HUGEINT)) AS q_$a" } ++
+          pairs.map { case (a, b) =>
+            val sa = cs.toMap.apply(a); val sb = cs.toMap.apply(b)
+            s"sum(CAST(${cents(sa)} AS HUGEINT) * CAST(${cents(sb)} AS HUGEINT)) AS x_${a}_$b" }
+        val rows = pairs.map { case (a, b) =>
+          s"""SELECT '$a~$b' AS pair, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n * q_$a - s_$a * s_$a = 0 OR n * q_$b - s_$b * s_$b = 0 THEN NULL
+             |       ELSE round(CAST(n * x_${a}_$b - s_$a * s_$b AS DOUBLE) /
+             |            sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE) *
+             |                 CAST(n * q_$b - s_$b * s_$b AS DOUBLE)), 6)
+             |  END AS corr FROM m""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |  ${moments.mkString(",\n  ")}
+           |  FROM lineitem)
+           |$rows""".stripMargin
       })
   )
 }

@@ -102,7 +102,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_unpivot", 1, 0),           // Expand is narrow; one agg exchange
     ("q_diff_in_diff", 1, 1),      // bounds broadcast; one conditional agg
     ("q_t_closeness", 5, 3),       // cell agg; grid/global all broadcast
-    ("q_hll", 2, 1))               // 64-row register agg; grid join broadcast
+    ("q_hll", 2, 1),               // 64-row register agg; grid join broadcast
+    ("q_feature_hashing", 2, 0),   // (dim, token) partial agg + dim agg
+    ("q_target_encoding", 1, 1),   // window = rollup key: ONE exchange; mu broadcast
+    ("q_corr_matrix", 0, 0))       // one scalar moment agg, no hash exchange
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
