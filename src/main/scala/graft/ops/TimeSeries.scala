@@ -412,4 +412,114 @@ object TimeSeries {
               / (col("t1") - col("t0")).cast("double")).cast("long")))
       .select(col(key), col("bucket_es"), col("cnt"), col("interp_e4"))
   }
+
+  // ── Series-shape operators over a per-key (key, t, v) frame ─────────
+  // (t = integer bucket index, v = integer fixed-point value, occupied
+  // buckets only). All four keep ONE key-partitioned exchange: windows
+  // partition by key, and the rollup that follows groups by the same
+  // key, so Catalyst reuses the partitioning.
+
+  /** SAX symbolization: PAA-average `frameLen` consecutive buckets,
+    * quartile-code each frame (ntile over the key's own frames — the
+    * data-driven breakpoint table, integer-exact unlike classic
+    * z-normalized SAX), emit the symbol string in time order. The
+    * string is the series' shape fingerprint — equal strings ⇒ similar
+    * shape, and downstream ops (motif counting, shape dedup) work on a
+    * tiny alphabet instead of raw floats.
+    * Output: (key, n_frames, sax). */
+  def saxSymbols(series: DataFrame, key: String, frameLen: Int = 4,
+                 alphabet: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alphabet >= 2 && alphabet <= 26, "alphabet in [2, 26]")
+    val letters = ('a' until ('a' + alphabet).toChar).map(c => s"'$c'")
+    val frames = series
+      .groupBy(col(key), expr(s"t div $frameLen").as("frame"))
+      .agg(expr("sum(v) div count(1)").as("paa"))
+    val w = Window.partitionBy(col(key)).orderBy(col("paa"), col("frame"))
+    frames.withColumn("q", ntile(alphabet).over(w))
+      .withColumn("sym", expr(s"element_at(array(${letters.mkString(",")}), q)"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_frames"),
+        expr("array_join(transform(array_sort(collect_list(struct(frame, sym))), x -> x.sym), '')")
+          .as("sax"))
+  }
+
+  /** Row-pattern mining à la MATCH_RECOGNIZE (which Spark lacks): per
+    * key, count strict V-shapes (DOWN+ UP+ at a point: prev > v < next),
+    * their maximal depth, and the longest strictly-decreasing run. The
+    * run length folds over the collected (t, down) flags with a struct
+    * accumulator — per-key state is O(days), the plan stays at ONE
+    * exchange. Output: (key, n_points, n_vshapes, max_v_depth,
+    * longest_down_run). */
+  def vShapeRuns(series: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col("t"))
+    series
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+      .withColumn("vmin", col("pv") > col("v") && col("nv") > col("v"))
+      .withColumn("down", col("v") < col("pv"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("vmin"), 1L).otherwise(0L)).as("n_vshapes"),
+        max(when(col("vmin"), least(col("pv"), col("nv")) - col("v"))).as("max_v_depth"),
+        expr("""aggregate(
+          |  transform(array_sort(collect_list(struct(t, down))), x -> x.down),
+          |  named_struct('m', 0L, 'c', 0L),
+          |  (acc, d) -> named_struct(
+          |    'm', greatest(acc.m, CASE WHEN d THEN acc.c + 1L ELSE 0L END),
+          |    'c', CASE WHEN d THEN acc.c + 1L ELSE 0L END),
+          |  acc -> acc.m)""".stripMargin).as("longest_down_run"))
+  }
+
+  /** Theil–Sen robust slope per key: the LOWER MEDIAN of all pairwise
+    * slopes (v_j − v_i)·10⁶ div (t_j − t_i), i < j — the classic
+    * outlier-immune trend (breakdown point 29%). The pair join is
+    * per-key, so work is Σ_key days², bounded by the series length, not
+    * the raw row count; ties order by (slope, t_i, t_j) so the median
+    * pick is deterministic. Output: (key, n_points, n_pairs,
+    * slope_e6). */
+  def theilSen(series: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s0 = series.localCheckpoint(true) // series axis: tiny; ONE raw scan
+    val a = s0.select(col(key), col("t").as("ti"), col("v").as("vi"))
+    val b = s0.select(col(key), col("t").as("tj"), col("v").as("vj"))
+    val pairs = a.join(b, Seq(key)).filter(col("ti") < col("tj"))
+      .withColumn("slope_e6",
+        // sign factored out: truncating div on POSITIVE operands is
+        // identical in Spark (`div`) and DuckDB (`//`); on negatives
+        // they disagree (truncate vs floor)
+        expr("""CASE WHEN vj >= vi THEN (vj - vi) * 1000000L div (tj - ti)
+               |     ELSE -((vi - vj) * 1000000L div (tj - ti)) END""".stripMargin))
+    val w = Window.partitionBy(col(key))
+    val wOrd = w.orderBy(col("slope_e6"), col("ti"), col("tj"))
+    pairs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("np", count(lit(1)).over(w))
+      .filter(expr("rn = (np + 1) div 2"))
+      .join(s0.groupBy(col(key)).agg(count(lit(1)).as("n_points")), key)
+      .select(col(key), col("n_points"), col("np").as("n_pairs"),
+        col("slope_e6"))
+  }
+
+  /** MASE-style forecast-error ratio per key: MAE of the seasonal-naive
+    * forecast (v_{t−season}) over MAE of the one-step naive (v_{t−1}),
+    * both summed over the rows where BOTH lags exist (row-based lags
+    * over occupied buckets). < 1e6 means the seasonal pattern beats
+    * plain persistence. Output: (key, n, mae_naive_cents_e?, …,
+    * mase_e6). */
+  def maseRatio(series: DataFrame, key: String, season: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col("t"))
+    series
+      .withColumn("l1", lag(col("v"), 1).over(w))
+      .withColumn("ls", lag(col("v"), season).over(w))
+      .filter(col("l1").isNotNull && col("ls").isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("v") - col("l1"))).as("sae_naive"),
+        sum(abs(col("v") - col("ls"))).as("sae_seasonal"))
+      .withColumn("mase_e6",
+        expr("CASE WHEN sae_naive = 0 THEN NULL ELSE sae_seasonal * 1000000L div sae_naive END"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Curation, Experiment, Privacy, Sketches, Stats, TextAnalysis}
+import graft.ops.{Curation, Experiment, Privacy, Sketches, Stats, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-13 extension batch: the relational melt (unpivot) gap, the
@@ -16,6 +16,23 @@ object Round13Queries {
 
   private def centsCol(c: String) = floor(col(c) * 100 + 0.5).cast("long")
   private def cents(c: String) = s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+
+  /** Per-type daily series (event_type, t = day index, v = exact e4
+    * daily mean) — the shared spine for the series-shape operators. */
+  private def daily(s: org.apache.spark.sql.SparkSession, d: String) =
+    TimeSeries.resample(Tables.events(s, d), "event_type", "ts", "value", 86400L)
+      .select(col("event_type"), expr("bucket_es div 86400").as("t"),
+        col("avg_e4").as("v"))
+
+  /** DuckDB twin of [[daily]] (CTE `s`). */
+  private val dailySql =
+    """WITH r AS (SELECT event_type,
+      |                  (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS bucket_es,
+      |                  count(*) AS cnt,
+      |                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100
+      |                       // count(*) AS BIGINT) AS avg_e4
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, bucket_es // 86400 AS t, avg_e4 AS v FROM r)""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -256,6 +273,98 @@ object Round13Queries {
            |  ${moments.mkString(",\n  ")}
            |  FROM lineitem)
            |$rows""".stripMargin
-      })
+      }),
+
+    // ── SAX symbolization of each type's daily series: PAA over 4-day
+    //    frames, quartile-coded against the series' own breakpoints
+    //    (integer-exact, no z-normalization), concatenated in time
+    //    order into a shape fingerprint string.
+    QueryDef("q_sax",
+      (s, d) => TimeSeries.saxSymbols(daily(s, d), "event_type"),
+      Some(s"""$dailySql,
+              |f AS (SELECT event_type, t // 4 AS frame,
+              |             CAST(sum(v) // count(*) AS BIGINT) AS paa
+              |      FROM s GROUP BY 1, 2),
+              |q AS (SELECT event_type, frame,
+              |             ntile(4) OVER (PARTITION BY event_type
+              |                            ORDER BY paa, frame) AS q FROM f),
+              |sym AS (SELECT event_type, frame,
+              |               CASE q WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+              |                      WHEN 3 THEN 'c' ELSE 'd' END AS sym FROM q)
+              |SELECT event_type, CAST(count(*) AS BIGINT) AS n_frames,
+              |       string_agg(sym, '' ORDER BY frame) AS sax
+              |FROM sym GROUP BY 1""".stripMargin)),
+
+    // ── MATCH_RECOGNIZE-style row patterns over the daily series:
+    //    strict V-shapes (prev > v < next) with maximal depth, and the
+    //    longest strictly-decreasing run (gaps-and-islands in the
+    //    oracle; a struct-accumulator fold on the engine side).
+    QueryDef("q_pattern_vshape",
+      (s, d) => TimeSeries.vShapeRuns(daily(s, d), "event_type"),
+      Some(s"""$dailySql,
+              |w AS (SELECT event_type, t, v,
+              |             lag(v) OVER w1 AS pv, lead(v) OVER w1 AS nv
+              |      FROM s WINDOW w1 AS (PARTITION BY event_type ORDER BY t)),
+              |dd AS (SELECT *,
+              |              (pv IS NOT NULL AND nv IS NOT NULL
+              |               AND pv > v AND nv > v) AS vmin,
+              |              (pv IS NOT NULL AND v < pv) AS down FROM w),
+              |isl AS (SELECT event_type, t, down,
+              |               sum(CASE WHEN down THEN 0 ELSE 1 END)
+              |                 OVER (PARTITION BY event_type ORDER BY t) AS grp
+              |        FROM dd),
+              |runs AS (SELECT event_type, grp,
+              |                count(*) FILTER (WHERE down) AS len
+              |         FROM isl GROUP BY 1, 2),
+              |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+              |                CAST(count(*) FILTER (WHERE vmin) AS BIGINT) AS n_vshapes,
+              |                CAST(max(CASE WHEN vmin THEN least(pv, nv) - v END) AS BIGINT) AS max_v_depth
+              |         FROM dd GROUP BY 1),
+              |lr AS (SELECT event_type, CAST(max(len) AS BIGINT) AS longest_down_run
+              |       FROM runs GROUP BY 1)
+              |SELECT base.*, lr.longest_down_run
+              |FROM base JOIN lr USING (event_type)""".stripMargin)),
+
+    // ── Theil–Sen robust slope of each type's daily series: lower
+    //    median of all pairwise slopes, sign factored out so the
+    //    truncating division is identical in both engines.
+    QueryDef("q_theil_sen",
+      (s, d) => TimeSeries.theilSen(daily(s, d), "event_type"),
+      Some(s"""$dailySql,
+              |p AS (SELECT a.event_type,
+              |             a.t AS ti, b.t AS tj,
+              |             CASE WHEN b.v >= a.v
+              |                  THEN (b.v - a.v) * 1000000 // (b.t - a.t)
+              |                  ELSE -((a.v - b.v) * 1000000 // (b.t - a.t))
+              |             END AS slope_e6
+              |      FROM s a JOIN s b
+              |        ON a.event_type = b.event_type AND a.t < b.t),
+              |rk AS (SELECT *,
+              |             row_number() OVER (PARTITION BY event_type
+              |                                ORDER BY slope_e6, ti, tj) AS rn,
+              |             count(*) OVER (PARTITION BY event_type) AS np FROM p),
+              |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+              |      FROM s GROUP BY 1)
+              |SELECT event_type, n_points, CAST(np AS BIGINT) AS n_pairs,
+              |       CAST(slope_e6 AS BIGINT) AS slope_e6
+              |FROM rk JOIN n USING (event_type) WHERE rn = (np + 1) // 2""".stripMargin)),
+
+    // ── Seasonal-naive vs one-step-naive forecastability (MASE-style):
+    //    per type, the ratio of seasonal (t−7) to naive (t−1) absolute
+    //    error mass over the shared eligible rows.
+    QueryDef("q_mase",
+      (s, d) => TimeSeries.maseRatio(daily(s, d), "event_type"),
+      Some(s"""$dailySql,
+              |w AS (SELECT event_type, v,
+              |             lag(v, 1) OVER w1 AS l1, lag(v, 7) OVER w1 AS ls
+              |      FROM s WINDOW w1 AS (PARTITION BY event_type ORDER BY t))
+              |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(abs(v - l1)) AS BIGINT) AS sae_naive,
+              |       CAST(sum(abs(v - ls)) AS BIGINT) AS sae_seasonal,
+              |       CAST(CASE WHEN sum(abs(v - l1)) = 0 THEN NULL
+              |            ELSE sum(abs(v - ls)) * 1000000 // sum(abs(v - l1))
+              |            END AS BIGINT) AS mase_e6
+              |FROM w WHERE l1 IS NOT NULL AND ls IS NOT NULL
+              |GROUP BY 1""".stripMargin))
   )
 }

@@ -105,7 +105,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_hll", 2, 1),               // 64-row register agg; grid join broadcast
     ("q_feature_hashing", 2, 0),   // (dim, token) partial agg + dim agg
     ("q_target_encoding", 1, 1),   // window = rollup key: ONE exchange; mu broadcast
-    ("q_corr_matrix", 0, 0))       // one scalar moment agg, no hash exchange
+    ("q_corr_matrix", 0, 0),       // one scalar moment agg, no hash exchange
+    ("q_sax", 3, 0),               // daily agg + frame agg + ntile window
+    ("q_pattern_vshape", 2, 0),    // daily agg; window+fold share key partition
+    ("q_theil_sen", 3, 0),         // daily agg + per-key pair join + median window
+    ("q_mase", 2, 0))              // daily agg; lag window feeds same-key rollup
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
