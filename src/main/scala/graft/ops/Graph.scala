@@ -828,4 +828,94 @@ object Graph {
     }
     verdict.select(col("a"), col("b"), (col("cut_xor") === 0L).as("is_bridge"))
   }
+
+  /** Multi-source BFS: min-hop distance from EVERY seed to every node it
+    * reaches, labeled by seed — one frontier loop carries all seeds at
+    * once ((seed, id) keyed state), so s sources cost the same rounds as
+    * one. Directed edges, same contract as [[bfsLevels]].
+    * Output: (seed, id, dist). */
+  def multiSourceBfs(nodes: DataFrame, edges: DataFrame, seedCol: String,
+                     maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var dist = nodes.filter(col(seedCol))
+      .select(col("id").as("seed"), col("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist.select(col("seed"), col("id"))
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("seed"), e("dst").as("id")).distinct()
+        .join(dist, Seq("seed", "id"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next.withColumn("dist", lit(depth.toLong)))
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    dist
+  }
+
+  /** Closeness centrality of the seed nodes over their reachable sets:
+    * (n_reached − 1)·10⁶ div Σ dist — the standard harmonic-free form,
+    * integer-exact. Disconnected remainders simply don't contribute
+    * (Wasserman–Faust would rescale; callers can from n_reached).
+    * Output: (seed, n_reached, sum_dist, closeness_e6). */
+  def closeness(nodes: DataFrame, edges: DataFrame, seedCol: String,
+                maxDepth: Int): DataFrame =
+    multiSourceBfs(nodes, edges, seedCol, maxDepth)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+      .withColumn("closeness_e6",
+        expr("CASE WHEN sum_dist = 0 THEN NULL ELSE (n_reached - 1L) * 1000000L div sum_dist END"))
+
+  /** Two-colorability (bipartiteness) check by BFS parity from `rootCol`
+    * over the bidirected view of canonical undirected `edges` (a, b):
+    * color = dist % 2; any edge with same-colored endpoints certifies an
+    * odd cycle. One row: (n_reached, n_edges_reached, n_violating,
+    * is_bipartite) — counts restricted to the root's component. */
+  def bipartiteCheck(nodes: DataFrame, edges: DataFrame, rootCol: String,
+                     maxDepth: Int): DataFrame = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    val color = bfsLevels(nodes, adj, rootCol, maxDepth)
+      .select(col("id"), (col("dist") % 2).as("c")).localCheckpoint(true)
+    edges
+      .join(color.select(col("id").as("a"), col("c").as("ca")), Seq("a"))
+      .join(color.select(col("id").as("b"), col("c").as("cb")), Seq("b"))
+      .agg(count(lit(1)).as("n_edges_reached"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("n_violating"))
+      .crossJoin(broadcast(color.agg(count(lit(1)).as("n_reached"))))
+      .select(col("n_reached"), col("n_edges_reached"), col("n_violating"),
+        (col("n_violating") === 0L).as("is_bipartite"))
+  }
+
+  /** Neighborhood Jaccard similarity of ADJACENT node pairs — the edge
+    * embeddedness score used for tie-strength / community-edge
+    * classification: for edge (a, b), |N(a)∩N(b)|·10⁶ div
+    * |N(a)∪N(b)| with |N(a)∪N(b)| = deg(a)+deg(b)−common. Edges whose
+    * endpoints share nothing score 0 (kept via left join). Same wedge
+    * self-join bound as [[triangleCount]] (Σ deg²).
+    * Output: (a, b, n_common, jac_e6). */
+  def edgeJaccard(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val common = adj.select(col("u").as("p"), col("v").as("x"))
+      .join(adj.select(col("u").as("p"), col("v").as("y")), Seq("p"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("c"))
+    und.join(common, Seq("a", "b"), "left")
+      .withColumn("n_common", coalesce(col("c"), lit(0L)))
+      .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("n_common"),
+        expr("n_common * 1000000L div (da + db - n_common)").as("jac_e6"))
+  }
 }

@@ -109,7 +109,9 @@ class PlanShapeSpec extends SparkSpec {
     ("q_sax", 3, 0),               // daily agg + frame agg + ntile window
     ("q_pattern_vshape", 2, 0),    // daily agg; window+fold share key partition
     ("q_theil_sen", 3, 0),         // daily agg + per-key pair join + median window
-    ("q_mase", 2, 0))              // daily agg; lag window feeds same-key rollup
+    ("q_mase", 2, 0),              // daily agg; lag window feeds same-key rollup
+    ("q_edge_jaccard", 4, 0),      // wedge join + edge/deg joins
+    ("q_degree_hist", 2, 0))       // degree agg + histogram agg
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
