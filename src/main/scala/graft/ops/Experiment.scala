@@ -177,4 +177,55 @@ object Experiment {
         (col("mean_t_post_e4") - col("mean_t_pre_e4")) -
           (col("mean_c_post_e4") - col("mean_c_pre_e4")))
   }
+
+  // ── Poisson bootstrap ───────────────────────────────────────────────
+  // THE distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+  // for Massive Data Streams"): resample-with-replacement multiplicities
+  // are approximated per row by independent Poisson(1) draws, so every
+  // resample is a CONDITIONAL SUM inside one map-side-combinable
+  // aggregate — no resample materialization, no second pass, no shuffle
+  // beyond the group keys. Draws are derandomized through the portable
+  // md5 hash, so both engines see identical multiplicities.
+
+  /** Poisson(1) cumulative thresholds in e6 (m = 0..3, tail mass lumped
+    * into m = 4). */
+  val poissonCumE6: Seq[Long] = Seq(367879L, 735759L, 919699L, 980996L)
+
+  /** SQL for the multiplicity of `idExpr` in resample `b` — shared by
+    * the Column path and the DuckDB oracle (`hashExpr` is the engine's
+    * hash48 of (id, salt b) already reduced mod 1e6). */
+  def poissonMultSql(hashExpr: String): String = {
+    val cases = poissonCumE6.zipWithIndex
+      .map { case (t, m) => s"WHEN $hashExpr < $t THEN $m" }.mkString(" ")
+    s"(CASE $cases ELSE 4 END)"
+  }
+
+  /** Per-group Poisson-bootstrap confidence envelope of the mean of
+    * `centsCol`: B resample means (integer e4), reported as their
+    * min/max envelope beside the point estimate. Output: (group, n,
+    * mean_e4, boot_lo_e4, boot_hi_e4, n_resamples). */
+  def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+                  centsCol: String, b: Int = 16): DataFrame = {
+    require(b >= 2 && b <= 64, "resamples in [2, 64]")
+    val base = (0 until b).foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"pm$i",
+        Dedup.hash48(col(idCol).cast("string"), lit(s"bs$i")) % 1000000L)
+    }
+    val withMult = (0 until b).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"m$i", expr(poissonMultSql(s"pm$i")))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum(col(centsCol)).as("s")) ++
+      (0 until b).flatMap { i => Seq(
+        sum(col(s"m$i") * col(centsCol)).as(s"bs$i"),
+        sum(col(s"m$i").cast("long")).as(s"bn$i")) }
+    val means = (0 until b).map(i =>
+      s"CASE WHEN bn$i = 0 THEN NULL ELSE bs$i * 10000L div bn$i END")
+    withMult.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(groupCol, "n", "s * 10000L div n AS mean_e4",
+        s"array(${means.mkString(", ")}) AS bm")
+      .selectExpr(groupCol, "n", "mean_e4",
+        "array_min(bm) AS boot_lo_e4", "array_max(bm) AS boot_hi_e4",
+        s"CAST($b AS BIGINT) AS n_resamples")
+  }
 }

@@ -167,4 +167,31 @@ object Similarity {
         col("a.bucket").as("bucket"),
         round(cosine(col("a.ev"), col("b.ev")), 6).as("cos"))
   }
+
+  /** Gram matrix G = Σ_rows x·xᵀ over the LEADING `dims` embedding
+    * dimensions, in exact e12 integers (components e6-quantized first,
+    * floor(x·10⁶ + ½) — identical on both engines; float sums would be
+    * order-dependent). The whole matrix is ONE scalar aggregate of
+    * dims·(dims+1)/2 conditional sums — partial-aggregated map-side,
+    * zero hash exchange — then stacked to (i, j, g_e12) rows. This is
+    * the covariance/PCA precursor every embedding-quality audit starts
+    * from. At 100 TB the e12 longs need DECIMAL(38,0) sums — same plan,
+    * wider type. */
+  def gramMatrix(df: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 2 && dims <= 16, "dims in [2, 16] (d^2 output)")
+    val q = cast(df)
+    val comp = (0 until dims).foldLeft(q) { (acc, i) =>
+      acc.withColumn(s"c$i",
+        expr(s"CAST(floor(element_at(ev, ${i + 1}) * 1000000 + 0.5) AS BIGINT)"))
+    }
+    val pairs = for (i <- 0 until dims; j <- i until dims) yield (i, j)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      pairs.map { case (i, j) => sum(col(s"c$i") * col(s"c$j")).as(s"g_${i}_$j") }
+    val m = comp.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs
+      .map { case (i, j) => s"${i}L, ${j}L, g_${i}_$j" }.mkString(", ")
+    m.selectExpr("n_rows",
+        s"stack(${pairs.size}, $stackArgs) AS (i, j, g_e12)")
+      .select(col("i"), col("j"), col("g_e12"), col("n_rows"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.Graph
+import graft.ops.{Experiment, Graph, Hierarchy, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-14 graph batch: multi-source closeness centrality, the
@@ -160,6 +160,127 @@ object Round14Queries {
           |adj AS (SELECT a AS u FROM und UNION ALL SELECT b FROM und),
           |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY 1)
           |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
-          |FROM deg GROUP BY 1""".stripMargin))
+          |FROM deg GROUP BY 1""".stripMargin)),
+
+    // ── Gram matrix of the leading 8 embedding dimensions: ONE scalar
+    //    moment aggregate (36 conditional sums, zero hash exchange) in
+    //    exact e12 integers — the covariance/PCA precursor.
+    QueryDef("q_gram_matrix",
+      (s, d) => Similarity.gramMatrix(Tables.embeddings(s, d), 8),
+      Some {
+        val dims = 8
+        def c(i: Int) =
+          s"CAST(floor(CAST(embedding AS DOUBLE[])[${i + 1}] * 1000000 + 0.5) AS BIGINT)"
+        val pairs = for (i <- 0 until dims; j <- i until dims) yield (i, j)
+        val sums = pairs.map { case (i, j) =>
+          s"sum(c$i * c$j) AS g_${i}_$j" }.mkString(",\n  ")
+        val comps = (0 until dims).map(i => s"${c(i)} AS c$i").mkString(",\n  ")
+        val rows = pairs.map { case (i, j) =>
+          s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, CAST(g_${i}_$j AS BIGINT) AS g_e12, n_rows FROM m"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH cc AS (SELECT
+           |  $comps
+           |  FROM embeddings),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  $sums
+           |  FROM cc)
+           |$rows""".stripMargin
+      }),
+
+    // ── Bill-of-materials rollup over a binary assembly tree (ids
+    //    1..127, child qty 1+(child%3)): effective per-unit quantity =
+    //    product of edge quantities down the root path — the recursive
+    //    workload Spark SQL lacks, done in depth-many frontier rounds.
+    QueryDef("q_bom_rollup",
+      (s, d) => {
+        val nodes = Tables.part(s, d)
+          .select((col("p_partkey") % 127 + 1).as("id")).distinct()
+        val left = nodes.filter(col("id") * 2 <= 127)
+          .select(col("id").as("src"), (col("id") * 2).as("dst"))
+        val right = nodes.filter(col("id") * 2 + 1 <= 127)
+          .select(col("id").as("src"), (col("id") * 2 + 1).as("dst"))
+        val edges = left.unionByName(right)
+          .withColumn("qty", lit(1L) + col("dst") % 3)
+        Hierarchy.pathProductRollup(
+          nodes.withColumn("is_root", col("id") === 1), edges, "is_root", 8)
+      },
+      Some("""WITH RECURSIVE nodes AS (SELECT DISTINCT p_partkey % 127 + 1 AS id FROM part),
+             |e AS (SELECT id AS src, id * 2 AS dst, 1 + (id * 2) % 3 AS qty
+             |      FROM nodes WHERE id * 2 <= 127
+             |      UNION ALL
+             |      SELECT id, id * 2 + 1, 1 + (id * 2 + 1) % 3
+             |      FROM nodes WHERE id * 2 + 1 <= 127),
+             |r AS (SELECT id, 0 AS depth, CAST(1 AS BIGINT) AS eff_qty
+             |      FROM nodes WHERE id = 1
+             |      UNION
+             |      SELECT e.dst AS id, r.depth + 1 AS depth,
+             |             r.eff_qty * e.qty AS eff_qty
+             |      FROM r JOIN e ON e.src = r.id WHERE r.depth < 8)
+             |SELECT id, CAST(depth AS BIGINT) AS depth, eff_qty FROM r""".stripMargin)),
+
+    // ── Poisson-bootstrap confidence envelope of per-type mean event
+    //    value: 16 hash-derandomized Poisson(1) resamples inside ONE
+    //    map-side-combinable aggregate — the distributed bootstrap.
+    QueryDef("q_bootstrap_ci",
+      (s, d) => Experiment.bootstrapCi(
+        Tables.events(s, d).select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "event_type", "event_id", "cents"),
+      Some {
+        val b = 16
+        def h(i: Int) =
+          PortableSql.hash48("CAST(event_id AS VARCHAR)", s"'bs$i'") + " % 1000000"
+        val pms = (0 until b).map(i => s"${h(i)} AS pm$i").mkString(",\n  ")
+        val mults = (0 until b).map(i =>
+          s"${Experiment.poissonMultSql(s"pm$i")} AS m$i").mkString(",\n  ")
+        val sums = (0 until b).map(i =>
+          s"CAST(sum(m$i * cents) AS BIGINT) AS bs$i, CAST(sum(m$i) AS BIGINT) AS bn$i")
+          .mkString(",\n  ")
+        val means = (0 until b).map(i =>
+          s"CASE WHEN bn$i = 0 THEN NULL ELSE bs$i * 10000 // bn$i END").mkString(", ")
+        s"""WITH raw AS (SELECT event_type, event_id,
+           |                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           |             FROM events),
+           |hh AS (SELECT event_type, cents,
+           |  $pms
+           |  FROM raw),
+           |mm AS (SELECT event_type, cents,
+           |  $mults
+           |  FROM hh),
+           |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |             CAST(sum(cents) AS BIGINT) AS s,
+           |  $sums
+           |  FROM mm GROUP BY 1)
+           |SELECT event_type, n, CAST(s * 10000 // n AS BIGINT) AS mean_e4,
+           |       CAST(least($means) AS BIGINT) AS boot_lo_e4,
+           |       CAST(greatest($means) AS BIGINT) AS boot_hi_e4,
+           |       CAST($b AS BIGINT) AS n_resamples
+           |FROM g""".stripMargin
+      }),
+
+    // ── Corpus mix report: docs/tokens per (lang, source) with each
+    //    cell's share of the global token budget — the first table of
+    //    any training-mix design review.
+    QueryDef("q_doc_mix",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        val cells = base.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        cells.crossJoin(broadcast(cells.agg(sum(col("n_tokens")).as("tot"))))
+          .withColumn("tok_share_e6", expr("n_tokens * 1000000L div tot"))
+          .drop("tot")
+      },
+      Some("""WITH base AS (SELECT lang, source,
+             |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |              FROM documents),
+             |cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             |                 CAST(sum(toks) AS BIGINT) AS n_tokens
+             |          FROM base GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM cells)
+             |SELECT lang, source, n_docs, n_tokens,
+             |       CAST(n_tokens * 1000000 // tot AS BIGINT) AS tok_share_e6
+             |FROM cells CROSS JOIN tot""".stripMargin))
   )
 }

@@ -111,7 +111,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_theil_sen", 3, 0),         // daily agg + per-key pair join + median window
     ("q_mase", 2, 0),              // daily agg; lag window feeds same-key rollup
     ("q_edge_jaccard", 4, 0),      // wedge join + edge/deg joins
-    ("q_degree_hist", 2, 0))       // degree agg + histogram agg
+    ("q_degree_hist", 2, 0),       // degree agg + histogram agg
+    ("q_gram_matrix", 0, 0),       // one scalar moment agg, no hash exchange
+    ("q_bootstrap_ci", 1, 0),      // ONE conditional-sum aggregate
+    ("q_doc_mix", 2, 1))           // cell agg + broadcast total
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
