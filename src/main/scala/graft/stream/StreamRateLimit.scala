@@ -1,0 +1,76 @@
+package graft.stream
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Per-key token-bucket admission control as streaming state — the
+  * ingest-quota primitive (per-tenant rate caps, crawler politeness,
+  * per-source sampling budgets) run INSIDE the stream instead of at the
+  * edge. State is two longs per key (fractional token balance in e6 +
+  * last event-time), refill is computed from EVENT TIME deltas, so the
+  * decision sequence is a pure function of the keyed event-time-ordered
+  * stream: replays and arbitrary batch splits produce identical
+  * admit/reject counts (the spec proves both). Rows inside a batch are
+  * sorted by event time before folding; cross-batch order is the
+  * replayer's contract (same as the upsert sink's monotonic guard).
+  */
+object StreamRateLimit {
+
+  case class Ev(key: String, ts_us: Long)
+  /** Per-key per-trigger readout: this batch's decisions + running
+    * totals + the post-batch fractional token balance. */
+  case class RateRow(key: String, batch_admitted: Long, batch_rejected: Long,
+                     total_admitted: Long, total_rejected: Long,
+                     tokens_e6: Long)
+
+  private case class Bucket(tokens_e6: Long, last_us: Long,
+                            adm: Long, rej: Long)
+
+  class RateLimitProcessor(capE6: Long, ratePerSecE6: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Ev, RateRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[Bucket] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Bucket]("bucket",
+        org.apache.spark.sql.Encoders.product[Bucket], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[RateRow] = {
+      var b = if (st.exists()) st.get()
+              else Bucket(capE6, Long.MinValue, 0L, 0L) // bucket starts full
+      var ba = 0L
+      var br = 0L
+      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+        val refill =
+          if (b.last_us == Long.MinValue) 0L
+          else math.max(0L, e.ts_us - b.last_us) * ratePerSecE6 / 1000000L
+        val avail = math.min(capE6, b.tokens_e6 + refill)
+        if (avail >= 1000000L) {
+          b = Bucket(avail - 1000000L, e.ts_us, b.adm + 1L, b.rej)
+          ba += 1L
+        } else {
+          b = Bucket(avail, e.ts_us, b.adm, b.rej + 1L)
+          br += 1L
+        }
+      }
+      st.update(b)
+      Iterator.single(RateRow(key, ba, br, b.adm, b.rej, b.tokens_e6))
+    }
+  }
+
+  /** Admission decisions per key per trigger. `capE6` = bucket capacity
+    * in e6 tokens; `ratePerSecE6` = refill rate in e6 tokens/second of
+    * event time. Streaming frames only. */
+  def decisions(ds: Dataset[Ev], capE6: Long,
+                ratePerSecE6: Long): Dataset[RateRow] = {
+    require(capE6 >= 1000000L, "capacity must be >= 1 token")
+    require(ratePerSecE6 > 0L, "refill rate must be positive")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.key)
+      .transformWithState(new RateLimitProcessor(capE6, ratePerSecE6),
+        TimeMode.None(), OutputMode.Append)
+  }
+}
