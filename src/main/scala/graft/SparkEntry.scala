@@ -20,7 +20,8 @@ object Registry {
       queries.Round7bQueries.defs ++ queries.Round8Queries.defs ++
       queries.Round9Queries.defs ++ queries.Round10Queries.defs ++
       queries.Round11Queries.defs ++ queries.Round12Queries.defs ++
-      queries.Round13Queries.defs ++ queries.Round14Queries.defs
+      queries.Round13Queries.defs ++ queries.Round14Queries.defs ++
+      queries.Round15Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -194,4 +194,43 @@ object Similarity {
         s"stack(${pairs.size}, $stackArgs) AS (i, j, g_e12)")
       .select(col("i"), col("j"), col("g_e12"), col("n_rows"))
   }
+
+  /** Sign-preserving truncating division — Spark `div` truncates toward
+    * zero while DuckDB `//` floors, so NEGATIVE numerators must be
+    * factored through positive operands to agree. */
+  private def sdiv(v: String, d: String): String =
+    s"(CASE WHEN ($v) >= 0 THEN ($v) div ($d) ELSE -((-($v)) div ($d)) END)"
+
+  /** Top-eigenvector estimate of the [[gramMatrix]] output by `iters`
+    * rounds of power iteration, entirely in integers: the matrix is
+    * row-scaled to per-row covariance (g div n_rows), the vector lives
+    * in e4 fixed point normalized by max|y| each round (one broadcast
+    * scalar), every signed division factored positive so the oracle
+    * replays bit-for-bit. All frames after the Gram aggregate are
+    * dims-sized — the iteration costs dims² rows per round, never a
+    * data pass. Output: (i, x_e4). */
+  def powerIteration(gram: DataFrame, dims: Int, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters in [1, 8]")
+    val spark = gram.sparkSession
+    val g0 = gram.localCheckpoint(true)
+    val sym = g0.select(col("i"), col("j"), col("g_e12"), col("n_rows"))
+      .unionByName(g0.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g_e12"), col("n_rows")))
+    val gsc = sym.select(col("i"), col("j"),
+        expr(sdiv("g_e12", "n_rows")).as("g"))
+      .localCheckpoint(true)
+    var x = spark.range(dims).select(col("id").as("j"), lit(10000L).as("x"))
+    for (_ <- 1 to iters) {
+      val y = gsc.join(x, Seq("j"))
+        .groupBy(col("i")).agg(sum(col("g") * col("x")).as("y"))
+      val my = y.agg(max(abs(col("y"))).as("my"))
+      // normalize as y div (my/1e4): exactly y·1e4/my once my ≥ 1e8, and
+      // never overflows (y·1e4 would for large Gram entries)
+      x = y.crossJoin(broadcast(my))
+        .select(col("i").as("j"),
+          expr(sdiv("y", "greatest(1L, my div 10000L)")).as("x"))
+        .localCheckpoint(true)
+    }
+    x.select(col("j").as("i"), col("x").as("x_e4"))
+  }
 }

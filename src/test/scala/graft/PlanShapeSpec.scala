@@ -114,7 +114,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_degree_hist", 2, 0),       // degree agg + histogram agg
     ("q_gram_matrix", 0, 0),       // one scalar moment agg, no hash exchange
     ("q_bootstrap_ci", 1, 0),      // ONE conditional-sum aggregate
-    ("q_doc_mix", 2, 1))           // cell agg + broadcast total
+    ("q_doc_mix", 2, 1),           // cell agg + broadcast total
+    ("q_calibration_ece", 2, 1),   // max broadcast + bin agg
+    ("q_tpch_local_volume", 2, 4), // ONE big join shuffle + agg; 4 broadcasts
+    ("q_reservoir_perkey", 1, 0))  // ONE key-partitioned top-k window
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
