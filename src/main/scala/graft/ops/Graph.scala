@@ -873,6 +873,40 @@ object Graph {
       .withColumn("closeness_e6",
         expr("CASE WHEN sum_dist = 0 THEN NULL ELSE (n_reached - 1L) * 1000000L div sum_dist END"))
 
+  /** Bounded-hop eccentricity of the seed nodes: the FARTHEST min-hop
+    * distance each seed reaches within `maxDepth` — the per-node half of
+    * the diameter question, sharing [[multiSourceBfs]]'s one labeled
+    * frontier for all seeds. Output: (seed, n_reached, ecc). */
+  def eccentricity(nodes: DataFrame, edges: DataFrame, seedCol: String,
+                   maxDepth: Int): DataFrame =
+    multiSourceBfs(nodes, edges, seedCol, maxDepth)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("ecc"))
+
+  /** Double-sweep diameter LOWER bound (Magnien–Latapy–Habib): BFS from
+    * the root, hop to the farthest node u it reaches (ties → smallest
+    * id), BFS again from u — ecc(u) lower-bounds the diameter and is
+    * exact on trees. Two BFS passes total regardless of |V|, which is
+    * the whole point versus |V|-source exact eccentricity at scale; the
+    * u-selection is a one-row argmax aggregate joined back (never
+    * collected). Edges are taken as given — pass a bidirected view for
+    * undirected semantics. One row: (u, ecc_root, diameter_lb,
+    * n_reached) with n_reached counting u's BFS cover. */
+  def doubleSweepDiameter(nodes: DataFrame, edges: DataFrame,
+                          rootCol: String, maxDepth: Int): DataFrame = {
+    val d0 = bfsLevels(nodes, edges, rootCol, maxDepth)
+    val far = d0
+      .agg(max(struct(col("dist"), (-col("id")).as("ni"))).as("f"))
+      .select((-col("f.ni")).as("u"), col("f.dist").as("ecc_root"))
+      .localCheckpoint(true)
+    val seeded = nodes.crossJoin(broadcast(far))
+      .withColumn("is_far", col("id") === col("u"))
+    bfsLevels(seeded, edges, "is_far", maxDepth)
+      .agg(max(col("dist")).as("diameter_lb"), count(lit(1)).as("n_reached"))
+      .crossJoin(broadcast(far))
+      .select(col("u"), col("ecc_root"), col("diameter_lb"), col("n_reached"))
+  }
+
   /** Two-colorability (bipartiteness) check by BFS parity from `rootCol`
     * over the bidirected view of canonical undirected `edges` (a, b):
     * color = dist % 2; any edge with same-colored endpoints certifies an
