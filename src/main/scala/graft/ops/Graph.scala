@@ -907,6 +907,70 @@ object Graph {
       .select(col("u"), col("ecc_root"), col("diameter_lb"), col("n_reached"))
   }
 
+  /** Exact betweenness centrality (ordered-pair convention) via the
+    * pair-dependency identity: bc(v) = Σ_{s≠v≠t} σ_sv·σ_vt·10⁶ div σ_st
+    * over ordered pairs with dist(s,v) + dist(v,t) = dist(s,t).
+    * Three stages, all joins on node ids:
+    *   1. [[multiSourceBfs]] from EVERY node (one labeled frontier);
+    *   2. shortest-path COUNTS σ by layered accumulation — layer d sums
+    *      predecessor σ over edges from layer d−1, exactly Brandes'
+    *      forward pass, one join per BFS round;
+    *   3. the (s, v, t) triple join, filtered to tight triangles.
+    * Integer contributions (truncating div, positive operands) keep the
+    * result bit-deterministic and oracle-replayable.
+    *
+    * Scale: stages 1–2 are |V| simultaneous BFS labels — the exact
+    * all-sources regime, right when betweenness is computed WITHIN
+    * components/communities of bounded size (the usual production
+    * shape after clustering). For one huge component, sample pivots s
+    * (Riondato–Kornaropoulos bounds) — same plan with a seed filter on
+    * stage 1 and a count-rescale, not a different algorithm.
+    * Pass a bidirected edge view for undirected semantics; undirected
+    * bc is the ordered-pair result halved. Output: (v, bc_e6). */
+  def betweenness(nodes: DataFrame, edges: DataFrame,
+                  maxDepth: Int): DataFrame = {
+    val dist = multiSourceBfs(nodes.withColumn("every_node", lit(true)),
+      edges, "every_node", maxDepth)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var front = dist.filter(col("dist") === 0L)
+      .select(col("seed"), col("id"), lit(1L).as("sig"))
+      .localCheckpoint(true)
+    var sig = front.withColumn("d", lit(0L))
+    var d = 0
+    var done = false
+    while (d < maxDepth && !done) {
+      d += 1
+      val layer = dist.filter(col("dist") === d.toLong)
+        .select(col("seed"), col("id"))
+      val next = front.join(e, front("id") === e("src"))
+        .select(col("seed"), e("dst").as("id"), col("sig"))
+        .join(layer, Seq("seed", "id")) // keeps only min-dist-d nodes
+        .groupBy(col("seed"), col("id")).agg(sum(col("sig")).as("sig"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        sig = sig.unionByName(next.withColumn("d", lit(d.toLong)))
+          .localCheckpoint(true)
+        front = next
+      }
+    }
+    val a = sig.select(col("seed").as("s"), col("id").as("v"),
+      col("sig").as("sa"), col("d").as("da"))
+    val b = sig.select(col("seed").as("t"), col("id").as("v"),
+      col("sig").as("sb"), col("d").as("db"))
+    val c = sig.select(col("seed").as("s"), col("id").as("t"),
+      col("sig").as("sc"), col("d").as("dc"))
+    val contrib = a.join(b, "v")
+      .filter(col("s") =!= col("t") && col("v") =!= col("s") &&
+        col("v") =!= col("t"))
+      .join(c, Seq("s", "t"))
+      .filter(col("dc") === col("da") + col("db"))
+      .groupBy(col("v"))
+      .agg(sum(expr("sa * sb * 1000000L div sc")).as("bc_e6"))
+    nodes.select(col("id").as("v")).join(contrib, Seq("v"), "left")
+      .select(col("v"), coalesce(col("bc_e6"), lit(0L)).as("bc_e6"))
+  }
+
   /** Two-colorability (bipartiteness) check by BFS parity from `rootCol`
     * over the bidirected view of canonical undirected `edges` (a, b):
     * color = dist % 2; any edge with same-colored endpoints certifies an

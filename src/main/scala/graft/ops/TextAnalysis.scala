@@ -282,4 +282,37 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"))
       .orderBy(col("n_tokens").desc, col("dim"))
       .limit(topK)
+
+  /** Zipf-law fit over the corpus token-frequency distribution: the
+    * least-squares slope of log₂ freq vs log₂ rank across the top
+    * `topR` tokens (Zipf exponent ≈ −slope; natural text sits near −1,
+    * so this is a one-number corpus-quality / synthetic-text signal).
+    * Logs are the fixed-point [[Bm25.log2E6]] (bit-identical across
+    * engines); the moment sums are exact DECIMAL(38,0) (e6-log products
+    * overflow longs at ~500 ranks); the single closing division follows
+    * the deterministic-double convention (one IEEE divide, round 6).
+    *
+    * Scale: token count-aggregate (one exchange), then TakeOrdered
+    * top-R — the regression itself runs on R rows. Output one row:
+    * (n_ranks, slope). */
+  def zipfSlope(docs: DataFrame, topR: Int = 256): DataFrame = {
+    require(topR >= 8 && topR <= 4096, "topR must be in [8, 4096]")
+    val freq = docs.select(explode(split(col("text"), " ")).as("wd"))
+      .filter(col("wd") =!= "")
+      .groupBy(col("wd")).agg(count(lit(1)).as("f"))
+    val top = freq.orderBy(col("f").desc, col("wd").asc).limit(topR)
+    val ranked = top.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("wd").asc)))
+    val dec = "decimal(38,0)"
+    ranked
+      .select(Bm25.log2E6(col("rk")).cast(dec).as("x"),
+        Bm25.log2E6(col("f")).cast(dec).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .selectExpr("CAST(n AS BIGINT) AS n_ranks",
+        """round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |      CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope""".stripMargin)
+  }
 }

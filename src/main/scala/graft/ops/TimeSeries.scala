@@ -249,6 +249,45 @@ object TimeSeries {
           .as("ewma_cents"),
         expr("size(seq)").cast("long").as("n_points"))
 
+  /** Holt DOUBLE-exponential (level + trend) smoothing with α = β = ½
+    * over each key's FIRST `m` observations. The coupled (l, b)
+    * recursion has no prefix-sum closed form (and list-fold oracles are
+    * off the table — DuckDB struct-accumulator list_reduce is broken),
+    * so the horizon is BOUNDED instead: the m points pivot into ONE row
+    * per key (a map-side-combining min-when aggregate, no collect), and
+    * the m−1 smoothing steps unroll as plain column arithmetic — zero
+    * shuffles beyond the one rank window + groupBy pair. Init l₁ = x₁,
+    * b₁ = x₂ − x₁ (textbook); keys with fewer than m points are dropped
+    * (a bounded-horizon contract, not a ragged fold). Every halving is
+    * sign-factored so Spark `div` (toward zero) and DuckDB `//` (floor)
+    * agree on negative trends. Output: (key, level_cents, trend_cents,
+    * forecast_cents) where forecast = l_m + b_m is the one-step-ahead
+    * prediction. */
+  def holtLinear(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, centsCol: String, m: Int = 6): DataFrame = {
+    require(m >= 3 && m <= 12, "m must be in [3, 12]")
+    def sdiv2(v: String) =
+      s"(CASE WHEN ($v) >= 0 THEN ($v) div 2 ELSE -((-($v)) div 2) END)"
+    val w = Window.partitionBy(col("key")).orderBy(col("t"), col("tie"))
+    val ranked = df.select(col(keyCol).as("key"), col(tsCol).as("t"),
+        col(tieCol).as("tie"), col(centsCol).as("x"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+    val pivoted = ranked.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), (1 to m).map(i =>
+        min(when(col("rn") === i, col("x"))).as(s"x$i")): _*)
+      .filter(col("n") === m)
+    val stepped = (2 to m).foldLeft(
+      pivoted.withColumn("l1", col("x1"))
+        .withColumn("b1", col("x2") - col("x1"))) { (acc, t) =>
+      acc.withColumn(s"l$t", expr(sdiv2(s"x$t + l${t - 1} + b${t - 1}")))
+        .withColumn(s"b$t", expr(sdiv2(s"l$t - l${t - 1} + b${t - 1}")))
+    }
+    stepped.select(col("key"), col(s"l$m").as("level_cents"),
+      col(s"b$m").as("trend_cents"),
+      (col(s"l$m") + col(s"b$m")).as("forecast_cents"))
+  }
+
   /** Clamp-at-zero running balance per key (inventory/credit semantics:
     * stock can't go negative; excess demand is lost, not backordered).
     * The recursion W_n = max(0, W_{n−1} + x_n) looks sequential, but the

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Bm25, Diversify, Graph, Quantiles, Sketches}
+import graft.ops.{Bm25, Diversify, Graph, Quantiles, Sketches, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-16 batch: bounded-hop eccentricity and the double-sweep
@@ -209,6 +209,147 @@ object Round16Queries {
           .select(col("id").as("a"), col("b"), ip.as("sim"))
         Diversify.mmr(cand.select(col("id"), col("rel")), sims, 4)
       },
-      Some(mmrSql(4)))
+      Some(mmrSql(4))),
+
+    // ── Exact betweenness centrality (ordered-pair, e6) on the
+    //    chain-with-chords graph: |V|-source BFS + layered σ counts +
+    //    the tight-triangle pair-dependency join. Chain interiors score
+    //    high, chord-bypassed nodes low, isolated endpoints zero.
+    QueryDef("q_betweenness",
+      (s, d) => {
+        val (nodes, und) = chainGraph(s, d)
+        val adj = und.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        Graph.betweenness(nodes, adj, 10)
+      },
+      Some("WITH RECURSIVE " + chainGraphSql + ",\n" + betweennessSql(8))),
+
+    // ── Holt double-exponential smoothing (α = β = ½) of each event
+    //    type's first 6 values: bounded-horizon unroll — the coupled
+    //    (level, trend) recursion as one pivot aggregate + fixed column
+    //    arithmetic, closing SURVEY §7.4k's blocked candidate.
+    QueryDef("q_holt_linear",
+      (s, d) => TimeSeries.holtLinear(
+        Tables.events(s, d)
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+        "event_type", "ts", "event_id", "cents", 6),
+      Some(holtSql(6))),
+
+    // ── Zipf-law slope of the token-frequency distribution (top 256
+    //    ranks): fixed-point log-log least squares, DECIMAL(38,0)
+    //    moments, one deterministic-double division.
+    QueryDef("q_zipf_slope",
+      (s, d) => TextAnalysis.zipfSlope(
+        Tables.documents(s, d).select(col("text")), 256),
+      Some {
+        val lx = Bm25.log2E6Sql("rk")
+        val ly = Bm25.log2E6Sql("f")
+        s"""WITH t AS (SELECT wd FROM (SELECT unnest(string_split(text, ' ')) AS wd
+           |                           FROM documents) u WHERE wd <> ''),
+           |f AS (SELECT wd, CAST(count(*) AS BIGINT) AS f FROM t GROUP BY 1),
+           |top AS (SELECT f, wd, row_number() OVER (ORDER BY f DESC, wd) AS rk
+           |        FROM f ORDER BY f DESC, wd LIMIT 256),
+           |xy AS (SELECT CAST($lx AS BIGINT) AS x, CAST($ly AS BIGINT) AS y FROM top),
+           |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |             sum(x * x) AS sxx, sum(x * y) AS sxy FROM xy)
+           |SELECT CAST(n AS BIGINT) AS n_ranks,
+           |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+           |             CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+           |FROM m""".stripMargin
+      })
   )
+
+  /** Unrolled Holt (α = β = ½) oracle: pivot each key's first `m`
+    * values via CASE-max, then m−1 step CTEs with uniquely-numbered
+    * level/trend columns (no lateral-alias ambiguity); halves are
+    * sign-factored to match Spark's toward-zero `div`. */
+  private def holtSql(m: Int): String = {
+    def sdiv2(v: String) =
+      s"(CASE WHEN ($v) >= 0 THEN ($v) // 2 ELSE -((-($v)) // 2) END)"
+    val xs = (1 to m).map(i =>
+      s"max(CASE WHEN rn = $i THEN x END) AS x$i").mkString(",\n         ")
+    val steps = (2 to m).map { t =>
+      val carry = ((t + 1) to m).map(i => s"x$i").mkString(", ")
+      val carrySql = if (carry.isEmpty) "" else s"$carry, "
+      val lNew = sdiv2(s"x$t + l${t - 1} + b${t - 1}")
+      s"""h$t AS (SELECT key, $carrySql$lNew AS l$t,
+         |  ${sdiv2(s"$lNew - l${t - 1} + b${t - 1}")} AS b$t FROM h${t - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT event_type AS key,
+       |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+       |                 row_number() OVER (PARTITION BY event_type
+       |                                    ORDER BY ts, event_id) AS rn
+       |           FROM events),
+       |p AS (SELECT key, count(*) AS n,
+       |         $xs
+       |      FROM e WHERE rn <= $m GROUP BY key),
+       |h1 AS (SELECT key, ${(2 to m).map(i => s"x$i").mkString(", ")},
+       |              x1 AS l1, x2 - x1 AS b1 FROM p WHERE n = $m),
+       |$steps
+       |SELECT key, CAST(l$m AS BIGINT) AS level_cents,
+       |       CAST(b$m AS BIGINT) AS trend_cents,
+       |       CAST(l$m + b$m AS BIGINT) AS forecast_cents
+       |FROM h$m""".stripMargin
+  }
+
+  /** The chain-with-chords graph of Round12/Round14 (10 ten-node
+    * chains; chords (c, c+4) everywhere and (c+4, c+9) on even
+    * chains) — small components exercise the all-pairs-exact regime. */
+  private val chainGraphSql =
+    """nodes AS (SELECT DISTINCT p_partkey % 100 AS id FROM part),
+      |ce AS (
+      |  SELECT id AS src, id + 1 AS dst FROM nodes WHERE id % 10 <> 9
+      |  UNION SELECT id, id + 4 FROM nodes WHERE id % 10 = 0
+      |  UNION SELECT id, id + 5 FROM nodes WHERE id % 10 = 4 AND (id // 10) % 2 = 0),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM ce WHERE src <> dst)""".stripMargin
+
+  private def chainGraph(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val nodes = Tables.part(s, d)
+      .select((col("p_partkey") % 100).as("id")).distinct()
+    val chain = nodes.filter(col("id") % 10 =!= 9)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val c1 = nodes.filter(col("id") % 10 === 0)
+      .select(col("id").as("src"), (col("id") + 4).as("dst"))
+    val c2 = nodes.filter(col("id") % 10 === 4 && expr("(id div 10) % 2") === 0)
+      .select(col("id").as("src"), (col("id") + 5).as("dst"))
+    val und = chain.unionByName(c1).unionByName(c2)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    (nodes, und)
+  }
+
+  /** Layered-σ betweenness oracle body (expects `nodes` and `und` CTEs
+    * in scope): recursive BFS distances, `layers` unrolled σ CTEs, the
+    * tight-triangle triple join. */
+  private def betweennessSql(layers: Int): String = {
+    val sigs = (1 to layers).map { k =>
+      s"""sig$k AS MATERIALIZED (
+         |  SELECT f.s, adj.v, CAST(sum(f.sig) AS BIGINT) AS sig, $k AS d
+         |  FROM sig${k - 1} f JOIN adj ON adj.u = f.v
+         |  JOIN md ON md.s = f.s AND md.v = adj.v AND md.dist = $k
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""adj AS (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und),
+       |bfs AS (
+       |  SELECT id AS s, id AS v, 0 AS dd FROM nodes
+       |  UNION
+       |  SELECT bfs.s, adj.v, bfs.dd + 1 AS dd
+       |  FROM bfs JOIN adj ON adj.u = bfs.v WHERE bfs.dd < $layers),
+       |md AS MATERIALIZED (SELECT s, v, min(dd) AS dist FROM bfs GROUP BY 1, 2),
+       |sig0 AS (SELECT s, v, CAST(1 AS BIGINT) AS sig, 0 AS d FROM md WHERE dist = 0),
+       |$sigs,
+       |sigd AS MATERIALIZED (${(0 to layers).map(k => s"SELECT * FROM sig$k").mkString(" UNION ALL ")}),
+       |contrib AS (
+       |  SELECT a.v AS v, CAST(sum(a.sig * b.sig * 1000000 // c.sig) AS BIGINT) AS bc_e6
+       |  FROM sigd a
+       |  JOIN sigd b ON b.v = a.v AND b.s <> a.s AND a.v <> a.s AND a.v <> b.s
+       |  JOIN sigd c ON c.s = a.s AND c.v = b.s AND c.d = a.d + b.d
+       |  GROUP BY 1)
+       |SELECT CAST(n.id AS BIGINT) AS v,
+       |       CAST(coalesce(bc.bc_e6, 0) AS BIGINT) AS bc_e6
+       |FROM nodes n LEFT JOIN contrib bc ON bc.v = n.id""".stripMargin
+  }
 }
