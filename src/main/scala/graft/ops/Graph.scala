@@ -971,6 +971,49 @@ object Graph {
       .select(col("v"), coalesce(col("bc_e6"), lit(0L)).as("bc_e6"))
   }
 
+  /** Longest WEIGHTED path ending at each node of a DAG (edges
+    * (src, dst, w), positive longs): bounded-round label relaxation —
+    * each round joins the improved frontier to the edges, takes the
+    * per-node max, and merges only strict improvements into the best
+    * map, so settled subgraphs drop out of later rounds (the
+    * anti-chain of critical-path scheduling / dataflow depth).
+    * Terminates in ≤ longest-path-hops rounds; on a DAG every
+    * relaxation is exact, no cycle guard needed. Output: (id, dist)
+    * with dist = 0 for sources.
+    *
+    * Scale: per round one edge join + one per-node max aggregate —
+    * both keyed on node id, frontier-sized not graph-sized;
+    * localCheckpoint truncates the growing lineage. */
+  def dagLongestPath(nodes: DataFrame, edges: DataFrame,
+                     maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
+    var best = nodes.select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    var front = best
+    var d = 0
+    var done = false
+    while (d < maxDepth && !done) {
+      d += 1
+      val cand = front.join(e, front("id") === e("src"))
+        .select(e("dst").as("id"), (col("dist") + col("w")).as("dist"))
+        .groupBy(col("id")).agg(max(col("dist")).as("dist"))
+      val improved = cand.as("c")
+        .join(best.as("b"), Seq("id"))
+        .filter(col("c.dist") > col("b.dist"))
+        .select(col("id"), col("c.dist").as("dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) done = true
+      else {
+        best = best.as("b").join(improved.as("i"), Seq("id"), "left")
+          .select(col("id"),
+            greatest(col("b.dist"), coalesce(col("i.dist"), col("b.dist")))
+              .as("dist"))
+          .localCheckpoint(true)
+        front = improved
+      }
+    }
+    best
+  }
+
   /** Two-colorability (bipartiteness) check by BFS parity from `rootCol`
     * over the bidirected view of canonical undirected `edges` (a, b):
     * color = dist % 2; any edge with same-colored endpoints certifies an

@@ -178,4 +178,72 @@ object Stats {
     m.selectExpr("n", s"stack(${pairs.size}, $stackArgs) AS (pair, corr)")
       .select(col("pair"), col("n"), col("corr"))
   }
+
+  /** Per-key Spearman rank correlation between `xCol` and `yCol`.
+    * Ranks are DOUBLED average ranks — 2·avg_rank = 2·rank + ties − 1 —
+    * so midrank ties stay exact integers; ρ is then Pearson over the
+    * doubled ranks: exact DECIMAL(38,0) moments, and the closing
+    * ratio-over-sqrt is the [[corrMatrix]] deterministic-double
+    * sequence (round 6). Zero-variance sides yield NULL. Only the
+    * ORDER of x/y matters, so cross-engine type drift (long nanos vs
+    * TIMESTAMP) is immaterial. Output: (key, n, rho).
+    *
+    * Scale: two rank windows partitioned by key (they share the one
+    * key shuffle), then a per-key moment aggregate — no global sort,
+    * no cross-key window. */
+  def spearmanByKey(df: DataFrame, keyCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def r2(c: String) =
+      (lit(2L) * rank().over(Window.partitionBy(col("key")).orderBy(col(c)))
+        .cast("long") +
+        count(lit(1)).over(Window.partitionBy(col("key"), col(c))) -
+        lit(1L)).cast(dec)
+    df.select(col(keyCol).as("key"), col(xCol).as("x"), col(yCol).as("y"))
+      .withColumn("rx", r2("x")).withColumn("ry", r2("y"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"),
+        sum(col("ry")).as("sy"), sum(col("rx") * col("rx")).as("qx"),
+        sum(col("ry") * col("ry")).as("qy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .selectExpr("key", "CAST(n AS BIGINT) AS n",
+        """CASE WHEN n * qx - sx * sx = 0 OR n * qy - sy * sy = 0 THEN NULL
+          |     ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |          sqrt(CAST(n * qx - sx * sx AS DOUBLE) *
+          |               CAST(n * qy - sy * sy AS DOUBLE)), 6)
+          |END AS rho""".stripMargin)
+  }
+
+  /** One-way ANOVA F statistic of integer (cents) `xCol` across the
+    * groups of `keyCol`. Group moments (n_g, Σx, Σx²) are exact
+    * DECIMAL(38,0); each group's between-group term S_g²/n_g goes
+    * through doubles ONCE and is rounded to integer cents² per group
+    * (identical IEEE sequence both engines, order-independent integer
+    * sum across groups — the [[chiSquare]] recipe); SSW = Σx² − Σ_g
+    * round(S_g²/n_g) stays integer. One final double division for F
+    * (round 6). Output one row: (k, n, ssb_c2, ssw_c2, f).
+    *
+    * Scale: ONE map-side-combinable groupBy, then a k-row reduce. */
+  def anovaF(df: DataFrame, keyCol: String, xCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sq = (s: String, n: String) =>
+      s"""CAST(floor(CAST($s AS DOUBLE) * CAST($s AS DOUBLE) /
+         |     CAST($n AS DOUBLE) + CAST('0.5' AS DOUBLE)) AS BIGINT)""".stripMargin
+    df.select(col(keyCol).as("key"), col(xCol).cast(dec).as("x"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x") * col("x")).as("q_g"))
+      .selectExpr("n_g", "s_g", "q_g", s"${sq("s_g", "n_g")} AS term_c2")
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+        sum(col("term_c2")).as("ssb_raw"))
+      .selectExpr("CAST(k AS BIGINT) AS k", "CAST(n AS BIGINT) AS n",
+        s"CAST(ssb_raw - ${sq("s", "n")} AS BIGINT) AS ssb_c2",
+        "CAST(q - ssb_raw AS BIGINT) AS ssw_c2")
+      .selectExpr("k", "n", "ssb_c2", "ssw_c2",
+        """CASE WHEN k < 2 OR n <= k OR ssw_c2 = 0 THEN NULL
+          |     ELSE round(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE) /
+          |          (CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE)), 6)
+          |END AS f""".stripMargin)
+  }
 }

@@ -288,6 +288,30 @@ object TimeSeries {
       (col(s"l$m") + col(s"b$m")).as("forecast_cents"))
   }
 
+  /** OHLC (open/high/low/close) candlestick aggregation: per key and
+    * fixed time bucket, first/last value by (t, tie) plus min/max and
+    * count. First/last are struct-extrema aggregates — min/max of
+    * (t, tie, x) with the unique tie column making the ordering total,
+    * so ONE map-side-combinable groupBy does everything: no window, no
+    * per-bucket sort, no second shuffle. `bucketWidth` is in the raw
+    * units of `tsCol` (e.g. 86 400e9 for daily buckets over nanos).
+    * Output: (key, bucket, open_cents, high_cents, low_cents,
+    * close_cents, n_events). */
+  def ohlc(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           centsCol: String, bucketWidth: Long): DataFrame =
+    df.select(col(keyCol).as("key"), col(tsCol).as("t"),
+        col(tieCol).as("tie"), col(centsCol).as("x"))
+      .withColumn("bucket", expr(s"t div ${bucketWidth}L"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(
+        min(struct(col("t"), col("tie"), col("x"))).getField("x")
+          .as("open_cents"),
+        max(col("x")).as("high_cents"),
+        min(col("x")).as("low_cents"),
+        max(struct(col("t"), col("tie"), col("x"))).getField("x")
+          .as("close_cents"),
+        count(lit(1)).as("n_events"))
+
   /** Clamp-at-zero running balance per key (inventory/credit semantics:
     * stock can't go negative; excess demand is lost, not backordered).
     * The recursion W_n = max(0, W_{n−1} + x_n) looks sequential, but the
