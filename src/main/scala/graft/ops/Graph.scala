@@ -971,6 +971,38 @@ object Graph {
       .select(col("v"), coalesce(col("bc_e6"), lit(0L)).as("bc_e6"))
   }
 
+  /** Strongly connected components by min-label over the MUTUAL
+    * transitive closure: reach pairs (u, v) grow by pointer-doubling
+    * self-joins (log₂ diameter rounds, not diameter rounds), then a
+    * node's SCC label is min{v : u⇝v ∧ v⇝u} (reflexive pairs make every
+    * node labeled; tree tails off a cycle become singletons).
+    *
+    * Scale: closure cardinality is Σ|reachable set| — quadratic on one
+    * giant dense component, fine on the bounded components /
+    * condensation inputs SCC is actually run on (same contract as
+    * [[betweenness]]); each round is one equi-join + distinct, both on
+    * node keys. Output: (id, scc_id). */
+  def sccMinLabel(nodes: DataFrame, edges: DataFrame,
+                  rounds: Int): DataFrame = {
+    var r = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
+      .distinct().localCheckpoint(true)
+    var n = r.count()
+    var i = 0
+    var grown = true
+    while (i < rounds && grown) {
+      i += 1
+      r = r.as("a").join(r.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("v"))
+        .unionByName(r).distinct().localCheckpoint(true)
+      val n2 = r.count()
+      grown = n2 > n
+      n = n2
+    }
+    r.join(r.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"))
+      .groupBy(col("u").as("id")).agg(min(col("v")).as("scc_id"))
+  }
+
   /** Longest WEIGHTED path ending at each node of a DAG (edges
     * (src, dst, w), positive longs): bounded-round label relaxation —
     * each round joins the improved frontier to the edges, takes the

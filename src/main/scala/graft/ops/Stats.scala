@@ -214,6 +214,80 @@ object Stats {
           |END AS rho""".stripMargin)
   }
 
+  /** Two-sample Mann–Whitney U over integer samples (`sampleCol` ∈
+    * {0, 1}, `valueCol` long) — the rank-sum complement of [[ks2]].
+    * DOUBLED midranks keep ties integer-exact: for pooled value v,
+    * 2·midrank = 2·cum_before + cnt_v + 1, and 2·U₁ = Σ_v c1_v·r2_v −
+    * n₁(n₁+1). Output one row: (n1, n2, u2_a, u2_b) with u2_a = 2U₁,
+    * u2_b = 2U₂ = 2n₁n₂ − 2U₁ (exact integers, no halves).
+    *
+    * Scale: the [[ks2]] contract — one value-keyed count aggregate,
+    * then the cumulative walk on the DISTINCT value axis. */
+  def mannWhitneyU(df: DataFrame, sampleCol: String,
+                   valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ord = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(sampleCol).as("s"), col(valueCol).as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("s") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(true) // distinct-value axis: tiny; ONE raw scan
+      .withColumn("before",
+        sum(col("c1") + col("c2")).over(ord) - (col("c1") + col("c2")))
+      .withColumn("r2", lit(2L) * col("before") + col("c1") + col("c2") + 1L)
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1").cast(dec) * col("r2").cast(dec)).as("r2sum"))
+      .selectExpr("CAST(n1 AS BIGINT) AS n1", "CAST(n2 AS BIGINT) AS n2",
+        "CAST(r2sum - n1 * (n1 + 1) AS BIGINT) AS u2_a",
+        "CAST(2 * n1 * n2 - (r2sum - n1 * (n1 + 1)) AS BIGINT) AS u2_b")
+  }
+
+  /** Two-feature ordinary least squares with intercept, by the closed
+    * normal-equation solve on CENTERED second moments: every moment and
+    * both Cramer numerators/denominator are exact DECIMAL(38,0)
+    * (products of two moments stay under 10³⁸ for cents-scale data);
+    * each coefficient then goes through doubles once, and the intercept
+    * reuses the ROUNDED slopes so both engines chain identically.
+    * Collinear features (det = 0) yield NULLs. Output one row:
+    * (n, b1, b2, b0).
+    *
+    * Scale: ONE map-side-combinable aggregate; the solve is a scalar
+    * epilogue. */
+  def linearRegression2(df: DataFrame, yCol: String, x1Col: String,
+                        x2Col: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(yCol).cast(dec).as("y"), col(x1Col).cast(dec).as("x1"),
+        col(x2Col).cast(dec).as("x2"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("q11"),
+        sum(col("x2") * col("x2")).as("q22"),
+        sum(col("x1") * col("x2")).as("q12"),
+        sum(col("x1") * col("y")).as("p1"),
+        sum(col("x2") * col("y")).as("p2"))
+      .selectExpr("CAST(n AS BIGINT) AS n", "sy", "s1", "s2",
+        "n * q11 - s1 * s1 AS c11", "n * q22 - s2 * s2 AS c22",
+        "n * q12 - s1 * s2 AS c12",
+        "n * p1 - s1 * sy AS cy1", "n * p2 - s2 * sy AS cy2")
+      .selectExpr("n", "sy", "s1", "s2",
+        "c11 * c22 - c12 * c12 AS det",
+        "cy1 * c22 - cy2 * c12 AS nb1", "cy2 * c11 - cy1 * c12 AS nb2")
+      .selectExpr("n",
+        """CASE WHEN det = 0 THEN NULL
+          |     ELSE round(CAST(nb1 AS DOUBLE) / CAST(det AS DOUBLE), 6)
+          |END AS b1""".stripMargin,
+        """CASE WHEN det = 0 THEN NULL
+          |     ELSE round(CAST(nb2 AS DOUBLE) / CAST(det AS DOUBLE), 6)
+          |END AS b2""".stripMargin,
+        "det", "sy", "s1", "s2")
+      .selectExpr("n", "b1", "b2",
+        """CASE WHEN det = 0 THEN NULL
+          |     ELSE round((CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE)
+          |          - b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+          |END AS b0""".stripMargin)
+  }
+
   /** One-way ANOVA F statistic of integer (cents) `xCol` across the
     * groups of `keyCol`. Group moments (n_g, Σx, Σx²) are exact
     * DECIMAL(38,0); each group's between-group term S_g²/n_g goes

@@ -288,6 +288,28 @@ object TimeSeries {
       (col(s"l$m") + col(s"b$m")).as("forecast_cents"))
   }
 
+  /** Burstiness per key as the Fano factor of per-bucket event counts:
+    * variance-to-mean ratio over the OBSERVED buckets (Poisson arrivals
+    * → 1; bursty → > 1; regular → < 1). ALL integer: with S = Σc,
+    * Q = Σc², fano_e6 = (n·Q − S²)·10⁶ div (n·S) — population variance
+    * over mean, one truncating division, no doubles anywhere. Keys
+    * with a single bucket yield 0 variance. `bucketCol` is the
+    * pre-computed integer bucket (e.g. epoch day). Output:
+    * (key, n_buckets, fano_e6).
+    *
+    * Scale: two map-side-combinable aggregates, both keyed. */
+  def fanoFactor(df: DataFrame, keyCol: String,
+                 bucketCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.groupBy(col(keyCol).as("key"), col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("c").cast(dec)).as("s"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("q"))
+      .selectExpr("key", "CAST(n AS BIGINT) AS n_buckets",
+        "CAST((n * q - s * s) * 1000000 div (n * s) AS BIGINT) AS fano_e6")
+  }
+
   /** OHLC (open/high/low/close) candlestick aggregation: per key and
     * fixed time bucket, first/last value by (t, tie) plus min/max and
     * count. First/last are struct-extrema aggregates — min/max of
