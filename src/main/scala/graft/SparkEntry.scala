@@ -22,7 +22,8 @@ object Registry {
       queries.Round11Queries.defs ++ queries.Round12Queries.defs ++
       queries.Round13Queries.defs ++ queries.Round14Queries.defs ++
       queries.Round15Queries.defs ++ queries.Round16Queries.defs ++
-      queries.Round17Queries.defs ++ queries.Round18Queries.defs
+      queries.Round17Queries.defs ++ queries.Round18Queries.defs ++
+      queries.Round19Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

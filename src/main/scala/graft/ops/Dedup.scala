@@ -415,4 +415,108 @@ object Dedup {
         (col("sza") + col("szb") - col("inter")).as("uni"),
         round(col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")), 6).as("jacc"))
   }
+
+  /** Sorted-neighborhood blocking for entity resolution: order the
+    * corpus by a cheap blocking key (here (lang, n_chars, doc_id) — a
+    * TOTAL order, doc_id breaks ties), slide a window of `w`, and score
+    * only pairs within rank distance ≤ w by exact token Jaccard,
+    * keeping pairs with jac_e6 ≥ `tauE6` (truncating e6 division on
+    * positives — both engines agree). Output: (doc_a, doc_b, gap,
+    * jac_e6), doc_a the lower-ranked side.
+    *
+    * Scale: the global rank is DISTRIBUTED — range-repartition on the
+    * key, per-partition row_number (keyed window), plus broadcast
+    * partition-count offsets; no single-partition sort. Pair generation
+    * is a keyed self-join on rank blocks of size w (each row probes its
+    * own and its successor block), so candidates are exactly n·w, never
+    * quadratic; the Jaccard verify joins token lists only for
+    * candidates. */
+  def sortedNeighborPairs(docs: DataFrame, w: Int, tauE6: Long,
+                          parts: Int = 8): DataFrame = {
+    require(w >= 1 && tauE6 >= 0L)
+    val keyed = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .repartitionByRange(parts, col("lang"), col("n_chars"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = keyed.withColumn("lr", row_number().over(
+      Window.partitionBy(col("pid"))
+        .orderBy(col("lang"), col("n_chars"), col("doc_id"))))
+    val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("c"))
+      .select(col("pid"), col("off")) // one row per partition: tiny
+    val ranked = local.join(broadcast(offs), "pid")
+      .select(col("doc_id"), (col("lr") + col("off")).as("r"))
+      .withColumn("blk", expr(s"(r - 1) div $w")) // integer div: `/` is double
+      .localCheckpoint(true)
+    val probes = ranked.select(col("doc_id"), col("r"),
+      explode(array(col("blk"), col("blk") + 1L)).as("blk"))
+    val cands = probes.as("a")
+      .join(ranked.as("b"), col("a.blk") === col("b.blk") &&
+        col("b.r") > col("a.r") && col("b.r") <= col("a.r") + w)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("b.r") - col("a.r")).as("gap"))
+      .distinct()
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct().localCheckpoint(true)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    cands
+      .join(tok.select(col("doc_id").as("doc_a"), col("word")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"), col("word")),
+        Seq("doc_b", "word"))
+      .groupBy(col("doc_a"), col("doc_b"), col("gap"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .selectExpr("doc_a", "doc_b", "gap",
+        "CAST(inter * 1000000 div (sza + szb - inter) AS BIGINT) AS jac_e6")
+      .filter(col("jac_e6") >= tauE6)
+  }
+
+  /** Asymmetric CONTAINMENT self-join: directed pairs (A, B) with
+    * C(A→B) = |tok(A) ∩ tok(B)| / |tok(A)| ≥ τ — catches documents
+    * swallowed whole by longer ones (the case symmetric Jaccard misses,
+    * and the one that matters for training-data dedup: a page embedded
+    * in a crawl of its site). Threshold test is cross-multiplied
+    * (inter·10⁶ ≥ τ·|A|): all-integer. Output: (doc_a, doc_b, inter,
+    * sza) with doc_a the CONTAINED side; both directions can emit.
+    *
+    * Lossless prefix filter, containment flavor: a qualifying pair has
+    * inter ≥ ⌈τ·|A|⌉, so A misses at most |A| − ⌈τ|A|⌉ of its tokens
+    * from B — A's rarest-first prefix of length |A| − ⌈τ|A|⌉ + 1 must
+    * hit B (pigeonhole). Only A is prefixed (B is unconstrained in
+    * containment); the candidate join probes A-prefix tokens against
+    * the full index, and those tokens are globally rarest-first, so
+    * posting lists stay short. |B| ≥ τ·|A| prunes before the verify. */
+  def containmentPrefixJoin(docs: DataFrame, tauE6: Long): DataFrame = {
+    require(tauE6 > 0L && tauE6 <= 1000000L, "tauE6 must be in (0, 1e6]")
+    val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct().localCheckpoint(true)
+    val freq = w.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val ranked = w.join(freq, "word")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("word"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("pfx", col("sz") - expr(s"(sz * ${tauE6}L + 999999) div 1000000") + 1)
+    val prefix = ranked.filter(col("rk") <= col("pfx"))
+      .select(col("doc_id"), col("word"), col("sz"))
+    val sizes = ranked.select(col("doc_id"), col("sz")).distinct()
+    val full = w.join(sizes, "doc_id")
+    val cands = prefix.as("a").join(full.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.sz") * lit(1000000L) >= col("a.sz") * lit(tauE6))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"))
+      .distinct()
+    cands
+      .join(w.select(col("doc_id").as("doc_a"), col("word")), "doc_a")
+      .join(w.select(col("doc_id").as("doc_b"), col("word")), Seq("doc_b", "word"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * lit(1000000L) >= lit(tauE6) * col("sza"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sza"))
+  }
 }

@@ -320,4 +320,85 @@ object Stats {
           |          (CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE)), 6)
           |END AS f""".stripMargin)
   }
+
+  /** One-level regression tree (decision stump): the split `feature ≤ v`
+    * maximizing the variance-reduction gain S_l²/n_l + S_r²/n_r (the
+    * parent term S²/n is constant across splits and dropped). ALL
+    * integer: per-threshold gain_e6 = (S_l²·n_r + S_r²·n_l)·10⁶ div
+    * (n_l·n_r) in DECIMAL(38,0) with one truncating division — values
+    * must be NON-NEGATIVE longs so `div`/`//` agree and DECIMAL head-
+    * room holds for cents·count scales. Argmax ties break toward the
+    * smaller threshold. Output one row: (split_at, n_left, n_right,
+    * gain_e6, mean_left_e6, mean_right_e6).
+    *
+    * Scale: the [[mannWhitneyU]] contract — one feature-keyed moment
+    * aggregate off the raw scan, then the cumulative walk runs on the
+    * DISTINCT feature axis (bounded; checkpointed). */
+  def decisionStump(df: DataFrame, targetCol: String,
+                    featureCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ord = Window.orderBy(col("f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = df
+      .select(col(featureCol).as("f"), col(targetCol).cast(dec).as("t"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).cast(dec).as("nv"), sum(col("t")).as("sv"))
+      .localCheckpoint(true) // distinct-feature axis: tiny; ONE raw scan
+    val tot = cells.agg(sum(col("nv")).as("n"), sum(col("sv")).as("s"))
+    cells
+      .withColumn("nl", sum(col("nv")).over(ord))
+      .withColumn("sl", sum(col("sv")).over(ord))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n")) // last threshold leaves the right side empty
+      .selectExpr("f", "nl", "n - nl AS nr", "sl", "s - sl AS sr")
+      .selectExpr("f", "nl", "nr", "sl", "sr",
+        "CAST((sl * sl * nr + sr * sr * nl) * 1000000 div (nl * nr) AS BIGINT) AS gain_e6")
+      .orderBy(col("gain_e6").desc, col("f"))
+      .limit(1)
+      .selectExpr("f AS split_at", "CAST(nl AS BIGINT) AS n_left",
+        "CAST(nr AS BIGINT) AS n_right", "gain_e6",
+        "CAST(sl * 1000000 div nl AS BIGINT) AS mean_left_e6",
+        "CAST(sr * 1000000 div nr AS BIGINT) AS mean_right_e6")
+  }
+
+  /** Isotonic (monotone non-decreasing) least-squares fit of per-bucket
+    * weighted means, via the minimax identity: the PAVA solution at
+    * bucket i is fit(i) = max_{j≤i} min_{k≥i} mean(j..k), where
+    * mean(j..k) is the pooled weighted mean over the bucket range. ALL
+    * integer for NON-NEGATIVE values: range means are e6-scaled with
+    * one truncating division, so both engines truncate identically and
+    * the max/min lattice is exact. Output per bucket:
+    * (bucket, n, mean_e6, fit_e6), fit_e6 non-decreasing in bucket.
+    *
+    * Scale: one bucket-keyed moment aggregate off the raw scan; the
+    * O(d²) pair grid and its two keyed windows (suffix-min per j,
+    * prefix-max per i) run on the BOUNDED bucket axis (time buckets /
+    * calibration bins — d is small by construction, checkpointed). */
+  def isotonicFit(df: DataFrame, bucketCol: String,
+                  valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ord = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ax = df
+      .select(col(bucketCol).as("b"), col(valueCol).cast(dec).as("v"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).cast(dec).as("nv"), sum(col("v")).as("sv"))
+      .localCheckpoint(true) // bucket axis: tiny; ONE raw scan
+      .withColumn("ps", sum(col("sv")).over(ord))
+      .withColumn("pn", sum(col("nv")).over(ord))
+    val grid = ax.as("j").join(ax.as("k"), col("j.b") <= col("k.b"))
+      .selectExpr("j.b AS jb", "k.b AS kb",
+        "CAST((k.ps - (j.ps - j.sv)) * 1000000 div (k.pn - (j.pn - j.nv)) AS BIGINT) AS m")
+    val sm = grid.withColumn("sm",
+      min(col("m")).over(Window.partitionBy(col("jb")).orderBy(col("kb").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val fit = sm.withColumn("fit_e6",
+        max(col("sm")).over(Window.partitionBy(col("kb")).orderBy(col("jb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("jb") === col("kb"))
+      .select(col("kb").as("b"), col("fit_e6"))
+    ax.join(fit, "b")
+      .selectExpr("b AS bucket", "CAST(nv AS BIGINT) AS n",
+        "CAST(sv * 1000000 div nv AS BIGINT) AS mean_e6", "fit_e6")
+  }
 }
