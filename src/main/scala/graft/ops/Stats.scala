@@ -401,4 +401,50 @@ object Stats {
       .selectExpr("b AS bucket", "CAST(nv AS BIGINT) AS n",
         "CAST(sv * 1000000 div nv AS BIGINT) AS mean_e6", "fit_e6")
   }
+
+  /** Welch's unequal-variance two-sample t — the MEANS companion to
+    * the rank-based [[mannWhitneyU]] (`sampleCol` ∈ {0, 1}, `valueCol`
+    * integer cents). Moments (n, Σx, Σx²) are exact DECIMAL(38,0); the
+    * epilogue follows the repo's deterministic-double convention
+    * ([[anovaF]]): sample variances, the pooled standard error, t, and
+    * the Welch–Satterthwaite df each evaluate through the SAME IEEE
+    * operation sequence in both engines, then round to 6. Output one
+    * row: (n1, n2, mean1_e6, mean2_e6, t, df_w); NULL t/df_w when
+    * either sample has n < 2 or both variances are zero.
+    *
+    * Scale: ONE map-side-combinable aggregate; the solve is scalar. */
+  def welchT(df: DataFrame, sampleCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(sampleCol).as("s"), col(valueCol).cast(dec).as("v"))
+      .agg(
+        sum(when(col("s") === 0L, 1L).otherwise(0L)).cast(dec).as("n1"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).cast(dec).as("n2"),
+        sum(when(col("s") === 0L, col("v")).otherwise(lit(0L).cast(dec))).as("s1"),
+        sum(when(col("s") === 1L, col("v")).otherwise(lit(0L).cast(dec))).as("s2"),
+        sum(when(col("s") === 0L, col("v") * col("v"))
+          .otherwise(lit(0L).cast(dec))).as("q1"),
+        sum(when(col("s") === 1L, col("v") * col("v"))
+          .otherwise(lit(0L).cast(dec))).as("q2"))
+      .selectExpr("n1", "n2", "s1", "s2",
+        """CAST(n1 * q1 - s1 * s1 AS DOUBLE) /
+          |  (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1""".stripMargin,
+        """CAST(n2 * q2 - s2 * s2 AS DOUBLE) /
+          |  (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS v2""".stripMargin)
+      .selectExpr("n1", "n2", "s1", "s2", "v1", "v2",
+        "v1 / CAST(n1 AS DOUBLE) AS e1", "v2 / CAST(n2 AS DOUBLE) AS e2")
+      .selectExpr(
+        "CAST(n1 AS BIGINT) AS n1", "CAST(n2 AS BIGINT) AS n2",
+        "CAST(s1 * 1000000 div n1 AS BIGINT) AS mean1_e6",
+        "CAST(s2 * 1000000 div n2 AS BIGINT) AS mean2_e6",
+        """CASE WHEN n1 < 2 OR n2 < 2 OR e1 + e2 = 0 THEN NULL
+          |     ELSE round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          |          / sqrt(e1 + e2), 6)
+          |END AS t""".stripMargin,
+        """CASE WHEN n1 < 2 OR n2 < 2 OR e1 + e2 = 0 THEN NULL
+          |     ELSE round((e1 + e2) * (e1 + e2)
+          |          / (e1 * e1 / CAST(n1 - 1 AS DOUBLE)
+          |           + e2 * e2 / CAST(n2 - 1 AS DOUBLE)), 6)
+          |END AS df_w""".stripMargin)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: heuristic language
@@ -314,5 +315,90 @@ object TextAnalysis {
       .selectExpr("CAST(n AS BIGINT) AS n_ranks",
         """round(CAST(n * sxy - sx * sy AS DOUBLE) /
           |      CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope""".stripMargin)
+  }
+
+  /** Heaps'-law vocabulary growth per corpus source: walking documents
+    * in doc_id order, each doc contributes its token count to the
+    * running total N and its FIRST-OCCURRENCE words to the running
+    * vocabulary V; the Heaps exponent β (V ≈ K·N^β) is the least-
+    * squares slope of log₂V against log₂N over the per-doc points.
+    * Logs are the exact e6 fixed-point [[Bm25.log2E6]], the LS moments
+    * are exact DECIMAL(38,0), and the slope takes ONE double division
+    * (rounded to 6) — the [[trendSlope]] convention. Docs with no
+    * tokens drop out of the axis. Output: (source, n_docs, beta).
+    *
+    * Scale: first occurrences come from one (source, word)-keyed
+    * min-aggregate — never a quadratic "seen before" join; the
+    * cumulative walk runs on the per-source DOC axis (keyed windows);
+    * the LS reduce is map-side combinable. */
+  def vocabGrowth(docs: DataFrame, srcCol: String = "source"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tok = docs
+      .select(col("doc_id"), col(srcCol).as("src"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").localCheckpoint(true)
+    val perDoc = tok.groupBy(col("src"), col("doc_id"))
+      .agg(count(lit(1)).as("toks"))
+    val newWords = tok.groupBy(col("src"), col("word"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("src"), col("doc_id")).agg(count(lit(1)).as("nw"))
+    val ord = Window.partitionBy(col("src")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perDoc.join(newWords, Seq("src", "doc_id"), "left")
+      .withColumn("nn", sum(col("toks")).over(ord))
+      .withColumn("vv", sum(coalesce(col("nw"), lit(0L))).over(ord))
+      .select(col("src"), Bm25.log2E6(col("nn")).cast(dec).as("x"),
+        Bm25.log2E6(col("vv")).cast(dec).as("y"))
+    pts.groupBy(col("src"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .selectExpr("src AS source", "CAST(n AS BIGINT) AS n_docs",
+        """CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+          |     ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |          CAST(n * sxx - sx * sx AS DOUBLE), 6)
+          |END AS beta""".stripMargin)
+  }
+
+  /** Skip-gram PMI: pointwise mutual information of UNORDERED word
+    * pairs co-occurring within `window` positions — the word2vec-SGNS
+    * association signal, exact in e6 fixed-point log₂:
+    * pmi_e6 = lg(c_ab) − lg(P) − lg(c_a) − lg(c_b) + 2·lg(T), with P
+    * the total pair count and T the total token count. Pairs below
+    * `minCount` are cut, the top `k` emit by (pmi desc, w1, w2).
+    * Output: (w1, w2, pairs, pmi_e6), w1 ≤ w2 lexically.
+    *
+    * Scale: pair generation is LINEAR in corpus size — each token
+    * probes exactly `window` successor positions via an equi-join on
+    * (doc_id, position), never a per-doc quadratic self-join; unigram
+    * and pair counts are keyed aggregates; the two totals broadcast. */
+  def skipgramPmi(docs: DataFrame, window: Int = 2, minCount: Long = 5L,
+                  k: Int = 20): DataFrame = {
+    require(window >= 1 && k >= 1)
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      .filter(col("w") =!= "").localCheckpoint(true)
+    val probes = tok.select(col("doc_id"), col("w").as("wl"),
+      explode(array((1 to window).map(d => col("p") + d): _*)).as("tp"))
+    val pc = probes
+      .join(tok.select(col("doc_id"), col("p").as("tp"), col("w").as("wr")),
+        Seq("doc_id", "tp"))
+      .select(least(col("wl"), col("wr")).as("w1"),
+        greatest(col("wl"), col("wr")).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true)
+    val uni = tok.groupBy(col("w").as("wu")).agg(count(lit(1)).as("cw"))
+    val tots = pc.agg(sum(col("cab")).cast("long").as("pp"))
+      .crossJoin(uni.agg(sum(col("cw")).cast("long").as("tt")))
+    pc.filter(col("cab") >= minCount)
+      .join(uni.select(col("wu").as("w1"), col("cw").as("ca")), "w1")
+      .join(uni.select(col("wu").as("w2"), col("cw").as("cb")), "w2")
+      .crossJoin(broadcast(tots))
+      .select(col("w1"), col("w2"), col("cab").as("pairs"),
+        (Bm25.log2E6(col("cab")) - Bm25.log2E6(col("pp"))
+          - Bm25.log2E6(col("ca")) - Bm25.log2E6(col("cb"))
+          + lit(2L) * Bm25.log2E6(col("tt"))).as("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 }
