@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge-list DataFrames (the representation every
@@ -1090,5 +1091,83 @@ object Graph {
       .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
       .select(col("a"), col("b"), col("n_common"),
         expr("n_common * 1000000L div (da + db - n_common)").as("jac_e6"))
+  }
+
+  /** DeepWalk-style walk corpus, HASH-DERANDOMIZED: one `steps`-long
+    * walk starts at every node of the canonical undirected `edges`; at
+    * step s from node u the walk moves to u's neighbor of rank
+    * hash48(start:s) mod deg(u) (neighbors ranked by id — so the
+    * "random" choice is a pure function of (start, step), reproducible
+    * in any engine, the [[graft.ops.Experiment]] bootstrap convention).
+    * Isolated nodes walk nowhere and emit nothing. Output one row per
+    * hop: (start, step, node), steps × |V| rows — the sentence corpus a
+    * skip-gram embedding trains on.
+    *
+    * Scale: each step is ONE equi-join of the |V|-row frontier against
+    * the ranked adjacency (keyed on the current node) — no per-walk
+    * state, no driver loop over nodes; `steps` is the only sequential
+    * dimension. */
+  def deepwalkVisits(edges: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64)
+    val und = canonical(edges)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val ranked = adj
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("v"))))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("u"))))
+      .localCheckpoint(true)
+    var frontier = adj.select(col("u")).distinct()
+      .select(col("u").as("start"), col("u").as("cur"))
+    val hops = (1 to steps).map { s =>
+      val choice = Dedup.hash48(
+        concat(col("start").cast("string"), lit(":"), lit(s.toString)),
+        lit("walk")) % col("deg")
+      frontier = frontier.join(ranked, col("cur") === col("u"))
+        .filter(col("rk") === choice + 1L)
+        .select(col("start"), col("v").as("cur"))
+        .localCheckpoint(true)
+      frontier.select(col("start"), lit(s.toLong).as("step"),
+        col("cur").as("node"))
+    }
+    hops.reduce(_ unionByName _)
+  }
+
+  /** Newman modularity of a community `labels` (id, label) assignment
+    * over the canonical undirected `edges`: Q = Σ_c [in_c/m −
+    * (deg_c/2m)²], computed ALL-INTEGER on the directed adjacency
+    * (A = 2m rows): Q = Σ_c (A·in2_c − deg_c²) / A² with in2_c the
+    * directed intra-community row count — ONE global numerator, ONE
+    * e6-scaled division with the sign factored out (Spark `div`
+    * truncates, DuckDB `//` floors; they agree only on non-negatives).
+    * Output one row: (n_comms, m_edges, q_e6).
+    *
+    * Scale: two label-keyed aggregates off one adjacency⋈labels join
+    * (labels join on node keys); the epilogue is scalar. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val und = canonical(edges)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val lab = labels.select(col("id"), col("label"))
+    val j = adj
+      .join(lab.select(col("id").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("id").as("v"), col("label").as("lv")), "v")
+    val perC = j.groupBy(col("lu"))
+      .agg(count(lit(1)).cast(dec).as("deg_c"),
+        sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).cast(dec)
+          .as("in2_c"))
+      .localCheckpoint(true) // community axis: tiny
+    val tot = perC.agg(sum(col("deg_c")).as("aa"))
+    perC.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_comms"),
+        max(col("aa")).as("aa"),
+        sum(col("aa") * col("in2_c") - col("deg_c") * col("deg_c")).as("num"))
+      .selectExpr("CAST(n_comms AS BIGINT) AS n_comms",
+        "CAST(aa div 2 AS BIGINT) AS m_edges",
+        """CAST(CASE WHEN num < 0
+          |       THEN -((-num) * 1000000 div (aa * aa))
+          |       ELSE num * 1000000 div (aa * aa) END AS BIGINT)
+          |AS q_e6""".stripMargin)
   }
 }

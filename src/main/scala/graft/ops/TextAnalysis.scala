@@ -401,4 +401,34 @@ object TextAnalysis {
       .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Per-document NOVELTY against everything earlier in the corpus: the
+    * fraction of a doc's DISTINCT word `n`-shingles whose FIRST corpus
+    * occurrence (by doc_id order) is this doc. A crawl re-serving known
+    * content scores near 0; fresh material near 1e6 — the incremental
+    * counterpart of pairwise near-dup joins, at linear cost. Docs
+    * shorter than `n` tokens emit nothing. All integer
+    * (novel·10⁶ div distinct). Output: (doc_id, n_shingles, novel,
+    * novelty_e6).
+    *
+    * Scale: the "seen before" test is ONE (shingle → min doc_id)
+    * aggregate — never a cumulative join against the growing corpus;
+    * everything else is doc-keyed. */
+  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
+        .as("sh"))
+      .distinct().localCheckpoint(true)
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("fdoc"))
+    sh.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fdoc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .selectExpr("doc_id", "n_shingles", "novel",
+        "novel * 1000000 div n_shingles AS novelty_e6")
+  }
 }
