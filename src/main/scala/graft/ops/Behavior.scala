@@ -414,4 +414,83 @@ object Behavior {
       .orderBy(col("cnt").desc, col("path"))
       .limit(k)
   }
+
+  /** Markov (removal-effect) multi-touch attribution — the chain-based
+    * counterpart of the positional [[attribution]]: user journeys
+    * (channel events in (t, tie) order, truncated at the FIRST
+    * conversion) become a first-order transition matrix over states
+    * {start, channels..., conv, null}; conversion probability is read
+    * off by `iters` rounds of absorbing-chain value iteration, and each
+    * channel's removal effect is the relative drop in P(conv) when
+    * every edge INTO that channel is redirected to the null absorber
+    * (the standard "path through a removed touchpoint fails" model).
+    * ALL integer: transition probabilities are e6 truncating divisions
+    * of counts, each iteration divides ONCE after the row sum, and both
+    * engines run the identical K rounds — no convergence test, the
+    * K-round estimate IS the defined semantics. Output one row per
+    * channel: (channel, p_full_e6, p_removed_e6, removal_e6).
+    *
+    * Scale: journey assembly is one keyed window pass over the events
+    * scan; everything after lives on the STATES×STATES axis (≤ (c+2)²
+    * rows, checkpointed), where 5·K tiny joins are noise. */
+  def markovAttribution(events: DataFrame, entityCol: String,
+                        tsMicrosCol: String, tieCol: String, typeCol: String,
+                        convType: String, channels: Seq[String],
+                        iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(channels.nonEmpty && iters >= 1 && iters <= 32)
+    val ev = events
+      .filter(col(typeCol).isin(convType +: channels: _*))
+      .select(col(entityCol).as("u"), col(tsMicrosCol).as("t"),
+        col(tieCol).as("tie"), col(typeCol).as("et"))
+    val convPos = ev.filter(col("et") === convType)
+      .groupBy(col("u"))
+      .agg(min(struct(col("t"), col("tie"))).as("cp"))
+    val chans = ev.filter(col("et") =!= convType)
+      .join(convPos, Seq("u"), "left")
+      .filter(col("cp").isNull || struct(col("t"), col("tie")) < col("cp"))
+      .withColumn("converted", col("cp").isNotNull)
+    val ord = Window.partitionBy(col("u")).orderBy(col("t"), col("tie"))
+    val steps = chans
+      .withColumn("src", lag(col("et"), 1, "start").over(ord))
+      .select(col("src"), col("et").as("dst"))
+    val terms = chans
+      .groupBy(col("u"), col("converted"))
+      .agg(max(struct(col("t"), col("tie"), col("et"))).as("last"))
+      .select(col("last.et").as("src"),
+        when(col("converted"), "conv").otherwise("null").as("dst"))
+    val directs = convPos.join(
+        chans.select(col("u")).distinct(), Seq("u"), "left_anti")
+      .select(lit("start").as("src"), lit("conv").as("dst"))
+    val trans = steps.unionByName(terms).unionByName(directs)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("src"))))
+      .selectExpr("src", "dst", "cnt * 1000000 div tot AS prob_e6")
+      .localCheckpoint(true) // states axis: ≤ (channels + 2)²
+    val spark = events.sparkSession
+    import spark.implicits._
+    def absorb(t: DataFrame): Long = {
+      var p = (("conv", 1000000L) :: ("null", 0L) ::
+        ("start" +: channels).map(_ -> 0L).toList).toDF("st", "pv")
+      (1 to iters).foreach { _ =>
+        val nxt = t.join(p, col("dst") === col("st"))
+          .groupBy(col("src"))
+          .agg(sum(col("prob_e6") * col("pv")).as("s"))
+          .selectExpr("src AS st", "CAST(s div 1000000 AS BIGINT) AS pv")
+        p = nxt.unionByName(Seq(("conv", 1000000L), ("null", 0L))
+          .toDF("st", "pv")).localCheckpoint(true)
+      }
+      val r = p.filter(col("st") === "start").select(col("pv")).collect()
+      if (r.isEmpty) 0L else r(0).getLong(0) // states axis: driver-safe
+    }
+    val pFull = absorb(trans)
+    val rows = channels.sorted.map { c =>
+      val tr = trans.filter(col("src") =!= c)
+        .withColumn("dst", when(col("dst") === c, "null").otherwise(col("dst")))
+      val pRem = absorb(tr)
+      val rem = if (pFull == 0L) 0L else (pFull - pRem) * 1000000L / pFull
+      (c, pFull, pRem, rem)
+    }
+    rows.toDF("channel", "p_full_e6", "p_removed_e6", "removal_e6")
+  }
 }

@@ -447,4 +447,39 @@ object Stats {
           |           + e2 * e2 / CAST(n2 - 1 AS DOUBLE)), 6)
           |END AS df_w""".stripMargin)
   }
+
+  /** B-cubed precision/recall/F1 of a clustering against ground truth:
+    * per element v, precision = |C(v) ∩ T(v)| / |C(v)| and recall =
+    * |C(v) ∩ T(v)| / |T(v)| (C its predicted cluster, T its true
+    * class), averaged over all elements — the standard entity-
+    * resolution / dedup-cluster quality metric (pairwise-counting F
+    * over-rewards big clusters; B³ does not). ALL integer: per-element
+    * ratios are e6 truncating divisions, constant within each
+    * (cluster, truth) cell, so the element sum is Σ_cells s_ct · ratio;
+    * the final averages and the F1 harmonic mean each truncate once,
+    * identically in both engines. `assign` carries (id, cluster,
+    * truth). Output one row: (n, precision_e6, recall_e6, f1_e6).
+    *
+    * Scale: three keyed count aggregates (cell / cluster / truth) and
+    * two broadcast-size joins on the CELL axis — never per-element
+    * joins against cluster members. */
+  def bcubed(assign: DataFrame): DataFrame = {
+    val cells = assign.groupBy(col("cluster"), col("truth"))
+      .agg(count(lit(1)).as("sct"))
+      .localCheckpoint(true) // cell axis: |clusters|·|classes| bounded
+    val csz = cells.groupBy(col("cluster")).agg(sum(col("sct")).as("sc"))
+    val tsz = cells.groupBy(col("truth")).agg(sum(col("sct")).as("st"))
+    cells.join(csz, "cluster").join(tsz, "truth")
+      .agg(sum(col("sct")).as("n"),
+        sum(col("sct") * expr("sct * 1000000 div sc")).as("psum"),
+        sum(col("sct") * expr("sct * 1000000 div st")).as("rsum"))
+      .selectExpr("CAST(n AS BIGINT) AS n",
+        "CAST(psum div n AS BIGINT) AS precision_e6",
+        "CAST(rsum div n AS BIGINT) AS recall_e6")
+      .selectExpr("n", "precision_e6", "recall_e6",
+        """CASE WHEN precision_e6 + recall_e6 = 0 THEN 0
+          |     ELSE CAST(2 * precision_e6 * recall_e6
+          |          div (precision_e6 + recall_e6) AS BIGINT)
+          |END AS f1_e6""".stripMargin)
+  }
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object Round21Queries {
 
   /** Shared ring graph (same construction as Round8/11/12 queries). */
-  private val ringSql =
+  private[queries] val ringSql =
     """WITH nodes AS MATERIALIZED (SELECT DISTINCT p_partkey % 100 AS id FROM part),
       |e AS MATERIALIZED (SELECT id AS src, (id + 1) % 100 AS dst FROM nodes
       |      UNION
@@ -20,7 +20,7 @@ object Round21Queries {
       |      FROM e WHERE src <> dst),
       |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und)""".stripMargin
 
-  private def ringGraph(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[queries] def ringGraph(s: org.apache.spark.sql.SparkSession, d: String) = {
     val nodes = Tables.part(s, d)
       .select((col("p_partkey") % 100).as("id")).distinct()
     val edges = nodes
