@@ -24,7 +24,8 @@ object Registry {
       queries.Round15Queries.defs ++ queries.Round16Queries.defs ++
       queries.Round17Queries.defs ++ queries.Round18Queries.defs ++
       queries.Round19Queries.defs ++ queries.Round20Queries.defs ++
-      queries.Round21Queries.defs ++ queries.Round22Queries.defs
+      queries.Round21Queries.defs ++ queries.Round22Queries.defs ++
+      queries.Round23Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

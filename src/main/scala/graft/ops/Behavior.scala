@@ -493,4 +493,39 @@ object Behavior {
     }
     rows.toDF("channel", "p_full_e6", "p_removed_e6", "removal_e6")
   }
+
+  /** Per-state transition entropy of user event sequences — how
+    * predictable the NEXT event type is given the current one
+    * (H = 0 bits: deterministic behavior; log₂|types|: uniform).
+    * Consecutive (prev → next) pairs per entity in (t, tie) order feed
+    * a transition count matrix; each source state's entropy is
+    * H_src = Σ_dst (c/tot)·log₂(tot/c), computed EXACTLY in e6
+    * fixed-point log₂ ([[graft.ops.Bm25.log2E6]]):
+    * h_e6 = Σ_dst c·(lg(tot) − lg(c)) div tot — integer products, ONE
+    * truncating division per state. Output: (state, n_out, h_e6).
+    *
+    * Scale: one keyed lag window over the events scan, then keyed count
+    * aggregates on the states axis. */
+  def transitionEntropy(events: DataFrame, entityCol: String,
+                        tsMicrosCol: String, tieCol: String,
+                        typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("u")).orderBy(col("t"), col("tie"))
+    val trans = events
+      .select(col(entityCol).as("u"), col(tsMicrosCol).as("t"),
+        col(tieCol).as("tie"), col(typeCol).as("et"))
+      .withColumn("src", lag(col("et"), 1).over(ord))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("et").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // states axis
+    trans
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("src"))))
+      .withColumn("t1", col("c") * (Bm25.log2E6(col("tot")) -
+        Bm25.log2E6(col("c"))))
+      .groupBy(col("src").as("state"))
+      .agg(max(col("tot")).as("n_out"), sum(col("t1")).as("hsum"))
+      .selectExpr("state", "n_out",
+        "CAST(hsum div n_out AS BIGINT) AS h_e6")
+  }
 }

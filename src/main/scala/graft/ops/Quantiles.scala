@@ -283,4 +283,34 @@ object Quantiles {
       .groupBy(col("g"))
       .agg(min(col("v")).as("wmedian"), max(col("tw")).as("total_w"))
   }
+
+  /** Lorenz curve at decile cuts, per group — the curve behind [[gini]]:
+    * for decile d, the share of total value held by the poorest
+    * ⌊n·d/10⌋ rows, as an exact e6 integer. Prefix sums of SORTED
+    * values are tie-insensitive (any order among equal values yields
+    * the same prefix sum at any cut), so row_number ranking is
+    * deterministic where it matters. Requires non-negative values.
+    * Output: (g, decile, k_rows, share_e6) — share_e6 non-decreasing
+    * and ≤ its decile's 1e6·d/10 iff inequality exists.
+    *
+    * Scale: one keyed rank window + one keyed totals aggregate; the
+    * 10-way decile fan-out multiplies ROWS ONLY by the bounded decile
+    * count before the final keyed aggregate. */
+  def lorenz(df: DataFrame, groupCol: String, centsCol: String): DataFrame = {
+    val ranked = df
+      .select(col(groupCol).as("g"), col(centsCol).as("v"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("tot", sum(col("v")).over(Window.partitionBy(col("g"))))
+    ranked
+      .select(col("g"), col("v"), col("i"), col("n"), col("tot"),
+        explode(expr("sequence(1, 10)")).as("decile"))
+      .filter(col("i") <= expr("(n * decile) div 10"))
+      .groupBy(col("g"), col("decile"))
+      .agg(max(expr("(n * decile) div 10")).as("k_rows"),
+        sum(col("v")).as("cum_v"), max(col("tot")).as("tot"))
+      .selectExpr("g", "CAST(decile AS BIGINT) AS decile", "k_rows",
+        "CAST(cum_v * 1000000 div tot AS BIGINT) AS share_e6")
+  }
 }

@@ -149,6 +149,35 @@ object Stats {
           .otherwise(Sketches.pow2NegE6Expr("y")).as("surv_e6"))
   }
 
+  /** Nelson–Aalen cumulative hazard — the additive companion of
+    * [[kaplanMeier]] over the same (duration, event) subjects:
+    * H(t) = Σ_{tᵢ ≤ t} dᵢ/n_riskᵢ, ALL integer (each event-time term is
+    * one e6 truncating division, the cumulative sum is exact — no logs,
+    * no exponentials, unlike the KM product). Rows emit at event times
+    * only. Output: (t, n_risk, d, term_e6, cumhaz_e6).
+    *
+    * Scale: the [[kaplanMeier]] contract — one duration-keyed count
+    * aggregate off the raw scan, then the risk-set walk on the tiny
+    * distinct-time axis. */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val ord = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = df.select(col(durationCol).as("t"), col(eventCol).as("ev"))
+      .groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("leave"))
+      .localCheckpoint(true) // distinct-time axis: tiny; ONE raw scan
+    val tot = grp.agg(sum(col("leave")).as("n_all"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_all") - (sum(col("leave")).over(ord) - col("leave")))
+      .filter(col("d") > 0L)
+      .withColumn("term_e6", expr("d * 1000000 div n_risk"))
+      .withColumn("cumhaz_e6", sum(col("term_e6")).over(ord))
+      .select(col("t"), col("n_risk"), col("d"), col("term_e6"),
+        col("cumhaz_e6"))
+  }
+
   /** Pairwise Pearson correlation matrix over integer (cents) columns —
     * ONE aggregate computes every moment exactly in DECIMAL(38,0)
     * (n + per-column sums/squares + per-pair cross sums, all map-side
