@@ -117,7 +117,29 @@ class PlanShapeSpec extends SparkSpec {
     ("q_doc_mix", 2, 1),           // cell agg + broadcast total
     ("q_calibration_ece", 2, 1),   // max broadcast + bin agg
     ("q_tpch_local_volume", 2, 4), // ONE big join shuffle + agg; 4 broadcasts
-    ("q_reservoir_perkey", 1, 0))  // ONE key-partitioned top-k window
+    ("q_reservoir_perkey", 1, 0),  // ONE key-partitioned top-k window
+    ("q_mann_whitney", 0, 0),      // value-axis checkpointed; walk is post-scan
+    ("q_linreg2", 0, 0),           // one scalar moment agg, no hash exchange
+    ("q_naive_bayes", 4, 3),       // tok aggs; model/classes broadcast to scoring
+    ("q_scc", 3, 0),               // closure rounds checkpointed; mutual join+agg
+    ("q_burstiness", 2, 0),        // bucket agg + key agg, both keyed
+    ("q_decision_stump", 0, 1),    // feature axis checkpointed; totals broadcast
+    ("q_isotonic", 0, 2),          // bucket axis checkpointed; tiny grid joins
+    ("q_sorted_neighborhood", 3, 5), // dist rank + block join; offsets broadcast
+    ("q_containment", 5, 6),       // prefix cand join + verify joins, sizes broadcast
+    ("q_tpch_top_orders", 1, 1),   // ONE lineitem agg; survivors broadcast to orders
+    ("q_welch_ttest", 0, 0),       // one scalar moment agg, no hash exchange
+    ("q_heaps_law", 4, 1),         // tok/first-occ aggs + keyed walk + LS reduce
+    ("q_skipgram_pmi", 3, 4),      // pos probe join + pair agg; totals broadcast
+    ("q_novelty", 2, 1),           // shingle first-occ agg + doc agg
+    ("q_deepwalk", 0, 0),          // every hop checkpointed (frontier joins)
+    ("q_modularity", 0, 1),        // community axis checkpointed; totals broadcast
+    ("q_item_cf", 4, 3),           // basket self-join + pair agg; totals broadcast
+    ("q_bcubed", 4, 0),            // cell/cluster/truth aggs on the cell axis
+    ("q_markov_attribution", 0, 0),// states axis checkpointed; journeys pre-agg
+    ("q_nelson_aalen", 0, 1),      // time axis checkpointed; totals broadcast
+    ("q_lorenz", 1, 0),            // rank/total windows + decile agg share ONE key
+    ("q_entropy_rate", 1, 0))      // lag window + state agg share one keyed shuffle
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
