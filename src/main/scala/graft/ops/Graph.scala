@@ -1133,6 +1133,57 @@ object Graph {
     hops.reduce(_ unionByName _)
   }
 
+  /** Luby's maximal independent set, HASH-DERANDOMIZED: each round,
+    * every undecided node draws priority hash48(id:round) (ties broken
+    * by id — total order), joins the MIS iff its (priority, id) beats
+    * every undecided neighbor's, and winners' neighbors drop out; the
+    * classic O(log n)-round symmetry-breaking primitive behind
+    * distributed coloring and scheduling, here a pure function of the
+    * graph (reproducible in SQL). Nodes still undecided after `rounds`
+    * emit state −1 (callers pick rounds ≥ expected O(log n)). Output:
+    * (id, state) — 1 in the MIS, 0 excluded, −1 undecided. The result
+    * is independent (no two 1s adjacent) and, when no −1 remain,
+    * maximal.
+    *
+    * Scale: each round is one adjacency⋈undecided join + one per-node
+    * max aggregate + keyed anti-joins, all on node keys; frontiers are
+    * checkpointed so no lineage blowup. Isolated nodes win round 1. */
+  def lubyMis(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32)
+    val und0 = nodes.select(col("id")).distinct()
+    val cedges = canonical(edges)
+    val adj = cedges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(cedges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var und = und0.localCheckpoint(true)
+    var decided = und0.sparkSession.emptyDataFrame
+    var haveDecided = false
+    (1 to rounds).foreach { r =>
+      val pri = und.withColumn("p", Dedup.hash48(
+        concat(col("id").cast("string"), lit(":"), lit(r.toString)),
+        lit("mis")))
+      val nbrBest = adj
+        .join(pri.select(col("id").as("u")), "u") // u undecided
+        .join(pri.select(col("id").as("v"), col("p").as("pv")), "v")
+        .groupBy(col("u")).agg(max(struct(col("pv"), col("v"))).as("best"))
+      val winners = pri.join(nbrBest, col("id") === col("u"), "left")
+        .filter(col("best").isNull ||
+          struct(col("p"), col("id")) > col("best"))
+        .select(col("id")).localCheckpoint(true)
+      val dropped = adj.join(winners.select(col("id").as("u")), "u")
+        .select(col("v").as("id")).distinct()
+        .join(und, Seq("id"), "left_semi") // only still-undecided drop
+        .localCheckpoint(true)
+      val newDecided = winners.select(col("id"), lit(1L).as("state"))
+        .unionByName(dropped.select(col("id"), lit(0L).as("state")))
+      decided = if (haveDecided) decided.unionByName(newDecided) else newDecided
+      haveDecided = true
+      und = und.join(winners, Seq("id"), "left_anti")
+        .join(dropped, Seq("id"), "left_anti").localCheckpoint(true)
+    }
+    decided.unionByName(und.select(col("id"), lit(-1L).as("state")))
+  }
+
   /** Newman modularity of a community `labels` (id, label) assignment
     * over the canonical undirected `edges`: Q = Σ_c [in_c/m −
     * (deg_c/2m)²], computed ALL-INTEGER on the directed adjacency

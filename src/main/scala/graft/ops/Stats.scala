@@ -350,6 +350,46 @@ object Stats {
           |END AS f""".stripMargin)
   }
 
+  /** Per-key eta² (variance explained by a class column) — the keyed
+    * companion of [[anovaF]], read here as SEASONAL STRENGTH: with
+    * classes = day-of-week over a daily series, eta² = SSB/SST is
+    * exactly "1 − Var(residual)/Var(total)" for the seasonal-means
+    * model. Same exactness recipe as [[anovaF]]: cell moments in
+    * DECIMAL(38,0), each S²/n through doubles once and rounded to
+    * integer cents², ONE final double division (round 6). Output per
+    * key: (key, k_classes, n, ssb_c2, ssw_c2, strength); NULL strength
+    * when the series is constant (SST = 0).
+    *
+    * Scale: ONE map-side-combinable (key, class) groupBy, then a
+    * key-keyed reduce over the class axis. */
+  def etaSquared(df: DataFrame, keyCol: String, classCol: String,
+                 xCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sq = (s: String, n: String) =>
+      s"""CAST(floor(CAST($s AS DOUBLE) * CAST($s AS DOUBLE) /
+         |     CAST($n AS DOUBLE) + CAST('0.5' AS DOUBLE)) AS BIGINT)""".stripMargin
+    df.select(col(keyCol).as("key"), col(classCol).as("cls"),
+        col(xCol).cast(dec).as("x"))
+      .groupBy(col("key"), col("cls"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x") * col("x")).as("q_g"))
+      .selectExpr("key", "n_g", "s_g", "q_g",
+        s"${sq("s_g", "n_g")} AS term_c2")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+        sum(col("term_c2")).as("ssb_raw"))
+      .selectExpr("key", "CAST(k AS BIGINT) AS k_classes",
+        "CAST(n AS BIGINT) AS n",
+        s"CAST(ssb_raw - ${sq("s", "n")} AS BIGINT) AS ssb_c2",
+        "CAST(q - ssb_raw AS BIGINT) AS ssw_c2")
+      .selectExpr("key", "k_classes", "n", "ssb_c2", "ssw_c2",
+        """CASE WHEN ssb_c2 + ssw_c2 = 0 THEN NULL
+          |     ELSE round(CAST(ssb_c2 AS DOUBLE) /
+          |          CAST(ssb_c2 + ssw_c2 AS DOUBLE), 6)
+          |END AS strength""".stripMargin)
+  }
+
   /** One-level regression tree (decision stump): the split `feature ≤ v`
     * maximizing the variance-reduction gain S_l²/n_l + S_r²/n_r (the
     * parent term S²/n is constant across splits and dropped). ALL

@@ -310,6 +310,39 @@ object TimeSeries {
         "CAST((n * q - s * s) * 1000000 div (n * s) AS BIGINT) AS fano_e6")
   }
 
+  /** Rolling-origin backtest of the SEASONAL-NAIVE forecaster: for each
+    * of the last `horizon` days of a per-key daily count series, the
+    * forecast is the mean count over SAME-day-of-week training days
+    * strictly before the cutoff, as an exact e6 integer (sum·10⁶ div
+    * n_train); the absolute error is |actual·10⁶ − forecast_e6|. Test
+    * days whose dow never occurred before the cutoff emit nothing.
+    * Output: (key, day, n_train, forecast_e6, actual, abs_err_e6).
+    *
+    * Scale: the day axis (key × observed days) comes from ONE keyed
+    * count aggregate and is BOUNDED (time buckets); the train↔test
+    * pairing is a keyed self-join on that axis, quadratic only in the
+    * bounded day count. */
+  def backtestSeasonalNaive(df: DataFrame, keyCol: String, dayCol: String,
+                            horizon: Int): DataFrame = {
+    require(horizon >= 1)
+    val ax = df.groupBy(col(keyCol).as("key"), col(dayCol).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .localCheckpoint(true) // day axis: bounded; ONE raw scan
+    val maxDay = ax.groupBy(col("key")).agg(max(col("day")).as("md"))
+    val test = ax.join(maxDay, "key")
+      .filter(col("day") > col("md") - horizon.toLong)
+    test.as("t")
+      .join(ax.as("r"), col("t.key") === col("r.key") &&
+        col("t.dow") === col("r.dow") && col("r.day") < col("t.day"))
+      .groupBy(col("t.key").as("key"), col("t.day").as("day"),
+        col("t.c").as("actual"))
+      .agg(count(lit(1)).as("n_train"), sum(col("r.c")).as("s"))
+      .selectExpr("key", "day", "n_train",
+        "s * 1000000 div n_train AS forecast_e6", "actual",
+        "abs(actual * 1000000 - s * 1000000 div n_train) AS abs_err_e6")
+  }
+
   /** OHLC (open/high/low/close) candlestick aggregation: per key and
     * fixed time bucket, first/last value by (t, tie) plus min/max and
     * count. First/last are struct-extrema aggregates — min/max of
