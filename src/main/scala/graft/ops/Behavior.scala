@@ -469,24 +469,29 @@ object Behavior {
       .localCheckpoint(true) // states axis: ≤ (channels + 2)²
     val spark = events.sparkSession
     import spark.implicits._
-    def absorb(t: DataFrame): Long = {
-      var p = (("conv", 1000000L) :: ("null", 0L) ::
-        ("start" +: channels).map(_ -> 0L).toList).toDF("st", "pv")
+    // The matrix is ≤ (channels + 2)² rows: collect ONCE and run the
+    // 5 chains × `iters` rounds driver-side (identical integer ops the
+    // oracle replays) instead of 5·iters tiny Spark jobs.
+    val tm = trans.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def absorb(t: Array[(String, String, Long)]): Long = {
+      var p = Map("conv" -> 1000000L, "null" -> 0L) ++
+        ("start" +: channels).map(_ -> 0L)
       (1 to iters).foreach { _ =>
-        val nxt = t.join(p, col("dst") === col("st"))
-          .groupBy(col("src"))
-          .agg(sum(col("prob_e6") * col("pv")).as("s"))
-          .selectExpr("src AS st", "CAST(s div 1000000 AS BIGINT) AS pv")
-        p = nxt.unionByName(Seq(("conv", 1000000L), ("null", 0L))
-          .toDF("st", "pv")).localCheckpoint(true)
+        val nxt = t.groupBy(_._1).map { case (src, rows) =>
+          src -> rows.map { case (_, dst, prob) =>
+            prob * p.getOrElse(dst, 0L)
+          }.sum./(1000000L)
+        }
+        p = Map("conv" -> 1000000L, "null" -> 0L) ++
+          ("start" +: channels).map(s => s -> nxt.getOrElse(s, 0L))
       }
-      val r = p.filter(col("st") === "start").select(col("pv")).collect()
-      if (r.isEmpty) 0L else r(0).getLong(0) // states axis: driver-safe
+      p("start")
     }
-    val pFull = absorb(trans)
+    val pFull = absorb(tm)
     val rows = channels.sorted.map { c =>
-      val tr = trans.filter(col("src") =!= c)
-        .withColumn("dst", when(col("dst") === c, "null").otherwise(col("dst")))
+      val tr = tm.filter(_._1 != c)
+        .map { case (s, d, pr) => (s, if (d == c) "null" else d, pr) }
       val pRem = absorb(tr)
       val rem = if (pFull == 0L) 0L else (pFull - pRem) * 1000000L / pFull
       (c, pFull, pRem, rem)
