@@ -499,6 +499,74 @@ object Behavior {
     rows.toDF("channel", "p_full_e6", "p_removed_e6", "removal_e6")
   }
 
+  /** Shapley-value multi-touch attribution — the cooperative-game
+    * counterpart of [[markovAttribution]]: each user's coalition is the
+    * SET of channels touched before their first conversion (bit_or
+    * mask), the characteristic function v(S) is the observed conversion
+    * rate of users with exactly that touch set (e6 integer; unobserved
+    * sets contribute v = 0), and each channel's Shapley value is the
+    * exact discrete sum φ_c = Σ_{S ∌ c} |S|!·(n−1−|S|)!·(v(S∪c) −
+    * v(S)) / n!. ALL integer: factorial weights are injected as
+    * popcount CASE constants, and the single division by n! factors
+    * the sign out (marginals can be negative; `div` truncates, `//`
+    * floors — they agree only on non-negatives). Output one row per
+    * channel: (channel, phi_e6).
+    *
+    * Scale: one keyed mask aggregate over the events scan; the
+    * coalition lattice is 2ⁿ×n rows (n ≤ 6 enforced) — driver-noise
+    * sized, joined broadcast. */
+  def shapleyAttribution(events: DataFrame, entityCol: String,
+                         tsMicrosCol: String, tieCol: String, typeCol: String,
+                         convType: String, channels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = channels.size
+    require(n >= 1 && n <= 6, "coalition lattice is 2^n: keep n small")
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val ev = events
+      .filter(col(typeCol).isin(convType +: channels: _*))
+      .select(col(entityCol).as("u"), col(tsMicrosCol).as("t"),
+        col(tieCol).as("tie"), col(typeCol).as("et"))
+    val convPos = ev.filter(col("et") === convType)
+      .groupBy(col("u")).agg(min(struct(col("t"), col("tie"))).as("cp"))
+    val bit = channels.zipWithIndex
+      .foldLeft(when(lit(false), 0L)) { case (acc, (c, i)) =>
+        acc.when(col("et") === c, 1L << i)
+      }.otherwise(0L)
+    val touches = ev.filter(col("et") =!= convType)
+      .join(convPos, Seq("u"), "left")
+      .filter(col("cp").isNull || struct(col("t"), col("tie")) < col("cp"))
+      .select(col("u"), bit.as("b"))
+    val users = touches.groupBy(col("u")).agg(bit_or(col("b")).as("mask"))
+      .unionByName(convPos.join(touches.select(col("u")).distinct(),
+        Seq("u"), "left_anti").select(col("u"), lit(0L).as("mask")))
+      .join(convPos.select(col("u"), lit(1L).as("cv")), Seq("u"), "left")
+      .select(col("mask"), coalesce(col("cv"), lit(0L)).as("cv"))
+    val vtab = users.groupBy(col("mask"))
+      .agg(count(lit(1)).as("users"), sum(col("cv")).as("convs"))
+      .selectExpr("mask", "convs * 1000000 div users AS v_e6")
+      .localCheckpoint(true) // coalition axis: ≤ 2^n rows
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lattice = (0 until (1 << n)).toDF("s")
+      .crossJoin(channels.zipWithIndex.map { case (c, i) => (c, 1L << i) }
+        .toDF("channel", "cbit"))
+      .filter(expr("(s & cbit) = 0"))
+    val pop = (0 until n).map(i => s"((s >> $i) & 1)").mkString(" + ")
+    val wCase = (0 until n).map(k =>
+      s"WHEN $pop = $k THEN ${fact(k) * fact(n - 1 - k)}L").mkString(" ")
+    lattice
+      .join(broadcast(vtab.select(col("mask").as("s"), col("v_e6").as("v0"))),
+        Seq("s"), "left")
+      .join(broadcast(vtab.selectExpr("mask AS su", "v_e6 AS v1"))
+          .as("w1"), expr("su = (s | cbit)"), "left")
+      .selectExpr("channel",
+        s"(CASE $wCase END) * (coalesce(v1, 0L) - coalesce(v0, 0L)) AS term")
+      .groupBy(col("channel")).agg(sum(col("term")).as("num"))
+      .selectExpr("channel",
+        s"""CASE WHEN num < 0 THEN -((-num) div ${fact(n)}L)
+           |     ELSE num div ${fact(n)}L END AS phi_e6""".stripMargin)
+  }
+
   /** Per-state transition entropy of user event sequences — how
     * predictable the NEXT event type is given the current one
     * (H = 0 bits: deterministic behavior; log₂|types|: uniform).

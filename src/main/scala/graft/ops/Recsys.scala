@@ -44,4 +44,34 @@ object Recsys {
       .filter(col("rk") <= k)
       .select(col("item"), col("rec"), col("n_co"), col("cos2_e12"), col("rk"))
   }
+
+  /** Offline recall@k of the [[itemCf]] recommender: train on one
+    * basket set, then for every (basket, item) pair of the TEST set
+    * that has at least one co-basket partner, score a hit iff any
+    * partner appears in the item's top-k training recommendations.
+    * recall_e6 = hits·10⁶ div evaluable items — the standard
+    * leave-forward evaluation of a co-occurrence recommender. Output
+    * one row: (n_eval, n_hits, recall_e6).
+    *
+    * Scale: the train side is [[itemCf]] (bounded basket fan-out); the
+    * test side pairs within baskets only; the hit test is one keyed
+    * semi-join of test pairs against the recs table. */
+  def recallAtK(train: DataFrame, test: DataFrame, basketCol: String,
+                itemCol: String, minSupport: Long, k: Int): DataFrame = {
+    val recs = itemCf(train, basketCol, itemCol, minSupport, k)
+      .select(col("item"), col("rec"))
+    val ti = test.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct().localCheckpoint(true)
+    val pairs = ti.as("x").join(ti.as("y"),
+        col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
+      .select(col("x.b").as("b"), col("x.i").as("item"),
+        col("y.i").as("rec"))
+    val evalItems = pairs.select(col("b"), col("item")).distinct()
+    val hits = pairs.join(recs, Seq("item", "rec"), "left_semi")
+      .select(col("b"), col("item")).distinct()
+    evalItems.agg(count(lit(1)).as("n_eval"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .selectExpr("n_eval", "n_hits",
+        "n_hits * 1000000 div n_eval AS recall_e6")
+  }
 }

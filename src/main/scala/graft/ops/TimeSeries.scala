@@ -310,6 +310,46 @@ object TimeSeries {
         "CAST((n * q - s * s) * 1000000 div (n * s) AS BIGINT) AS fano_e6")
   }
 
+  /** Multi-lag autocorrelation function of a per-key daily count
+    * series, lags 1..`maxLag` — the full ACF behind the lag-1
+    * [[autocorr]], with the CLASSIC estimator (global mean and global
+    * variance denominator, so r_k comparisons across lags are
+    * well-defined): r_k = Σ_t (x_t − μ)(x_{t+k} − μ) / Σ_t (x_t − μ)².
+    * Scaled by n to stay exact: numerator terms are (n·x_t − S)·
+    * (n·x_{t+k} − S) in DECIMAL(38,0); ONE double division per lag,
+    * round 6. Output: (key, lag, n_pairs, r).
+    *
+    * Scale: the day axis comes from ONE keyed count aggregate and is
+    * bounded; the lag pairing is a keyed equi-join on (key, day + k)
+    * with a bounded `maxLag` fan-out. */
+  def acf(df: DataFrame, keyCol: String, dayCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64)
+    val dec = "decimal(38,0)"
+    val ax = df.groupBy(col(keyCol).as("key"), col(dayCol).as("day"))
+      .agg(count(lit(1)).cast(dec).as("x"))
+      .localCheckpoint(true) // day axis: bounded; ONE raw scan
+    val tot = ax.groupBy(col("key"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("s"))
+    val cen = ax.join(tot, "key")
+      .select(col("key"), col("day"), (col("n") * col("x") - col("s")).as("c"))
+    val den = cen.groupBy(col("key")).agg(sum(col("c") * col("c")).as("den"))
+    cen
+      .select(col("key"), col("day"), col("c"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+      .withColumn("pd", col("day") + col("lag"))
+      .join(cen.select(col("key"), col("day").as("pd"), col("c").as("cl")),
+        Seq("key", "pd"))
+      .groupBy(col("key"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c") * col("cl")).as("num"))
+      .join(den, "key")
+      .selectExpr("key", "CAST(lag AS BIGINT) AS lag",
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        """CASE WHEN den = 0 THEN NULL
+          |     ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+          |END AS r""".stripMargin)
+  }
+
   /** Rolling-origin backtest of the SEASONAL-NAIVE forecaster: for each
     * of the last `horizon` days of a per-key daily count series, the
     * forecast is the mean count over SAME-day-of-week training days
