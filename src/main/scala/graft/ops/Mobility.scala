@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.geo.hexfunctions.hex_cell_id
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mobility analytics over the position stream — the aggregate layer a
+  * heatmap serving tier sits on (the reference's domain): flows between
+  * cells, neighbor-smoothed intensity, and dwell time. All cell math
+  * rides the codegen'd [[graft.geo.hexfunctions.hex_cell_id]] snap;
+  * axial neighbor arithmetic parses the `h{res}:{q}:{r}` id — string
+  * ops, no UDF.
+  */
+object Mobility {
+
+  private val dirs: Seq[(Int, Int)] =
+    Seq((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+  /** Origin–destination flow matrix: per (vehicle, time bucket), the
+    * first and last snapped cell (by (ts, tie) — exact argmin/argmax as
+    * struct extrema), counted into (origin, destination) flows.
+    * Output: (o_cell, d_cell, flows).
+    *
+    * Scale: one keyed (vehicle, bucket) aggregate off the scan, one
+    * keyed flow count — both map-side combinable. */
+  def odMatrix(pos: DataFrame, res: Int, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0L)
+    pos
+      .select(col("vehicleId").as("veh"),
+        expr(s"unix_micros(eventTs) div ${bucketUs}L").as("bkt"),
+        unix_micros(col("eventTs")).as("t"), col("event_id").as("tie"),
+        hex_cell_id(col("lat"), col("lon"), res).as("cell"))
+      .groupBy(col("veh"), col("bkt"))
+      .agg(min(struct(col("t"), col("tie"), col("cell"))).getField("cell")
+          .as("o_cell"),
+        max(struct(col("t"), col("tie"), col("cell"))).getField("cell")
+          .as("d_cell"))
+      .groupBy(col("o_cell"), col("d_cell"))
+      .agg(count(lit(1)).as("flows"))
+  }
+
+  /** Neighbor-smoothed cell intensity: each occupied cell's smoothed
+    * count is the mean over its 7-cell disk (itself + 6 axial
+    * neighbors, absent neighbors = 0): smoothed_e6 = disk_total·10⁶
+    * div 7 — the one-ring box blur a heatmap renderer applies before
+    * coloring. Only OCCUPIED cells emit. Output:
+    * (cell, cnt, smoothed_e6).
+    *
+    * Scale: counts once (one keyed agg), then each cell SCATTERS its
+    * count to its 7 disk targets (bounded ×7 row fan-out, no join on
+    * geometry) and one keyed gather sums per target. */
+  def hexSmooth(pos: DataFrame, res: Int): DataFrame = {
+    val cnts = pos
+      .select(hex_cell_id(col("lat"), col("lon"), res).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+      .withColumn("parts", split(expr("substring(cell, 2)"), ":"))
+      .select(col("cell"), col("cnt"),
+        expr("CAST(parts[1] AS BIGINT)").as("q"),
+        expr("CAST(parts[2] AS BIGINT)").as("r"))
+      .localCheckpoint(true)
+    val scatter = cnts.select(col("cnt"), col("q"), col("r"),
+        explode(array(((0, 0) +: dirs).map { case (dq, dr) =>
+          struct(lit(dq.toLong).as("dq"), lit(dr.toLong).as("dr"))
+        }: _*)).as("d"))
+      .select((col("q") + col("d.dq")).as("tq"),
+        (col("r") + col("d.dr")).as("tr"), col("cnt"))
+      .groupBy(col("tq"), col("tr")).agg(sum(col("cnt")).as("disk"))
+    cnts.join(scatter, col("q") === col("tq") && col("r") === col("tr"))
+      .selectExpr("cell", "cnt", "disk * 1000000 div 7 AS smoothed_e6")
+  }
+
+  /** Dwell time per cell: each position's dwell is the gap to the
+    * vehicle's NEXT position (capped at `capUs` so overnight gaps don't
+    * dominate; the last position contributes 0), summed per snapped
+    * cell. Output: (cell, visits, dwell_s).
+    *
+    * Scale: one keyed lead window over the scan + one cell-keyed
+    * aggregate. */
+  def dwellTime(pos: DataFrame, res: Int, capUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("veh")).orderBy(col("t"), col("tie"))
+    pos
+      .select(col("vehicleId").as("veh"),
+        unix_micros(col("eventTs")).as("t"), col("event_id").as("tie"),
+        hex_cell_id(col("lat"), col("lon"), res).as("cell"))
+      .withColumn("dwell",
+        least(coalesce(lead(col("t"), 1).over(w) - col("t"), lit(0L)),
+          lit(capUs)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("visits"),
+        expr("sum(dwell) div 1000000 AS dwell_s"))
+  }
+}
