@@ -1133,6 +1133,34 @@ object Graph {
     hops.reduce(_ unionByName _)
   }
 
+  /** Two-hop mean feature aggregation — one GraphSAGE-style message-
+    * passing layer applied twice over the canonical undirected `edges`:
+    * h1(v) = mean of x(u) over v's neighbors (e6 truncating integer),
+    * h2(v) = mean of h1(u) over v's neighbors (div by a second 10⁶ to
+    * stay in e6). `feats` carries (id, x) non-negative longs; isolated
+    * nodes emit nothing (no neighborhood to average). Output:
+    * (id, deg, h1_e6, h2_e6).
+    *
+    * Scale: each hop is ONE adjacency⋈features equi-join + one keyed
+    * mean aggregate — the canonical message-passing shape; k hops cost
+    * k joins, never materializing multi-hop neighborhoods. */
+  def gnnAggregate(edges: DataFrame, feats: DataFrame): DataFrame = {
+    val und = canonical(edges)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val h1 = adj.join(feats.select(col("id").as("v"), col("x")), "v")
+      .groupBy(col("u").as("id"))
+      .agg(count(lit(1)).as("deg"), sum(col("x")).as("sx"))
+      .selectExpr("id", "deg", "sx * 1000000 div deg AS h1_e6")
+      .localCheckpoint(true)
+    adj.join(h1.select(col("id").as("v"), col("h1_e6").as("hn")), "v")
+      .groupBy(col("u").as("id"))
+      .agg(count(lit(1)).as("deg"), sum(col("hn")).as("sh"))
+      .join(h1.select(col("id"), col("h1_e6")), "id")
+      .selectExpr("id", "deg", "h1_e6", "sh div deg AS h2_e6")
+  }
+
   /** Luby's maximal independent set, HASH-DERANDOMIZED: each round,
     * every undecided node draws priority hash48(id:round) (ties broken
     * by id — total order), joins the MIS iff its (priority, id) beats

@@ -70,6 +70,41 @@ object Mobility {
       .selectExpr("cell", "cnt", "disk * 1000000 div 7 AS smoothed_e6")
   }
 
+  /** Radius of gyration per vehicle — the canonical human-mobility
+    * spread metric (González et al., Nature 2008, planar form): rog² =
+    * (1/n)·Σᵢ ‖pᵢ − centroid‖². Coordinates are e2-quantized
+    * (positions are exact centi-degree lattices), centered EXACTLY by
+    * the n-scaling trick (n·x − Σx, so the rational centroid never
+    * materializes): rog² = [Σ(n·x − Sx)² + Σ(n·y − Sy)²] / n³, one
+    * double division rounded to 6 (degree² units). Output:
+    * (veh, n, rog2).
+    *
+    * Scale: ONE map-side-combinable aggregate per vehicle (moments),
+    * then a second keyed pass for the centered squares — both on the
+    * vehicle key, no windows. */
+  def radiusOfGyration(pos: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = pos.select(col("vehicleId").as("veh"),
+        floor(col("lat") * 100 + 0.5).cast(dec).as("x"),
+        floor(col("lon") * 100 + 0.5).cast(dec).as("y"))
+      .localCheckpoint(true) // ONE raw scan feeds both passes
+    val m = pts.groupBy(col("veh"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+    pts.join(m, "veh")
+      .groupBy(col("veh"))
+      .agg(max(col("n")).as("n"),
+        sum((col("n") * col("x") - col("sx")) *
+          (col("n") * col("x") - col("sx")) +
+          (col("n") * col("y") - col("sy")) *
+            (col("n") * col("y") - col("sy"))).as("ss"))
+      .selectExpr("veh", "CAST(n AS BIGINT) AS n",
+        // e2 coords → /1e4 converts cd² to degree²; n³ undoes scaling
+        """round(CAST(ss AS DOUBLE) /
+          |  (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+          |   * CAST('10000.0' AS DOUBLE)), 6) AS rog2""".stripMargin)
+  }
+
   /** Dwell time per cell: each position's dwell is the gap to the
     * vehicle's NEXT position (capped at `capUs` so overnight gaps don't
     * dominate; the last position contributes 0), summed per snapped

@@ -233,4 +233,42 @@ object Similarity {
     }
     x.select(col("j").as("i"), col("x").as("x_e4"))
   }
+
+  /** k-NN classification with a fold split: vectors with
+    * vec_id % 5 == `testFold` are scored against ALL training vectors
+    * by EXACT integer squared L2 over e6-quantized components
+    * (floor(x·10⁶ + ½) per dim, d² in e12 units — the PQ/IVF distance
+    * convention), the k nearest (ties → smaller vec_id) vote, and the
+    * majority label (ties → smaller label) becomes the prediction.
+    * Output is the confusion matrix: (label, pred, n_vecs).
+    *
+    * Scale: this is the BRUTE verifier — test×train pairs with a
+    * 64-wide fold each; the bucketed escape hatches ([[lshBucket]],
+    * IVF coarse quantization) bound the candidate set when the corpus
+    * outgrows brute force, exactly as for top-k search. */
+  def knnClassify(df: DataFrame, k: Int, testFold: Long = 0L): DataFrame = {
+    require(k >= 1)
+    val q = cast(df).select(col("vec_id"), col("label").cast("long").as("label"),
+      expr("transform(ev, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))")
+        .as("qv"))
+    val test = q.filter(col("vec_id") % 5 === testFold)
+    val train = q.filter(col("vec_id") % 5 =!= testFold)
+      .select(col("vec_id").as("tid"), col("label").as("tlabel"),
+        col("qv").as("tv"))
+    val scored = test.crossJoin(train)
+      .select(col("vec_id"), col("label"), col("tid"), col("tlabel"),
+        expr("""aggregate(zip_with(qv, tv, (x, y) -> (x - y) * (x - y)),
+               |0L, (acc, v) -> acc + v)""".stripMargin).as("d2_e12"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2_e12"), col("tid"))))
+      .filter(col("rk") <= k)
+    scored.groupBy(col("vec_id"), col("label"), col("tlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct((-col("votes")).as("nv"), col("tlabel")))
+        .getField("tlabel").as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
 }
