@@ -112,9 +112,12 @@ object Round25Queries {
     //    evaluate on the rest — the leave-forward CF evaluation.
     QueryDef("q_cf_recall",
       (s, d) => {
+        // one orders⋈lineitem pass feeds BOTH the train and test branches
         val li = Tables.lineitem(s, d).join(
           Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"), col("o_orderdate"))
+          .localCheckpoint(true)
         val train = li.filter(expr("o_orderdate < TIMESTAMP_NTZ'1999-01-01'"))
           .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
         val test = li.filter(expr("o_orderdate >= TIMESTAMP_NTZ'1999-01-01'"))

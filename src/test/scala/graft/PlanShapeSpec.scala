@@ -139,7 +139,19 @@ class PlanShapeSpec extends SparkSpec {
     ("q_markov_attribution", 0, 0),// states axis checkpointed; journeys pre-agg
     ("q_nelson_aalen", 0, 1),      // time axis checkpointed; totals broadcast
     ("q_lorenz", 1, 0),            // rank/total windows + decile agg share ONE key
-    ("q_entropy_rate", 1, 0))      // lag window + state agg share one keyed shuffle
+    ("q_entropy_rate", 1, 0),      // lag window + state agg share one keyed shuffle
+    ("q_luby_mis", 0, 0),          // every round's frontier checkpointed
+    ("q_seasonal_strength", 3, 0), // day agg + cell agg + key reduce, all keyed
+    ("q_forecast_backtest", 2, 2), // day axis checkpointed; md broadcast pairing
+    ("q_shapley_attribution", 1, 3), // mask agg; lattice/vtab broadcast
+    ("q_acf", 3, 5),               // day axis checkpointed; totals/den broadcast
+    ("q_cf_recall", 15, 1),        // full CF train + eval joins; li checkpointed
+    ("q_od_matrix", 2, 0),         // (veh, day) agg + flow agg, both keyed
+    ("q_hex_smooth", 1, 1),        // cell counts checkpointed; scatter-gather agg
+    ("q_dwell_time", 2, 0),        // veh lead window + cell agg
+    ("q_knn_classify", 2, 1),      // train broadcast; test-keyed rank + votes
+    ("q_gnn_aggregate", 1, 2),     // hop joins broadcast the tiny h1/feats
+    ("q_radius_gyration", 1, 1))   // moment agg + broadcast join-back pass
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
