@@ -49,6 +49,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -114,10 +115,17 @@ object Bench {
       .getOrElse("\"" + cpus.replace("\"", "") + "\"")
     val meta =
       s""""commit":"${gitHead()}","ts_ms":${System.currentTimeMillis()},"cpus":$cpusJson,"repeats":$repeats,"spark":"${spark.version}","java":"${sys.props.getOrElse("java.version", "?")}""""
+    val anyErr = results.exists(!_._4)
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":$fullQs$spreadJson,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$anyErr,"n_queries":${results.size},$meta,"queries":$fullQs$spreadJson,"errors":$errs,"sf":"$sfDir"}"""
+    // Baseline protection (r7 lesson: a run with 120 fail-fast errors
+    // overwrote the clean snapshot and its 162 s headline masqueraded as a
+    // speedup). A run with ANY errored query is never a baseline: it goes
+    // to bench_full_failed.json; bench_full.json only ever holds error-free
+    // snapshots.
     try {
-      val w = new java.io.PrintWriter("bench_full.json")
+      val w = new java.io.PrintWriter(
+        if (anyErr) "bench_full_failed.json" else "bench_full.json")
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () }
     println(fullJson)
@@ -126,8 +134,11 @@ object Bench {
       .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":$slowest,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$anyErr,"n_queries":${results.size},$meta,"queries":$slowest,"errors":$errs,"sf":"$sfDir"}"""
     spark.stop()
     println(compact)
+    // A round whose bench has ANY errored query is a broken round, not a
+    // slow one — exit nonzero so no harness can record it as a success.
+    if (anyErr) sys.exit(2)
   }
 }

@@ -7,10 +7,9 @@ import graft.geo.HexSql
 /** Central IO over the shared testdata (TESTDATA.md). All readers go
   * through here so scale-relevant details live in one place:
   *
-  *  - `events.parquet` stores TIMESTAMP(NANOS), which Spark 4 refuses by
-  *    default; we read nanos as long (`spark.sql.legacy.parquet.nanosAsLong`)
-  *    and convert with integer `div` (a double `/` would lose precision —
-  *    nano epochs ≈ 1.7e18 > 2^53).
+  *  - `events.parquet` `ts` has shipped as both TIMESTAMP(NANOS) and
+  *    timestamp[us] across testdata generations; `load` sniffs the read
+  *    schema and normalizes to TimestampType(us) either way.
   *  - At 100 TB the same entry point is where partition pruning / pushdown
   *    options (`mergeSchema=false`, file-size tuning) are controlled; scans
   *    stay declarative so Catalyst prunes columns per query.
@@ -22,7 +21,22 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // `ts` contract: the generator has shipped TIMESTAMP(NANOS) (read back
+    // as long under nanosAsLong) and plain timestamp[us] (read back as
+    // TIMESTAMP_NTZ) across testdata generations. Normalize to
+    // TimestampType(us) either way: long→ts via integer `div` (a double `/`
+    // would lose precision — nano epochs ≈ 1.7e18 > 2^53); NTZ→LTZ via cast
+    // under a pinned UTC session zone so the wall-clock reinterpretation is
+    // the identity and matches the DuckDB oracle's naive timestamps.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
     else df
   }
 

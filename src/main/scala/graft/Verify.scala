@@ -21,13 +21,28 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    var failed = 0
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Never skip silently (r7 lesson: 120 load-failures left no parquet,
+        // so the correctness artifact covered 145/265 yet read as all-green).
+        // Write a sentinel frame instead — the driver's compare then records
+        // a visibly RED row (schema/rows mismatch) for this query.
+        failed += 1
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(("" + e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).take(500)))
+            .toDF("_verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
+    if (failed > 0)
+      System.err.println(s"[verify] $failed of ${selected.size} queries FAILED")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
