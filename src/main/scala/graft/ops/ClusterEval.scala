@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Clustering-quality evaluation over an embedding table — the audit a
+  * training-data pipeline runs after k-means/IVF assignment to decide
+  * whether label granularity is right before sharding by cluster.
+  *
+  * Simplified (centroid) silhouette: per point, a = d²(x, own-label
+  * centroid), b = min over other labels of d²(x, centroid). The score
+  * (b−a)/max(a,b) ∈ [−1,1] is computed on SQUARED distances (monotone in
+  * the classic score, no sqrt — keeps everything integer-exact) in e6
+  * fixed point via integer cross-division, so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  *
+  * Scale: centroids are k·dim rows (tiny — broadcast); the per-point
+  * score is ONE component-exploded join against that broadcast plus two
+  * keyed aggregates. Nothing is quadratic in points — contrast with true
+  * pairwise silhouette, which is O(n²) and needs sampling at 100 TB.
+  */
+object ClusterEval {
+
+  /** Per-label silhouette audit of `emb` (vec_id, embedding, label).
+    * Embeddings quantize to e6 ints; centroid components are
+    * floor(sum/count) — exact (see below) and reproducible cross-engine.
+    * Output: (label, n_vecs, sum_sil_e6, n_neg) — sum (not mean) keeps
+    * the result BIGINT without negative-division floor/truncate skew.
+    */
+  def centroidSilhouette(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      expr("""transform(CAST(embedding AS ARRAY<DOUBLE>),
+             |          x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"""
+        .stripMargin).as("qv"))
+    // (vec, own label, component index, value); dim·n rows, one scan.
+    val comp = q.select(col("vec_id"), col("label"),
+        posexplode(col("qv")).as(Seq("i", "v")))
+      .localCheckpoint(true) // feeds centroids AND the distance join
+    // Centroid component = floor(sum/count) over doubles: sums are ≤
+    // n·1e6 ≈ 2e9 ≪ 2^53 so the division is correctly rounded, and the
+    // true rational is ≥ 1/n away from any other integer — floor is
+    // EXACT, hence identical in Spark and DuckDB.
+    val cent = comp.groupBy(col("label").as("cl"), col("i"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+    // d²(point, every centroid): equi-join on component index against the
+    // broadcast k·dim centroid frame, then one (vec, label) keyed sum.
+    val d2 = comp.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("label"), col("cl"))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+    val ab = d2.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("cl") === col("label"), col("d2"))).as("a"),
+        min(when(col("cl") =!= col("label"), col("d2"))).as("b"))
+    // s_e6 = 1e6·(b−a)/max(a,b) by integer cross-division; the 1e6·d²
+    // product overflows int64 (d² ≤ dim·(2e6)² ≈ 2.6e14 → 2.6e20), so it
+    // rides DECIMAL(38,0) (HUGEINT in the oracle). Both operands are
+    // non-negative, so div truncation == floor in both engines.
+    val s = ab.selectExpr("label",
+      """CASE WHEN a = b THEN 0L
+        |     WHEN b > a THEN 1000000L -
+        |       CAST(CAST(1000000 AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0))
+        |            div CAST(b AS DECIMAL(38,0)) AS BIGINT)
+        |     ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))
+        |            div CAST(a AS DECIMAL(38,0)) AS BIGINT) - 1000000L
+        |END AS s_e6""".stripMargin)
+    s.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("s_e6")).as("sum_sil_e6"),
+        sum(when(col("s_e6") < 0, 1L).otherwise(0L)).as("n_neg"))
+  }
+}

@@ -125,4 +125,32 @@ object Mobility {
       .agg(count(lit(1)).as("visits"),
         expr("sum(dwell) div 1000000 AS dwell_s"))
   }
+
+  /** Polyline path length per route: positions ordered by (ts, event_id)
+    * within `routeCol`, each step contributing the planar segment length
+    * floor(√(Δx²+Δy²)) in e2-degree units. IEEE sqrt is correctly
+    * rounded and Δ²-sums (≤ 1.5e9) are exactly representable, so the
+    * floored lengths are bit-identical cross-engine — integer sums then
+    * avoid order-dependent double accumulation. Output:
+    * (route, n_pts, n_segs, len_total, len_max).
+    *
+    * Scale: one keyed sort-window (the same shuffle a sessionizer pays)
+    * plus one keyed aggregate; nothing quadratic. */
+  def pathLength(pos: DataFrame, routeCol: String): DataFrame = {
+    val w = Window.partitionBy(col("route")).orderBy(col("t"), col("tie"))
+    pos.select(col(routeCol).as("route"),
+        unix_micros(col("eventTs")).as("t"), col("event_id").as("tie"),
+        floor(col("lat") * 100 + 0.5).cast("long").as("x"),
+        floor(col("lon") * 100 + 0.5).cast("long").as("y"))
+      .withColumn("px", lag(col("x"), 1).over(w))
+      .withColumn("py", lag(col("y"), 1).over(w))
+      .withColumn("seg", floor(sqrt(
+        ((col("x") - col("px")) * (col("x") - col("px")) +
+          (col("y") - col("py")) * (col("y") - col("py"))).cast("double")))
+        .cast("long"))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n_pts"), count(col("seg")).as("n_segs"),
+        coalesce(sum(col("seg")), lit(0L)).as("len_total"),
+        coalesce(max(col("seg")), lit(0L)).as("len_max"))
+  }
 }

@@ -151,7 +151,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_dwell_time", 2, 0),        // veh lead window + cell agg
     ("q_knn_classify", 2, 1),      // train broadcast; test-keyed rank + votes
     ("q_gnn_aggregate", 1, 2),     // hop joins broadcast the tiny h1/feats
-    ("q_radius_gyration", 1, 1))   // moment agg + broadcast join-back pass
+    ("q_radius_gyration", 1, 1),   // moment agg + broadcast join-back pass
+    ("q_silhouette", 4, 1),        // centroid agg broadcast back to points
+    ("q_dbscan_classify", 6, 0),   // ε-cell pair join + core/border passes
+    ("q_path_length", 1, 0))       // route window + agg share one shuffle
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
