@@ -874,6 +874,48 @@ object Graph {
       .withColumn("closeness_e6",
         expr("CASE WHEN sum_dist = 0 THEN NULL ELSE (n_reached - 1L) * 1000000L div sum_dist END"))
 
+  /** Bounded-hop HARMONIC centrality of the seed nodes: Σ 1e6 div d over
+    * reached nodes at distance d > 0 — closeness's robust cousin
+    * (disconnected nodes contribute 0 instead of poisoning the mean), the
+    * form surveys recommend for web-scale graphs. Shares
+    * [[multiSourceBfs]]'s one labeled frontier for all seeds. Output:
+    * (seed, n_reached, harmonic_e6) — n_reached EXCLUDES the seed. */
+  def harmonic(nodes: DataFrame, edges: DataFrame, seedCol: String,
+               maxDepth: Int): DataFrame =
+    multiSourceBfs(nodes, edges, seedCol, maxDepth)
+      .filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L div dist")).as("harmonic_e6"))
+
+  /** Neighborhood Jaccard per EXISTING edge — the classic link-prediction
+    * feature (and a triangle-density audit): j = |N(a)∩N(b)| /
+    * |N(a)∪N(b)| in e6. Common neighbours count by the wedge join
+    * (edge ⋈ adj(a) ⋈ adj(b) on the shared endpoint) — the same
+    * triangle-enumeration shape as Adamic–Adar, never an all-pairs
+    * product; at 100 TB the high-degree hubs would be handled by the
+    * standard degree-ordered orientation. Output:
+    * (a, b, deg_a, deg_b, common, j_e6). */
+  def neighborJaccard(edges: DataFrame): DataFrame = {
+    val und = canonical(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val common = und
+      .join(adj.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+      .join(adj.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    und.join(common, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .withColumn("j_e6",
+        expr("common * 1000000L div (deg_a + deg_b - common)"))
+      .select(col("a"), col("b"), col("deg_a"), col("deg_b"),
+        col("common"), col("j_e6"))
+  }
+
   /** Bounded-hop eccentricity of the seed nodes: the FARTHEST min-hop
     * distance each seed reaches within `maxDepth` — the per-node half of
     * the diameter question, sharing [[multiSourceBfs]]'s one labeled

@@ -26,6 +26,21 @@ object Sampling {
   def stratified(df: DataFrame, key: Column, salt: String, pct: Column): DataFrame =
     df.filter(keepHash(key, salt, pct))
 
+  /** Deterministic weight-biased bottom-k sample: each row draws priority
+    * hash48(id) div max(w, 1) — heavier rows draw stochastically smaller
+    * priorities, so the bottom k is a reproducible weight-biased sample
+    * (the integer-exact stand-in for A-ES exponential jumps, whose ln()
+    * is not bit-portable across engines). Ties break on id; selection is
+    * per-partition top-k + merge (TakeOrderedAndProject), never a global
+    * sort. Output: (id, w, pri) — the k selected rows. */
+  def weightedPriority(df: DataFrame, idCol: String, wCol: String,
+                       salt: String, k: Int): DataFrame =
+    df.select(col(idCol), col(wCol).cast("long").as(wCol))
+      .withColumn("h", Dedup.hash48(col(idCol).cast("string"), lit(salt)))
+      .withColumn("pri", expr(s"h div greatest($wCol, 1L)"))
+      .orderBy(col("pri"), col(idCol)).limit(k)
+      .select(col(idCol), col(wCol), col("pri"))
+
   /** Temperature-rebalanced mixture targets (α = 0.5): per class, the
     * target row count when sampling the corpus so class shares follow
     * n_k^α / Σ n^α instead of raw counts — the standard training-mix

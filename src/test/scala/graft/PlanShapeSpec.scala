@@ -154,7 +154,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_radius_gyration", 1, 1),   // moment agg + broadcast join-back pass
     ("q_silhouette", 4, 1),        // centroid agg broadcast back to points
     ("q_dbscan_classify", 6, 0),   // ε-cell pair join + core/border passes
-    ("q_path_length", 1, 0))       // route window + agg share one shuffle
+    ("q_path_length", 1, 0),       // route window + agg share one shuffle
+    ("q_harmonic", 1, 0),          // BFS checkpointed; one seed agg
+    ("q_jaccard_edges", 4, 2),     // wedge join; tiny edge/deg frames bc
+    ("q_weighted_sample", 0, 0))   // TakeOrderedAndProject, no exchange
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
