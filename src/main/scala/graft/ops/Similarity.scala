@@ -251,7 +251,15 @@ object Similarity {
     val q = cast(df).select(col("vec_id"), col("label").cast("long").as("label"),
       expr("transform(ev, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))")
         .as("qv"))
-    val test = q.filter(col("vec_id") % 5 === testFold)
+    // The test fold often reads back as ONE input split (a small parquet
+    // file), which would serialize the whole |test|·|train| pair scan on
+    // a single core; spread it across the session's shuffle width first.
+    // Round-robin (not hash-on-vec_id): keeping the window's own exchange
+    // boundary also materializes the lambda-HOF distance once at shuffle
+    // write — fusing it straight into Sort/WindowGroupLimit measured ~5×
+    // slower at 640k pairs.
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    val test = q.filter(col("vec_id") % 5 === testFold).repartition(width)
     val train = q.filter(col("vec_id") % 5 =!= testFold)
       .select(col("vec_id").as("tid"), col("label").as("tlabel"),
         col("qv").as("tv"))

@@ -149,7 +149,7 @@ class PlanShapeSpec extends SparkSpec {
     ("q_od_matrix", 2, 0),         // (veh, day) agg + flow agg, both keyed
     ("q_hex_smooth", 1, 1),        // cell counts checkpointed; scatter-gather agg
     ("q_dwell_time", 2, 0),        // veh lead window + cell agg
-    ("q_knn_classify", 2, 1),      // train broadcast; test-keyed rank + votes
+    ("q_knn_classify", 3, 1),      // test-fold spread + train broadcast + rank/votes
     ("q_gnn_aggregate", 1, 2),     // hop joins broadcast the tiny h1/feats
     ("q_radius_gyration", 1, 1),   // moment agg + broadcast join-back pass
     ("q_silhouette", 4, 1),        // centroid agg broadcast back to points
