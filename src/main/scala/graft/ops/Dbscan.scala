@@ -25,8 +25,13 @@ object Dbscan {
     * truncates identically in Spark and DuckDB. Output per `grp`:
     * (grp, core_pts, border_pts, noise_pts). */
   def classify(pts: DataFrame, eps: Long, minPts: Long): DataFrame = {
+    // Small inputs often arrive as ONE split (a single parquet file);
+    // spread to the session shuffle width so the 9× scatter and both join
+    // sides parallelize — at cluster scale the file layout provides this.
+    val width = pts.sparkSession.sessionState.conf.numShufflePartitions
     val p = pts.select(col("id"), col("grp"), col("x"), col("y"),
         expr(s"x div ${eps}L").as("cx"), expr(s"y div ${eps}L").as("cy"))
+      .repartition(width)
       .localCheckpoint(true) // one raw scan; feeds both join sides
     // Candidate pairs: left side scatters to its 3×3 ε-cell neighborhood,
     // right side sits in its home cell — equi-join on the cell key only.

@@ -153,7 +153,7 @@ class PlanShapeSpec extends SparkSpec {
     ("q_gnn_aggregate", 1, 2),     // hop joins broadcast the tiny h1/feats
     ("q_radius_gyration", 1, 1),   // moment agg + broadcast join-back pass
     ("q_silhouette", 4, 1),        // centroid agg broadcast back to points
-    ("q_dbscan_classify", 6, 0),   // ε-cell pair join + core/border passes
+    ("q_dbscan_classify", 7, 0),   // point spread + ε-cell pair join + passes
     ("q_path_length", 1, 0),       // route window + agg share one shuffle
     ("q_harmonic", 1, 0),          // BFS checkpointed; one seed agg
     ("q_jaccard_edges", 4, 2),     // wedge join; tiny edge/deg frames bc
