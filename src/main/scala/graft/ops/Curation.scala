@@ -42,6 +42,29 @@ object Curation {
       .withColumn("bin", ((col("run_tokens") - col(tokensCol)) / budget).cast("long"))
   }
 
+  /** Sliding-window document chunking — the context-window prep step of
+    * every LLM ingestion pipeline: token windows of `size` starting every
+    * `stride` tokens (overlap = size − stride), the trailing partial
+    * window kept. Pure per-row fan-out (sequence + explode + slice, all
+    * codegen'd): narrow, no shuffle, embarrassingly parallel at 100 TB.
+    * Output: (doc_id, chunk_id, n_tok, chunk_md5) — the digest stands in
+    * for shipping chunk text and doubles as a dedup key downstream. */
+  def chunk(docs: DataFrame, width: Int = 40, stride: Int = 30): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0L, (n - 1) div ${stride}L)")))
+      .withColumn("start", (col("chunk_id") * stride + 1).cast("int"))
+      .withColumn("n_tok",
+        least(lit(width.toLong), col("n") - col("start") + 1))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("start"), lit(width)))).as("chunk_md5"))
+  }
+
   /** Benchmark decontamination: per corpus doc, the number of distinct
     * `k`-shingles shared with `bench` (the eval set). Corpus-side work is
     * narrow (shingle + hash); the join hits only colliding shingles and

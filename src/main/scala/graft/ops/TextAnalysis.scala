@@ -284,6 +284,26 @@ object TextAnalysis {
       .orderBy(col("n_tokens").desc, col("dim"))
       .limit(topK)
 
+  /** Hashed-feature linear scorer — the fastText-style quality gate shape:
+    * every token hashes into `dims` buckets, each bucket carries a FIXED
+    * deterministic weight ((hash48(dim) mod 2001) − 1000 ∈ [−1000, 1000]),
+    * and a document's margin is the sum of its tokens' bucket weights
+    * (with multiplicity). Stands in for applying a trained linear model at
+    * scale: O(tokens) map-side-combinable work, one doc-keyed exchange,
+    * top-k merge — no shuffle of raw text. Output: top `topK` docs by
+    * (margin desc, doc_id): (doc_id, n_tok, margin). */
+  def linearScore(docs: DataFrame, dims: Int = 256,
+                  topK: Int = 20): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("dim", Dedup.hash48(col("token"), lit("fh")) % dims)
+      .withColumn("wt",
+        Dedup.hash48(col("dim").cast("string"), lit("lw")) % 2001 - 1000)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("wt")).as("margin"))
+      .orderBy(col("margin").desc, col("doc_id"))
+      .limit(topK)
+
   /** Zipf-law fit over the corpus token-frequency distribution: the
     * least-squares slope of log₂ freq vs log₂ rank across the top
     * `topR` tokens (Zipf exponent ≈ −slope; natural text sits near −1,

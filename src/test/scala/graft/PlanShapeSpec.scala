@@ -157,7 +157,9 @@ class PlanShapeSpec extends SparkSpec {
     ("q_path_length", 1, 0),       // route window + agg share one shuffle
     ("q_harmonic", 1, 0),          // BFS checkpointed; one seed agg
     ("q_jaccard_edges", 4, 2),     // wedge join; tiny edge/deg frames bc
-    ("q_weighted_sample", 0, 0))   // TakeOrderedAndProject, no exchange
+    ("q_weighted_sample", 0, 0),   // TakeOrderedAndProject, no exchange
+    ("q_chunk_documents", 0, 0),   // pure narrow fan-out, zero shuffle
+    ("q_linear_score", 1, 0))      // one doc-keyed agg + top-k merge
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
