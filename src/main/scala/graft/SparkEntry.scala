@@ -28,7 +28,8 @@ object Registry {
       queries.Round23Queries.defs ++ queries.Round24Queries.defs ++
       queries.Round25Queries.defs ++ queries.Round26Queries.defs ++
       queries.Round27Queries.defs ++ queries.Round28Queries.defs ++
-      queries.Round29Queries.defs ++ queries.Round30Queries.defs
+      queries.Round29Queries.defs ++ queries.Round30Queries.defs ++
+      queries.Round31Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ABC / Pareto classification — "which 20% of parts carry 80% of
+  * revenue": every item is classed A/B/C by where the global
+  * revenue-descending cumulative share crosses `aPct`/`bPct`.
+  *
+  * The global ordered prefix sum is THE classic unscalable plan (one
+  * all-data window partition), so it runs BANDED two-phase instead:
+  * items bucket by the bit length of their value (bin-string length —
+  * integer-exact in any engine, and order-compatible: every item of a
+  * higher band outranks every item of a lower band), the ≤64 band
+  * totals cumulate on a bounded-by-construction tiny frame, and each
+  * item adds its within-band prefix (band-keyed window) to its band's
+  * broadcast offset. Same shape as distributed sort-prefix-sum; no
+  * partition ever sees more than one band.
+  */
+object Pareto {
+
+  /** Class A/B/C summary of `items` (idCol, centsCol ≥ 0): an item is A
+    * while the EXCLUSIVE cumulative share (rows strictly ahead in
+    * (value desc, id) order) is below `aPct`%, B below `bPct`%, else C —
+    * so the item crossing a boundary still belongs to the upper class.
+    * All comparisons are integer-exact. Output:
+    * (cls, n_items, rev_cents, share_e6). */
+  def abcClasses(items: DataFrame, idCol: String, centsCol: String,
+                 aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    require(0 < aPct && aPct < bPct && bPct < 100)
+    val it = items.select(col(idCol).as("id"),
+        col(centsCol).cast("long").as("v"))
+      .withColumn("band", length(bin(col("v"))).cast("long"))
+      .localCheckpoint(true) // one pass feeds bands AND the item walk
+    val bands = it.groupBy(col("band"))
+      .agg(sum(col("v")).as("bv"), count(lit(1)).as("bn"))
+    // ≤ 64 rows: the cross-band cumulative runs on a bounded tiny frame.
+    val wBands = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bands
+      .withColumn("off", coalesce(sum(col("bv")).over(wBands), lit(0L)))
+      .select(col("band"), col("off"))
+    val tot = it.agg(sum(col("v")).as("t"))
+    val wIn = Window.partitionBy(col("band"))
+      .orderBy(col("v").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    it.withColumn("pre", coalesce(sum(col("v")).over(wIn), lit(0L)))
+      .join(broadcast(offs), Seq("band"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_excl", col("off") + col("pre"))
+      .withColumn("cls",
+        when(col("cum_excl") * 100 < lit(aPct.toLong) * col("t"), "A")
+          .when(col("cum_excl") * 100 < lit(bPct.toLong) * col("t"), "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_items"), sum(col("v")).as("rev_cents"),
+        // class revenue × 1e6 can pass 2^63 — ride DECIMAL(38,0)
+        expr("""CAST(CAST(sum(v) AS DECIMAL(38,0)) * 1000000
+               |     div max(t) AS BIGINT) AS share_e6""".stripMargin))
+  }
+}
