@@ -680,4 +680,36 @@ object TimeSeries {
       .withColumn("mase_e6",
         expr("CASE WHEN sae_naive = 0 THEN NULL ELSE sae_seasonal * 1000000L div sae_naive END"))
   }
+
+  /** Watermark-lateness audit — the BATCH answer to "is the streaming
+    * watermark wide enough for this feed": replay events in arrival order
+    * (`seqCol`, the producer's append sequence) per key, track the
+    * running max event time (what the stream's watermark tracker sees),
+    * and classify each event against watermark = maxSoFar − `delayUs`:
+    * kept if its event time is ≥ the watermark at arrival, dropped
+    * otherwise — exactly the Structured Streaming admission rule
+    * (`withWatermark`). Output per key: (key, n, n_kept, n_dropped,
+    * max_late_s — worst lateness beyond the delay among drops, 0 if
+    * none).
+    *
+    * Scale: one key-partitioned arrival-order window + one keyed
+    * aggregate — the sessionizer shuffle shape, nothing global. */
+  def watermarkAudit(df: DataFrame, keyCol: String, tsCol: String,
+                     seqCol: String, delayUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(delayUs >= 0L)
+    val w = Window.partitionBy(col("k")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("t_us"),
+        col(seqCol).as("seq"))
+      .withColumn("wm_us", max(col("t_us")).over(w) - delayUs)
+      .withColumn("late_us",
+        when(col("wm_us").isNull, 0L)
+          .otherwise(greatest(col("wm_us") - col("t_us"), lit(0L))))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") === 0L, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_dropped"),
+        expr("max(late_us) div 1000000 AS max_late_s"))
+  }
 }
