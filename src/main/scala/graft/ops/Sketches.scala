@@ -44,6 +44,36 @@ object Sketches {
       .groupBy(col(itemCol)).agg(min(col("c")).as("cms_est"))
   }
 
+  /** Equi-join cardinality estimate from two [[cmsBuild]] counter tables
+    * — the optimizer-grade "how big will this join be" sketch (AMS/CMS
+    * inner product, Alon–Matias–Szegedy): per sketch row j, Σ_bucket
+    * cA·cB overestimates Σ_key n_A(k)·n_B(k); min over the d rows is the
+    * estimate. The exact size comes from joining the two key-count
+    * frames (never the raw fact tables). Output one row:
+    * (est_rows, exact_rows, over_e6 = (est−exact)·1e6 div exact) —
+    * over_e6 ≥ 0 because CMS only collides upward.
+    *
+    * Scale: each side is one keyed count (map-side combinable) feeding
+    * both the d·w counter table (tiny) and the exact-product join; the
+    * sketch dot is a d·w-row join — constant-size regardless of input. */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
+                       bKey: String, d: Int = 3, w: Int = 64): DataFrame = {
+    val est = cmsBuild(a, aKey, d, w)
+      .join(cmsBuild(b, bKey, d, w).withColumnRenamed("c", "cb"),
+        Seq("j", "bucket"))
+      .groupBy(col("j")).agg(sum(col("c") * col("cb")).as("dot"))
+      .agg(min(col("dot")).as("est_rows"))
+    val exact = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("na"))
+      .join(b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("nb")),
+        Seq("k"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_rows"))
+    est.crossJoin(exact)
+      .withColumn("over_e6",
+        expr("""CASE WHEN exact_rows = 0 THEN NULL
+               |     ELSE (est_rows - exact_rows) * 1000000L div exact_rows
+               |END""".stripMargin))
+  }
+
   /** DDSketch-style RELATIVE-error quantiles: values land in logarithmic
     * buckets `log₂(v)·1e6 div kE6` (γ = 2^(kE6/1e6), relative error
     * α ≈ (γ−1)/(γ+1)), so per-key sketch state is O(log range) counters

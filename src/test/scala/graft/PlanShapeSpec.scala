@@ -161,7 +161,8 @@ class PlanShapeSpec extends SparkSpec {
     ("q_chunk_documents", 0, 0),   // pure narrow fan-out, zero shuffle
     ("q_linear_score", 1, 0),      // one doc-keyed agg + top-k merge
     ("q_abc_pareto", 3, 2),        // banded prefix: band window + bc offsets
-    ("q_watermark_audit", 1, 0))   // arrival-order window + agg, one shuffle
+    ("q_watermark_audit", 1, 0),   // arrival-order window + agg, one shuffle
+    ("q_join_size_estimate", 5, 2))// two key-count aggs + tiny sketch joins
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
