@@ -67,4 +67,39 @@ object ClusterEval {
       .agg(count(lit(1)).as("n_vecs"), sum(col("s_e6")).as("sum_sil_e6"),
         sum(when(col("s_e6") < 0, 1L).otherwise(0L)).as("n_neg"))
   }
+
+  /** Embedding drift monitor: per label, the squared L2 distance between
+    * the centroid of the `probeFold` slice (vec_id mod 5 = fold) and the
+    * centroid of the rest — the "did this batch's embeddings move" alarm
+    * a production embedding pipeline keeps per class. Same quantize +
+    * floor-exact integer centroids as [[centroidSilhouette]]; d² is in
+    * e12 units (e6 coords squared). Output:
+    * (label, n_probe, n_ref, drift_d2_e12).
+    *
+    * Scale: two tiny centroid aggregates off one component-exploded
+    * scan; the comparison joins k·dim against k·dim. */
+  def centroidDrift(emb: DataFrame, probeFold: Long = 0L): DataFrame = {
+    val comp = emb.select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        posexplode(expr(
+          """transform(CAST(embedding AS ARRAY<DOUBLE>),
+            |          x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"""
+            .stripMargin)).as(Seq("i", "v")))
+      .withColumn("probe", (col("vec_id") % 5 === probeFold).cast("int"))
+      .localCheckpoint(true)
+    def cent(df: DataFrame) = df.groupBy(col("label"), col("i"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("c"),
+        count(lit(1)).as("nd")) // rows per (label, i) = n_vecs
+    val p = cent(comp.filter(col("probe") === 1))
+      .select(col("label"), col("i"), col("c").as("cp"), col("nd").as("np"))
+    val r = cent(comp.filter(col("probe") === 0))
+      .select(col("label"), col("i"), col("c").as("cr"), col("nd").as("nr"))
+    p.join(r, Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(max(col("np")).cast("long").as("n_probe"),
+        max(col("nr")).cast("long").as("n_ref"),
+        sum((col("cp") - col("cr")) * (col("cp") - col("cr")))
+          .as("drift_d2_e12"))
+  }
 }

@@ -304,6 +304,25 @@ object TextAnalysis {
       .orderBy(col("margin").desc, col("doc_id"))
       .limit(topK)
 
+  /** Active-learning batch selection (uncertainty sampling): the `topK`
+    * documents whose [[linearScore]] margin sits closest to the decision
+    * boundary (|margin| asc, ties by doc_id) — the rows a labeling loop
+    * would send for annotation next. Same one-exchange aggregate as the
+    * scorer; selection is a top-k merge, never a global sort. Output:
+    * (doc_id, n_tok, margin, abs_margin). */
+  def uncertaintySample(docs: DataFrame, dims: Int = 256,
+                        topK: Int = 20): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("dim", Dedup.hash48(col("token"), lit("fh")) % dims)
+      .withColumn("wt",
+        Dedup.hash48(col("dim").cast("string"), lit("lw")) % 2001 - 1000)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("wt")).as("margin"))
+      .withColumn("abs_margin", abs(col("margin")))
+      .orderBy(col("abs_margin"), col("doc_id"))
+      .limit(topK)
+
   /** Zipf-law fit over the corpus token-frequency distribution: the
     * least-squares slope of log₂ freq vs log₂ rank across the top
     * `topR` tokens (Zipf exponent ≈ −slope; natural text sits near −1,

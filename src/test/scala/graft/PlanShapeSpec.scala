@@ -162,7 +162,9 @@ class PlanShapeSpec extends SparkSpec {
     ("q_linear_score", 1, 0),      // one doc-keyed agg + top-k merge
     ("q_abc_pareto", 3, 2),        // banded prefix: band window + bc offsets
     ("q_watermark_audit", 1, 0),   // arrival-order window + agg, one shuffle
-    ("q_join_size_estimate", 5, 2))// two key-count aggs + tiny sketch joins
+    ("q_join_size_estimate", 5, 2),// two key-count aggs + tiny sketch joins
+    ("q_centroid_drift", 3, 1),    // two centroid aggs + tiny k·dim join
+    ("q_uncertainty_sample", 1, 0))// one doc agg + top-k merge
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
