@@ -164,7 +164,9 @@ class PlanShapeSpec extends SparkSpec {
     ("q_watermark_audit", 1, 0),   // arrival-order window + agg, one shuffle
     ("q_join_size_estimate", 5, 2),// two key-count aggs + tiny sketch joins
     ("q_centroid_drift", 3, 1),    // two centroid aggs + tiny k·dim join
-    ("q_uncertainty_sample", 1, 0))// one doc agg + top-k merge
+    ("q_uncertainty_sample", 1, 0),// one doc agg + top-k merge
+    ("q_dau_stickiness", 3, 0),    // (u,day) dedup + scatter dedup + join
+    ("q_event_trigrams", 2, 0))    // entity sort window + trigram count
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
