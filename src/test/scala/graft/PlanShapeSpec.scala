@@ -166,7 +166,9 @@ class PlanShapeSpec extends SparkSpec {
     ("q_centroid_drift", 3, 1),    // two centroid aggs + tiny k·dim join
     ("q_uncertainty_sample", 1, 0),// one doc agg + top-k merge
     ("q_dau_stickiness", 3, 0),    // (u,day) dedup + scatter dedup + join
-    ("q_event_trigrams", 2, 0))    // entity sort window + trigram count
+    ("q_event_trigrams", 2, 0),    // entity sort window + trigram count
+    ("q_tpch_unshipped", 1, 2),    // Q3 shape: bc segment dim + order agg
+    ("q_semiadditive", 2, 0))      // argmax month-end + month rollup
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
