@@ -31,7 +31,8 @@ object Registry {
       queries.Round29Queries.defs ++ queries.Round30Queries.defs ++
       queries.Round31Queries.defs ++ queries.Round32Queries.defs ++
       queries.Round33Queries.defs ++ queries.Round34Queries.defs ++
-      queries.Round35Queries.defs ++ queries.Round36Queries.defs
+      queries.Round35Queries.defs ++ queries.Round36Queries.defs ++
+      queries.Round37Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

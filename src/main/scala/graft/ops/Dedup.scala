@@ -32,6 +32,31 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Normalization-sensitive dedup audit: how much duplicate mass is
+    * FORMATTING-only (case/punctuation) versus byte-identical. Texts
+    * group by md5 of the normalized form (lowercase, strip every char
+    * outside [a-z0-9 ] — a pattern whose semantics agree between Java
+    * regex and RE2, so the oracle reproduces it); each group also counts
+    * its distinct RAW digests. One-row summary:
+    * (n_docs, n_groups, n_dup_groups, n_format_only_groups,
+    *  docs_in_dup_groups). A group is a dup group when it holds > 1 doc;
+    * format-only when additionally all raw digests differ — i.e. the
+    * rows exact dedup would MISS. One keyed aggregate + one global. */
+  def normalizedStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("raw_md5"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+          .as("norm_md5"))
+      .groupBy(col("norm_md5"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("raw_md5")).as("raw_variants"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_groups"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("n") > 1 && col("raw_variants") === col("n"), 1L)
+          .otherwise(0L)).as("n_format_only_groups"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L))
+          .as("docs_in_dup_groups"))
+
   /** Word k-shingles (docs with fewer than k words are dropped — they have
     * no k-shingle). */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame = {

@@ -58,6 +58,34 @@ object IntervalJoin {
         sum(col("seg_e") - col("seg_s")).as("covered"))
   }
 
+  /** Peak concurrency per key — "max simultaneous sessions": the classic
+    * sweep line. Each half-open interval [s, e) emits (+1 at s, −1 at e);
+    * the running sum over (t, delta) order peaks at the answer. Ties:
+    * delta −1 sorts before +1, so an interval ending exactly where
+    * another starts never counts as overlap; among equal (t, delta) rows
+    * the row order is arbitrary but the MAX of the running sum is
+    * permutation-invariant (the sum walks through every permutation to
+    * the same extremes). Output: (key, n_intervals, peak).
+    *
+    * Scale: one key-partitioned sort window + one keyed aggregate —
+    * linear, never the quadratic per-key overlap self-join. */
+  def peakConcurrency(df: DataFrame, keyCol: String, startCol: String,
+                      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(col(keyCol).as("key"), col(startCol).as("s"),
+        col(endCol).as("e"))
+      .select(col("key"), explode(array(
+        struct(col("s").as("t"), lit(1L).as("delta")),
+        struct(col("e").as("t"), lit(-1L).as("delta")))).as("ev"))
+      .select(col("key"), col("ev.t").as("t"), col("ev.delta").as("delta"))
+    val run = Window.partitionBy(col("key")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("c", sum(col("delta")).over(run))
+      .groupBy(col("key"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(col("c")).as("peak"))
+  }
+
   def selfPairsWithin(df: DataFrame, key: String, idCol: String, tsCol: String,
                       tolSec: Long): DataFrame = {
     require(tolSec > 0, "tolerance must be positive")

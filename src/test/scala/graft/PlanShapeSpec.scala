@@ -168,7 +168,9 @@ class PlanShapeSpec extends SparkSpec {
     ("q_dau_stickiness", 3, 0),    // (u,day) dedup + scatter dedup + join
     ("q_event_trigrams", 2, 0),    // entity sort window + trigram count
     ("q_tpch_unshipped", 1, 2),    // Q3 shape: bc segment dim + order agg
-    ("q_semiadditive", 2, 0))      // argmax month-end + month rollup
+    ("q_semiadditive", 2, 0),      // argmax month-end + month rollup
+    ("q_peak_concurrency", 1, 0),  // sweep-line window + agg, one shuffle
+    ("q_dedup_normalized", 2, 0))  // norm-group agg + one-row summary
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
