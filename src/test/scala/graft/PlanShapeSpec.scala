@@ -170,7 +170,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_tpch_unshipped", 1, 2),    // Q3 shape: bc segment dim + order agg
     ("q_semiadditive", 2, 0),      // argmax month-end + month rollup
     ("q_peak_concurrency", 1, 0),  // sweep-line window + agg, one shuffle
-    ("q_dedup_normalized", 2, 0))  // norm-group agg + one-row summary
+    ("q_dedup_normalized", 2, 0),  // norm-group agg + one-row summary
+    ("q_tpch_custdist", 3, 0),     // orders pre-agg + outer join + histogram
+    ("q_tpch_promo", 1, 1),        // part dim broadcast; one conditional agg
+    ("q_tpch_returns", 3, 1),      // li⋈o + cust-grain agg; customer broadcast
+    ("q_tpch_idle_rich", 3, 1))    // scalar thr broadcast + anti join + agg
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
