@@ -32,7 +32,8 @@ object Registry {
       queries.Round31Queries.defs ++ queries.Round32Queries.defs ++
       queries.Round33Queries.defs ++ queries.Round34Queries.defs ++
       queries.Round35Queries.defs ++ queries.Round36Queries.defs ++
-      queries.Round37Queries.defs ++ queries.Round38Queries.defs
+      queries.Round37Queries.defs ++ queries.Round38Queries.defs ++
+      queries.Round39Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

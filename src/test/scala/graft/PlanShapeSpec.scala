@@ -174,7 +174,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_tpch_custdist", 3, 0),     // orders pre-agg + outer join + histogram
     ("q_tpch_promo", 1, 1),        // part dim broadcast; one conditional agg
     ("q_tpch_returns", 3, 1),      // li⋈o + cust-grain agg; customer broadcast
-    ("q_tpch_idle_rich", 3, 1))    // scalar thr broadcast + anti join + agg
+    ("q_tpch_idle_rich", 3, 1),    // scalar thr broadcast + anti join + agg
+    ("q_mann_kendall", 6, 2),      // daily agg + pair join + tie agg (tiny bc)
+    ("q_kruskal_wallis", 6, 3),    // axis agg + midrank spine + group terms
+    ("q_jarque_bera", 1, 0),       // ONE moment aggregate, s1..s4 map-side
+    ("q_max_drawdown", 1, 0))      // run/peak windows + agg share one shuffle
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
