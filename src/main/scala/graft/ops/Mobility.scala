@@ -153,4 +153,82 @@ object Mobility {
         coalesce(sum(col("seg")), lit(0L)).as("len_total"),
         coalesce(max(col("seg")), lit(0L)).as("len_max"))
   }
+
+  /** Co-location pairs: vehicles observed in the SAME snapped cell
+    * within the SAME time bucket, scored by how many distinct
+    * (cell, bucket) blocks they share; top `k` pairs (count desc,
+    * pair asc). The contact-graph builder of proximity analytics.
+    * Output: (veh_a, veh_b, n_blocks).
+    *
+    * Scale: presence is deduplicated to the (veh, cell, bucket) grain
+    * FIRST (one keyed agg — the self-join never sees raw pings), then
+    * the pair join is blocked on (cell, bucket): only same-block
+    * vehicles ever pair, the classic spatial-join blocking. A hot block
+    * with V vehicles costs V²/2 pairs — bound it upstream by bucket
+    * width, never by sampling pairs. */
+  def colocation(pos: DataFrame, res: Int, bucketUs: Long,
+                 k: Int): DataFrame = {
+    require(bucketUs > 0L)
+    val presence = pos.select(col("vehicleId").as("veh"),
+        hex_cell_id(col("lat"), col("lon"), res).as("cell"),
+        expr(s"unix_micros(eventTs) div ${bucketUs}L").as("bkt"))
+      .distinct()
+    val a = presence.select(col("cell"), col("bkt"), col("veh").as("veh_a"))
+    val b = presence.select(col("cell"), col("bkt"), col("veh").as("veh_b"))
+    a.join(b, Seq("cell", "bkt"))
+      .filter(col("veh_a") < col("veh_b"))
+      .groupBy(col("veh_a"), col("veh_b"))
+      .agg(count(lit(1)).as("n_blocks"))
+      .orderBy(col("n_blocks").desc, col("veh_a"), col("veh_b"))
+      .limit(k)
+  }
+
+  /** Stay-point detection: maximal runs of CONSECUTIVE positions (by
+    * (ts, tie) within a vehicle) snapped to the same cell, kept when the
+    * run spans ≥ `minStayUs`, rolled up per cell. The stop/POI-visit
+    * primitive of trajectory mining. Output:
+    * (cell, n_stays, stay_s, max_stay_s).
+    *
+    * Scale: run detection is the standard gaps-and-islands window pair
+    * on the vehicle key (ONE keyed exchange); the rollup re-keys to the
+    * cell. Nothing quadratic, no self-join. */
+  def stayPoints(pos: DataFrame, res: Int, minStayUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("veh")).orderBy(col("t"), col("tie"))
+    val runs = pos.select(col("vehicleId").as("veh"),
+        unix_micros(col("eventTs")).as("t"), col("event_id").as("tie"),
+        hex_cell_id(col("lat"), col("lon"), res).as("cell"))
+      .withColumn("brk",
+        when(lag(col("cell"), 1).over(w).isNull ||
+          lag(col("cell"), 1).over(w) =!= col("cell"), 1L).otherwise(0L))
+      .withColumn("run", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy(col("veh"), col("run"), col("cell"))
+      .agg((max(col("t")) - min(col("t"))).as("dur"))
+      .filter(col("dur") >= minStayUs)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_stays"),
+        expr("sum(dur) div 1000000").as("stay_s"),
+        expr("max(dur) div 1000000").as("max_stay_s"))
+  }
+
+  /** Location entropy per vehicle: Shannon entropy of its cell-visit
+    * distribution in e6 log₂ fixed point — the predictability measure
+    * of Song et al. (Science 2010)'s mobility-limits analysis.
+    * H_e6 = log2e6(T) − (Σ cnt·log2e6(cnt)) div T (exact identity on
+    * the shared fixed-point log₂, integer end to end). Output:
+    * (veh, n_visits, n_cells, entropy_e6).
+    *
+    * Scale: a (veh, cell) count then a veh rollup — two map-side-
+    * combinable aggregates, no windows, no joins. */
+  def locationEntropy(pos: DataFrame, res: Int): DataFrame =
+    pos.select(col("vehicleId").as("veh"),
+        hex_cell_id(col("lat"), col("lon"), res).as("cell"))
+      .groupBy(col("veh"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("veh"))
+      .agg(sum(col("cnt")).as("n_visits"), count(lit(1)).as("n_cells"),
+        sum(col("cnt") * Bm25.log2E6(col("cnt"))).as("clc"))
+      .select(col("veh"), col("n_visits"), col("n_cells"),
+        (Bm25.log2E6(col("n_visits")) -
+          expr("clc div n_visits")).as("entropy_e6"))
 }

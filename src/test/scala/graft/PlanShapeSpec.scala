@@ -178,7 +178,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_mann_kendall", 6, 2),      // daily agg + pair join + tie agg (tiny bc)
     ("q_kruskal_wallis", 6, 3),    // axis agg + midrank spine + group terms
     ("q_jarque_bera", 1, 0),       // ONE moment aggregate, s1..s4 map-side
-    ("q_max_drawdown", 1, 0))      // run/peak windows + agg share one shuffle
+    ("q_max_drawdown", 1, 0),      // run/peak windows + agg share one shuffle
+    ("q_colocation", 4, 0),        // presence dedup + blocked pair join + agg
+    ("q_stay_points", 2, 0),       // veh islands window + cell rollup
+    ("q_location_entropy", 2, 0),  // (veh,cell) count + veh rollup
+    ("q_hourly_heatmap", 2, 0))    // 168-cell agg + type-share window
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
