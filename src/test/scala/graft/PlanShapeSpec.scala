@@ -182,7 +182,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_colocation", 4, 0),        // presence dedup + blocked pair join + agg
     ("q_stay_points", 2, 0),       // veh islands window + cell rollup
     ("q_location_entropy", 2, 0),  // (veh,cell) count + veh rollup
-    ("q_hourly_heatmap", 2, 0))    // 168-cell agg + type-share window
+    ("q_hourly_heatmap", 2, 0),    // 168-cell agg + type-share window
+    ("q_perceptron", 0, 1),        // two scalar aggs; w1 broadcast to r2
+    ("q_reciprocal_best", 4, 0),   // pair scan checkpointed; 2 argmin windows
+    ("q_lateness_histogram", 1, 0),// arrival window + band agg, one shuffle
+    ("q_runs_test", 2, 0))         // daily agg + sign/chg windows share key
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
