@@ -288,6 +288,101 @@ object TimeSeries {
       (col(s"l$m") + col(s"b$m")).as("forecast_cents"))
   }
 
+  /** Holt–Winters additive triple smoothing (α = β = γ = ½) of each
+    * key's first 2m values with season period m: bounded-horizon unroll
+    * like [[holtLinear]], plus the coupled seasonal state. Classic
+    * init — level = mean of season 1, trend = (mean₂ − mean₁)/m,
+    * seasonals = deviations from level — then m recursion steps
+    *   l_t = ((x_t − s_{t−m}) + l_{t−1} + b_{t−1}) div 2
+    *   b_t = ((l_t − l_{t−1}) + b_{t−1}) div 2
+    *   s_t = ((x_t − l_t) + s_{t−m}) div 2
+    * with every halving (and the /m² trend init) sign-factored so Spark
+    * `div` and DuckDB `//` agree. Keys with < 2m points drop (bounded-
+    * horizon contract). forecast = l + b + s_{m+1} (one step ahead).
+    * Output: (key, level, trend, season_next, forecast).
+    *
+    * Scale: rank window + ONE pivot aggregate per key; the unroll is
+    * fixed column arithmetic on a k-row frame — no joins, no loops. */
+  def holtWinters(df: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, valCol: String, m: Int = 7): DataFrame = {
+    require(m >= 2 && m <= 12, "season period must be in [2, 12]")
+    def sdiv(v: String, q: Long) =
+      s"(CASE WHEN ($v) >= 0 THEN ($v) div $q ELSE -((-($v)) div $q) END)"
+    val n = 2 * m
+    val w = Window.partitionBy(col("key")).orderBy(col("t"), col("tie"))
+    val ranked = df.select(col(keyCol).as("key"), col(tsCol).as("t"),
+        col(tieCol).as("tie"), col(valCol).as("x"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+    val pivoted = ranked.groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"), (1 to n).map(i =>
+        min(when(col("rn") === i, col("x"))).as(s"x$i")): _*)
+      .filter(col("cnt") === n)
+    val week1 = (1 to m).map(i => s"x$i").mkString(" + ")
+    val week2 = ((m + 1) to n).map(i => s"x$i").mkString(" + ")
+    val init = pivoted
+      .withColumn(s"l$m", expr(sdiv(week1, m)))
+      .withColumn(s"b$m", expr(sdiv(s"($week2) - ($week1)", m.toLong * m)))
+    val seeded = (1 to m).foldLeft(init) { (acc, i) =>
+      acc.withColumn(s"s$i", expr(s"x$i - l$m"))
+    }
+    val stepped = ((m + 1) to n).foldLeft(seeded) { (acc, t) =>
+      acc
+        .withColumn(s"l$t",
+          expr(sdiv(s"(x$t - s${t - m}) + l${t - 1} + b${t - 1}", 2)))
+        .withColumn(s"b$t",
+          expr(sdiv(s"(l$t - l${t - 1}) + b${t - 1}", 2)))
+        .withColumn(s"s$t", expr(sdiv(s"(x$t - l$t) + s${t - m}", 2)))
+    }
+    stepped.select(col("key"), col(s"l$n").as("level"),
+      col(s"b$n").as("trend"), col(s"s${m + 1}").as("season_next"),
+      (col(s"l$n") + col(s"b$n") + col(s"s${m + 1}")).as("forecast"))
+  }
+
+  /** SQL twin of [[holtWinters]] — the same unroll as chained CTEs
+    * (DuckDB `SELECT *, …` carries prior columns forward). */
+  def holtWintersSql(dailySql: String, m: Int = 7): String = {
+    def sdiv(v: String, q: Long) =
+      s"(CASE WHEN ($v) >= 0 THEN ($v) // $q ELSE -((-($v)) // $q) END)"
+    val n = 2 * m
+    val xs = (1 to n).map(i =>
+      s"min(CASE WHEN rn = $i THEN x END) AS x$i").mkString(",\n  ")
+    val week1 = (1 to m).map(i => s"x$i").mkString(" + ")
+    val week2 = ((m + 1) to n).map(i => s"x$i").mkString(" + ")
+    val seeds = (1 to m).map(i => s"x$i - l$m AS s$i").mkString(", ")
+    val steps = ((m + 1) to n).map { t =>
+      val from = if (t == m + 1) "hs" else s"h${t - 1}"
+      // two nested CTE hops per step: l_t first (b_t and s_t read it)
+      s"""h${t}a AS (SELECT *,
+         |  ${sdiv(s"(x$t - s${t - m}) + l${t - 1} + b${t - 1}", 2)} AS l$t
+         |  FROM $from),
+         |h$t AS (SELECT *,
+         |  ${sdiv(s"(l$t - l${t - 1}) + b${t - 1}", 2)} AS b$t,
+         |  ${sdiv(s"(x$t - l$t) + s${t - m}", 2)} AS s$t
+         |  FROM h${t}a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH series AS ($dailySql),
+       |ranked AS (
+       |  SELECT key, x, row_number() OVER (PARTITION BY key
+       |           ORDER BY t, tie) AS rn
+       |  FROM series),
+       |piv AS (
+       |  SELECT key, count(*) AS cnt,
+       |  $xs
+       |  FROM ranked WHERE rn <= $n GROUP BY key),
+       |h$m AS (
+       |  SELECT *, ${sdiv(week1, m)} AS l$m,
+       |         ${sdiv(s"($week2) - ($week1)", m.toLong * m)} AS b$m
+       |  FROM piv WHERE cnt = $n),
+       |hs AS (SELECT *, $seeds FROM h$m),
+       |$steps
+       |SELECT key, CAST(l$n AS BIGINT) AS level,
+       |       CAST(b$n AS BIGINT) AS trend,
+       |       CAST(s${m + 1} AS BIGINT) AS season_next,
+       |       CAST(l$n + b$n + s${m + 1} AS BIGINT) AS forecast
+       |FROM h$n""".stripMargin
+  }
+
   /** Burstiness per key as the Fano factor of per-bucket event counts:
     * variance-to-mean ratio over the OBSERVED buckets (Poisson arrivals
     * → 1; bursty → > 1; regular → < 1). ALL integer: with S = Σc,

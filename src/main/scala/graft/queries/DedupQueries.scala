@@ -39,7 +39,7 @@ object DedupQueries {
 
   /** Oracle twin of Dedup.candidates∘minhash∘shingles over `docsSql` —
     * shared by the candidate-pair and cluster queries. */
-  private def candSql(docsSql: String): String = {
+  private[queries] def candSql(docsSql: String): String = {
     val mh = PortableSql.hexSliceToLong("hx", "j * 8")
     s"""(WITH docs AS $docsSql,
        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),

@@ -186,7 +186,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_perceptron", 0, 1),        // two scalar aggs; w1 broadcast to r2
     ("q_reciprocal_best", 4, 0),   // pair scan checkpointed; 2 argmin windows
     ("q_lateness_histogram", 1, 0),// arrival window + band agg, one shuffle
-    ("q_runs_test", 2, 0))         // daily agg + sign/chg windows share key
+    ("q_runs_test", 2, 0),         // daily agg + sign/chg windows share key
+    ("q_quality_funnel", 1, 0),    // ONE scan + case ladder + stage agg
+    ("q_decontaminate_embedding", 1, 1), // bench broadcast; corpus never self-joins
+    ("q_minhash_curve", 8, 3),     // the shared candidates pipeline + curve agg
+    ("q_holt_winters", 2, 0))      // rank window + pivot agg; unroll is narrow
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
