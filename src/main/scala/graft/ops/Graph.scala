@@ -1254,6 +1254,67 @@ object Graph {
     decided.unionByName(und.select(col("id"), lit(-1L).as("state")))
   }
 
+  /** Jones–Plassmann greedy graph coloring, `rounds` synchronous
+    * hash-derandomized rounds: a node colors itself when its STATIC
+    * priority (hash48 of the id — drawn once, unlike Luby's per-round
+    * draws) beats every still-uncolored neighbor, taking the smallest
+    * color its already-colored neighbors don't hold (the mex, read off
+    * a SUM(DISTINCT 1<<color) bitmask — colors are bounded by degree).
+    * Nodes still uncolored after the horizon emit color −1. Output:
+    * (id, color, round_colored).
+    *
+    * Scale: per round one adjacency⋈uncolored join + one per-node max,
+    * one mask aggregate against the colored set, keyed anti-joins;
+    * every frontier localCheckpoints so lineage stays flat — the
+    * q_luby_mis shape plus one bounded mask join. */
+  def jonesPlassmann(nodes: DataFrame, edges: DataFrame,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16)
+    val mex = (0 to 15).foldRight(
+      lit(16L): org.apache.spark.sql.Column) { (b, acc) =>
+      when(expr(s"mask div ${1L << b} % 2") === 0, lit(b.toLong))
+        .otherwise(acc)
+    }
+    val cedges = canonical(edges)
+    val adj = cedges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(cedges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val pri0 = nodes.select(col("id")).distinct()
+      .withColumn("p", Dedup.hash48(col("id").cast("string"), lit("jp")))
+      .localCheckpoint(true)
+    var und = pri0
+    var colored = und.sparkSession.emptyDataFrame
+    var haveColored = false
+    (1 to rounds).foreach { r =>
+      val nbrBest = adj
+        .join(und.select(col("id").as("u")), "u")
+        .join(und.select(col("id").as("v"), col("p").as("pv")), "v")
+        .groupBy(col("u")).agg(max(struct(col("pv"), col("v"))).as("best"))
+      val winners = und.join(nbrBest, col("id") === col("u"), "left")
+        .filter(col("best").isNull ||
+          struct(col("p"), col("id")) > col("best"))
+        .select(col("id")).localCheckpoint(true)
+      val masks =
+        if (!haveColored) winners.withColumn("mask", lit(0L))
+        else adj.join(winners.select(col("id").as("u")), "u")
+          .join(colored.select(col("id").as("v"), col("color")), "v")
+          .groupBy(col("u"))
+          .agg(sum_distinct(expr("CAST(shiftleft(1L, CAST(color AS INT)) AS BIGINT)"))
+            .as("m"))
+          .join(winners, col("u") === col("id"), "right")
+          .select(col("id"), coalesce(col("m"), lit(0L)).as("mask"))
+      val newColored = masks
+        .select(col("id"), mex.as("color"), lit(r.toLong).as("round_colored"))
+        .localCheckpoint(true)
+      colored = if (haveColored) colored.unionByName(newColored)
+        else newColored
+      haveColored = true
+      und = und.join(winners, Seq("id"), "left_anti").localCheckpoint(true)
+    }
+    colored.unionByName(und.select(col("id"), lit(-1L).as("color"),
+      lit(-1L).as("round_colored")))
+  }
+
   /** Newman modularity of a community `labels` (id, label) assignment
     * over the canonical undirected `edges`: Q = Σ_c [in_c/m −
     * (deg_c/2m)²], computed ALL-INTEGER on the directed adjacency

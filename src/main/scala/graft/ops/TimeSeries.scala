@@ -288,6 +288,54 @@ object TimeSeries {
       (col(s"l$m") + col(s"b$m")).as("forecast_cents"))
   }
 
+  /** Token-bucket admission replay per key — the batch twin of a
+    * streaming rate limiter: the bucket starts full (`cap` tokens),
+    * refills one token per `refillSec` seconds of inter-event gap
+    * (truncating), costs one token per admitted event, and rejects when
+    * empty. The fold state packs (admitted·2²⁰ + tokens) into ONE
+    * BIGINT because DuckDB's list_reduce cannot carry struct
+    * accumulators — the same packed-long trick as q_attribution's range
+    * windows. Output: (key, n_events, admitted, rejected, tokens_left).
+    *
+    * Scale: the lag window and the per-key fold share one keyed
+    * exchange; state is O(1) per key — exactly the state a
+    * mapGroupsWithState limiter would carry. */
+  def tokenBucketReplay(df: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, cap: Long = 10L,
+                        refillSec: Long = 60L): DataFrame = {
+    require(cap >= 1 && refillSec >= 1)
+    // Credit is carried in MICROSECONDS (one whole token = refillSec·1e6)
+    // so sub-token gaps accumulate exactly instead of truncating away.
+    val tokUs = refillSec * 1000000L
+    val capUs = cap * tokUs
+    val scale = 1L << 40 // capUs < 2^40 ⇒ admitted count rides the high bits
+    require(capUs < scale, "cap*refillSec too large for the packed state")
+    val w = Window.partitionBy(col("key")).orderBy(col("t"), col("tie"))
+    val withDt = df.select(col(keyCol).as("key"), col(tsCol).as("t"),
+        col(tieCol).as("tie"))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .withColumn("dt", expr("coalesce(t - prev_t, 0L)"))
+    withDt
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("t"), col("tie"),
+        col("dt")))).as("seq"))
+      .select(col("key"), expr("size(seq)").cast("long").as("n_events"),
+        expr(
+          s"""aggregate(seq, ${capUs}L, (acc, x) ->
+             |  CASE WHEN least(${capUs}L, acc % ${scale}L + x.dt)
+             |            >= ${tokUs}L
+             |       THEN (acc div ${scale}L + 1) * ${scale}L
+             |            + least(${capUs}L, acc % ${scale}L + x.dt)
+             |            - ${tokUs}L
+             |       ELSE (acc div ${scale}L) * ${scale}L
+             |            + least(${capUs}L, acc % ${scale}L + x.dt)
+             |  END)""".stripMargin).as("st"))
+      .select(col("key"), col("n_events"),
+        expr(s"st div ${scale}L").as("admitted"),
+        (col("n_events") - expr(s"st div ${scale}L")).as("rejected"),
+        expr(s"(st % ${scale}L) div ${tokUs}L").as("tokens_left"))
+  }
+
   /** Holt–Winters additive triple smoothing (α = β = γ = ½) of each
     * key's first 2m values with season period m: bounded-horizon unroll
     * like [[holtLinear]], plus the coupled seasonal state. Classic

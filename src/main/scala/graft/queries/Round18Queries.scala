@@ -91,13 +91,17 @@ object Round18Queries {
     QueryDef("q_naive_bayes",
       (s, d) => Classify.naiveBayesConfusion(
         Tables.documents(s, d), "doc_id", "lang", "text", 0L),
-      Some {
-        val lgCnt = Bm25.log2E6Sql("(coalesce(mo.cnt, 0) + 1)")
-        val lgNc = Bm25.log2E6Sql("n_c")
-        // CAST: tot_c is a DuckDB sum() → HUGEINT, and a HUGEINT index
-        // breaks the helper's mantissa-table subscript.
-        val lgDen = Bm25.log2E6Sql("CAST(tot_c + v AS BIGINT)")
-        s"""WITH tok AS (
+      Some(Round18Queries.nbConfusionSql))) ++ defsTail
+
+  /** Oracle twin of Classify.naiveBayesConfusion over `documents` —
+    * shared with q_confusion_metrics (Round43). */
+  private[queries] def nbConfusionSql: String = {
+    val lgCnt = Bm25.log2E6Sql("(coalesce(mo.cnt, 0) + 1)")
+    val lgNc = Bm25.log2E6Sql("n_c")
+    // CAST: tot_c is a DuckDB sum() → HUGEINT, and a HUGEINT index
+    // breaks the helper's mantissa-table subscript.
+    val lgDen = Bm25.log2E6Sql("CAST(tot_c + v AS BIGINT)")
+    s"""WITH tok AS (
            |  SELECT doc_id AS id, lang AS label, doc_id % 5 AS fold, wd AS tok
            |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS wd
            |        FROM documents) u WHERE wd <> ''),
@@ -129,7 +133,9 @@ object Round18Queries {
            |       FROM fin)
            |SELECT label, pred, count(*) AS n_docs
            |FROM pr WHERE rn = 1 GROUP BY 1, 2""".stripMargin
-      }),
+  }
+
+  def defsTail: Seq[QueryDef] = Seq(
 
     // ── Strongly connected components of the functional graph
     //    id → (7·id + 3) mod 100: cycle nodes share a component, tree

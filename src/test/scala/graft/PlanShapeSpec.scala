@@ -190,7 +190,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_quality_funnel", 1, 0),    // ONE scan + case ladder + stage agg
     ("q_decontaminate_embedding", 1, 1), // bench broadcast; corpus never self-joins
     ("q_minhash_curve", 8, 3),     // the shared candidates pipeline + curve agg
-    ("q_holt_winters", 2, 0))      // rank window + pivot agg; unroll is narrow
+    ("q_holt_winters", 2, 0),      // rank window + pivot agg; unroll is narrow
+    ("q_graph_coloring", 0, 0),    // every round's frontier checkpointed
+    ("q_token_bucket", 1, 0),      // lag window + per-key fold share one key
+    ("q_volume_anomaly", 3, 1),    // daily agg + moments broadcast back
+    ("q_confusion_metrics", 3, 0)) // confusion checkpointed; 2 marginal joins
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
