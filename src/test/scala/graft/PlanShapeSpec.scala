@@ -194,7 +194,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_graph_coloring", 0, 0),    // every round's frontier checkpointed
     ("q_token_bucket", 1, 0),      // lag window + per-key fold share one key
     ("q_volume_anomaly", 3, 1),    // daily agg + moments broadcast back
-    ("q_confusion_metrics", 3, 0)) // confusion checkpointed; 2 marginal joins
+    ("q_confusion_metrics", 3, 0), // confusion checkpointed; 2 marginal joins
+    ("q_dtw_paa", 1, 1),           // PAA checkpointed; bc pair join, DP narrow
+    ("q_tpch_trade_flows", 2, 4),  // ONE li⋈o shuffle; 4+ dim broadcasts
+    ("q_hurst", 3, 0))             // rank window + block/scale aggs, keyed
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
