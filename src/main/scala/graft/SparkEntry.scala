@@ -35,7 +35,8 @@ object Registry {
       queries.Round37Queries.defs ++ queries.Round38Queries.defs ++
       queries.Round39Queries.defs ++ queries.Round40Queries.defs ++
       queries.Round41Queries.defs ++ queries.Round42Queries.defs ++
-      queries.Round43Queries.defs ++ queries.Round44Queries.defs
+      queries.Round43Queries.defs ++ queries.Round44Queries.defs ++
+      queries.Round45Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -54,23 +54,7 @@ object Round22Queries {
         Tables.lineitem(s, d)
           .select(col("l_orderkey").as("b"), col("l_partkey").as("i")),
         "b", "i", 2L, 5),
-      Some("""WITH bi AS MATERIALIZED (
-             |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-             |itot AS (SELECT i, count(*) AS ci FROM bi GROUP BY i),
-             |co AS (SELECT x.i AS item, y.i AS rec, count(*) AS n_co
-             |       FROM bi x JOIN bi y ON x.b = y.b AND x.i <> y.i
-             |       GROUP BY 1, 2 HAVING count(*) >= 2),
-             |sc AS (SELECT item, rec, n_co,
-             |         CAST(n_co * n_co * 1000000000000 // (a.ci * b.ci)
-             |              AS BIGINT) AS cos2_e12
-             |       FROM co JOIN itot a ON a.i = co.item
-             |               JOIN itot b ON b.i = co.rec),
-             |rk AS (SELECT item, rec, n_co, cos2_e12, row_number() OVER
-             |         (PARTITION BY item ORDER BY cos2_e12 DESC, rec) AS rk
-             |       FROM sc)
-             |SELECT item, rec, CAST(n_co AS BIGINT) AS n_co, cos2_e12,
-             |       CAST(rk AS BIGINT) AS rk
-             |FROM rk WHERE rk <= 5""".stripMargin)),
+      Some(Round22Queries.itemCfSql)),
 
     // ── B-cubed quality of the 4-round label-prop communities against
     //    the decade ground truth (id div 10) on the ring graph.
@@ -178,4 +162,25 @@ object Round22Queries {
           rows.mkString("\nUNION ALL\n")
       })
   )
+
+  /** Oracle twin of Recsys.itemCf over lineitem baskets — shared with
+    * q_rec_coverage (Round45). */
+  private[queries] val itemCfSql: String =
+    """WITH bi AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |itot AS (SELECT i, count(*) AS ci FROM bi GROUP BY i),
+      |co AS (SELECT x.i AS item, y.i AS rec, count(*) AS n_co
+      |       FROM bi x JOIN bi y ON x.b = y.b AND x.i <> y.i
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sc AS (SELECT item, rec, n_co,
+      |         CAST(n_co * n_co * 1000000000000 // (a.ci * b.ci)
+      |              AS BIGINT) AS cos2_e12
+      |       FROM co JOIN itot a ON a.i = co.item
+      |               JOIN itot b ON b.i = co.rec),
+      |rk AS (SELECT item, rec, n_co, cos2_e12, row_number() OVER
+      |         (PARTITION BY item ORDER BY cos2_e12 DESC, rec) AS rk
+      |       FROM sc)
+      |SELECT item, rec, CAST(n_co AS BIGINT) AS n_co, cos2_e12,
+      |       CAST(rk AS BIGINT) AS rk
+      |FROM rk WHERE rk <= 5""".stripMargin
 }

@@ -197,7 +197,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_confusion_metrics", 3, 0), // confusion checkpointed; 2 marginal joins
     ("q_dtw_paa", 1, 1),           // PAA checkpointed; bc pair join, DP narrow
     ("q_tpch_trade_flows", 2, 4),  // ONE li⋈o shuffle; 4+ dim broadcasts
-    ("q_hurst", 3, 0))             // rank window + block/scale aggs, keyed
+    ("q_hurst", 3, 0),             // rank window + block/scale aggs, keyed
+    ("q_rec_coverage", 4, 2),      // CF checkpointed; tiny scalar broadcasts
+    ("q_fifo_matching", 4, 1),     // 2 class windows + blocked pair join
+    ("q_funnel_daily", 2, 0))      // funnel fold + day rollup
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
