@@ -551,4 +551,84 @@ object Stats {
           |          div (precision_e6 + recall_e6) AS BIGINT)
           |END AS f1_e6""".stripMargin)
   }
+
+  /** Two-group log-rank test over (duration `t`, event `ev`∈{0,1},
+    * group `g`∈{0,1}) subjects — the hypothesis-test companion of
+    * [[kaplanMeier]]: at each event time, group 1's observed deaths are
+    * compared with the hypergeometric expectation d·n₁/n, and the
+    * variance d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1) accumulates. ALL integer:
+    * expectation and variance terms are e6 truncating divisions with
+    * the multiplications ORDERED so every intermediate stays under
+    * 2⁶³ for n up to ~10⁶ subjects, and the final χ² squares
+    * |O₁·10⁶−E₁| AFTER an e3 downscale (abs first — `div` truncation
+    * direction differs between engines on negatives). Output one row:
+    * (o1, e1_e6, v_e6, chi2_e3).
+    *
+    * Scale: the [[kaplanMeier]] contract — one duration-keyed count
+    * aggregate off the raw scan, then the risk-set walk on the tiny
+    * distinct-time axis (single-partition window over |distinct t|
+    * rows only). */
+  def logRank(df: DataFrame): DataFrame = {
+    val ord = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = df.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"),
+        sum(col("ev") * col("g")).as("d1"),
+        count(lit(1)).as("leave"),
+        sum(col("g")).as("leave1"))
+      .localCheckpoint(true) // distinct-time axis: tiny; ONE raw scan
+    val tot = grp.agg(sum(col("leave")).as("n_all"),
+      sum(col("leave1")).as("n1_all"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("n",
+        col("n_all") - (sum(col("leave")).over(ord) - col("leave")))
+      .withColumn("n1",
+        col("n1_all") - (sum(col("leave1")).over(ord) - col("leave1")))
+      .filter(col("d") > 0L)
+      .withColumn("e1_e6", expr("(d * n1 * 1000000) div n"))
+      .withColumn("v_e6", expr(
+        "((((d * n1 * 1000000) div n) * (n - n1)) div n) * (n - d) div greatest(n - 1, 1)"))
+      .agg(sum(col("d1")).as("o1"), sum(col("e1_e6")).as("e1_e6"),
+        sum(col("v_e6")).as("v_e6"))
+      .selectExpr("o1", "e1_e6", "v_e6",
+        """CAST(((abs(o1 * 1000000 - e1_e6) div 1000)
+          |  * (abs(o1 * 1000000 - e1_e6) div 1000) * 1000)
+          |  div greatest(v_e6, 1) AS BIGINT) AS chi2_e3""".stripMargin)
+  }
+
+  /** Theil's uncertainty coefficient U(x|y) = I(X;Y)/H(X) between two
+    * categorical columns, in e6 units — the DIRECTIONAL companion of
+    * [[mutualInfo]] (Cramér's V is symmetric; U answers "how much of
+    * X's entropy does knowing Y remove"). Fully integer via the shared
+    * fixed-point log₂; the MI numerator is clamped at 0 before the
+    * final division because truncated logs can leave a tiny negative
+    * residue on independent columns (and `div` truncation direction
+    * differs between engines on negatives). Output one row:
+    * (n, hx_e6, mi_e6, u_e6).
+    *
+    * Scale: the [[mutualInfo]] contract — one (x, y) cell aggregate off
+    * the raw scan; margins broadcast. */
+  def theilsU(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .localCheckpoint(true) // |X|x|Y| cells: tiny; ONE raw scan
+    val rm = cells.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val cm = cells.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val tot = cells.agg(sum(col("cxy")).as("n"))
+    val mi = cells.join(broadcast(rm), "x").join(broadcast(cm), "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib", col("cxy") *
+        (Bm25.log2E6(col("cxy") * col("n")) -
+          Bm25.log2E6(col("cx") * col("cy"))))
+      .groupBy(col("n")).agg(sum(col("contrib")).as("mi_num"))
+      .selectExpr("n", "CAST(mi_num div n AS BIGINT) AS mi_e6")
+    val hx = rm.crossJoin(broadcast(tot))
+      .withColumn("hc", col("cx") *
+        (Bm25.log2E6(col("n")) - Bm25.log2E6(col("cx"))))
+      .groupBy(col("n")).agg(sum(col("hc")).as("hx_num"))
+      .selectExpr("n", "CAST(hx_num div n AS BIGINT) AS hx_e6")
+    mi.join(hx, "n")
+      .selectExpr("n", "hx_e6", "mi_e6",
+        "CAST(greatest(mi_e6, 0) * 1000000 div greatest(hx_e6, 1) AS BIGINT) AS u_e6")
+  }
 }
