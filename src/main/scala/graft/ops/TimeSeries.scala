@@ -855,4 +855,120 @@ object TimeSeries {
         sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_dropped"),
         expr("max(late_us) div 1000000 AS max_late_s"))
   }
+
+  /** Croston's method for intermittent demand: per key, z = the α=½
+    * truncating EWMA of NONZERO demand sizes (oldest first) and p = the
+    * same EWMA of the inter-demand day gaps; the per-period forecast is
+    * z/p. Gaps come from a key-partitioned lag window FIRST so both
+    * folds keep scalar `(acc + x) div 2` accumulators — the
+    * [[ewmaHalf]] oracle contract (DuckDB's struct-accumulator
+    * list_reduce is broken, SURVEY §7.4j). The first demand has no gap
+    * (NULL → dropped by collect_list / the oracle's FILTER). Output:
+    * (key, n_demands, z_q, p_days, forecast_e3).
+    *
+    * Scale: one (key, day) aggregate off the raw scan, one
+    * key-partitioned lag window, one keyed fold — demand sequences are
+    * per-key and bounded by the calendar, never a global sort. */
+  def croston(df: DataFrame, keyCol: String, dayCol: String,
+              qtyCol: String): DataFrame = {
+    val nz = df.select(col(keyCol).as("key"), col(dayCol).as("day"),
+        col(qtyCol).as("q"))
+      .filter(col("q") > 0L)
+      .groupBy(col("key"), col("day")).agg(sum(col("q")).as("q"))
+    nz.withColumn("gap", col("day") -
+        lag(col("day"), 1).over(Window.partitionBy(col("key")).orderBy(col("day"))))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("day"), col("q")))).as("qs"),
+        sort_array(collect_list(when(col("gap").isNotNull,
+          struct(col("day"), col("gap"))))).as("gs"))
+      .select(col("key"),
+        expr("size(qs)").cast("long").as("n_demands"),
+        expr("aggregate(qs, CAST(0 AS BIGINT), (acc, x) -> (acc + x.q) div 2)")
+          .as("z_q"),
+        expr("aggregate(gs, CAST(0 AS BIGINT), (acc, x) -> (acc + x.gap) div 2)")
+          .as("p_days"))
+      .withColumn("forecast_e3",
+        expr("z_q * 1000 div greatest(p_days, 1)"))
+  }
+
+  /** Permutation entropy of order 3: the series' value sequence is cut
+    * into overlapping windows of 3 consecutive points (key-partitioned
+    * lag windows), each window maps to its ordinal pattern — encoded as
+    * the 3 pairwise `<=` bits (a≤b)+2·(b≤c)+4·(a≤c), 6 of the 8 codes
+    * are order-consistent and reachable — and the pattern distribution's
+    * entropy comes out in e6 log₂ units via the shared fixed-point
+    * table, normalized by log₂(6) (the literal is [[Bm25.log2E6Int]] at
+    * plan-build time, so the Spark plan and the SQL oracle embed the
+    * identical constant). Low values = predictable dynamics, 10⁶ =
+    * white noise. Output: (key, n_windows, n_patterns, h_e6, norm_e6).
+    *
+    * Scale: key-partitioned lag windows + a (key, pattern) count
+    * aggregate — the pattern axis is ≤ 6 rows per key. */
+  def permutationEntropy(df: DataFrame, keyCol: String, tsCol: String,
+                         tieCol: String, vCol: String): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("t"), col("tie"))
+    val pat = df.select(col(keyCol).as("key"), col(tsCol).as("t"),
+        col(tieCol).as("tie"), col(vCol).as("v"))
+      .withColumn("a", lag(col("v"), 2).over(w))
+      .withColumn("b", lag(col("v"), 1).over(w))
+      .filter(col("a").isNotNull)
+      .withColumn("pid",
+        (col("a") <= col("b")).cast("long") +
+          (col("b") <= col("v")).cast("long") * 2 +
+          (col("a") <= col("v")).cast("long") * 4)
+    val cnt = pat.groupBy(col("key"), col("pid")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("key")).agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_patterns"))
+      .join(cnt, "key")
+      .withColumn("contrib",
+        col("c") * (Bm25.log2E6(col("n")) - Bm25.log2E6(col("c"))))
+      .groupBy(col("key"))
+      .agg(max(col("n")).as("n_windows"),
+        max(col("n_patterns")).as("n_patterns"),
+        expr("sum(contrib) div max(n)").as("h_e6"))
+      .withColumn("norm_e6",
+        expr(s"h_e6 * 1000000 div ${Bm25.log2E6Int(6L)}"))
+  }
+
+  /** Epoch-folding periodicity scan: fold the event-hour stream by
+    * each candidate period p (phase = hour mod p), compare observed
+    * per-phase event counts against the uniform expectation scaled by
+    * each phase's SUPPORT in the dense [h₀, h₁] hour spine (a 719-hour
+    * span is NOT an integer number of weeks — unequal support is the
+    * normal case, not a corner), and score χ² in e3 fixed point:
+    * contrib = (o·10³ − e_e3)² div e_e3 = (o−e)²/e · 10³. The true
+    * period and its harmonics score high; off-periods hug 0. Output one
+    * row per candidate: (p, n_phases, n_events, chi2_e3).
+    *
+    * Scale: the spine is |hours| rows (calendar-bounded, broadcast);
+    * events reduce to one hour-keyed count before touching it — the
+    * phase grid is Σp rows per candidate set. */
+  def epochFolding(df: DataFrame, tsMicrosCol: String,
+                   periods: Seq[Int]): DataFrame = {
+    import df.sparkSession.implicits._
+    val hours = df.select(expr(s"$tsMicrosCol div 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("o_h"))
+      .localCheckpoint(true) // hour axis: calendar-bounded; ONE raw scan
+    val bounds = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = bounds.select(explode(expr("sequence(h0, h1)")).as("h"))
+    val pdf = periods.toDF("p")
+    val support = spine.crossJoin(broadcast(pdf))
+      .groupBy(col("p"), (col("h") % col("p")).as("ph"))
+      .agg(count(lit(1)).as("s_ph"))
+    val sTot = support.groupBy(col("p")).agg(sum(col("s_ph")).as("s_tot"))
+    val obs = hours.crossJoin(broadcast(pdf))
+      .groupBy(col("p"), (col("h") % col("p")).as("ph"))
+      .agg(sum(col("o_h")).as("o_ph"))
+    val tot = hours.agg(sum(col("o_h")).as("n_events"))
+    support.join(obs, Seq("p", "ph"), "left")
+      .withColumn("o_ph", coalesce(col("o_ph"), lit(0L)))
+      .join(broadcast(sTot), "p").crossJoin(broadcast(tot))
+      .withColumn("e_e3",
+        expr("greatest((n_events * s_ph * 1000) div s_tot, 1)"))
+      .withColumn("contrib",
+        expr("((o_ph * 1000 - e_e3) * (o_ph * 1000 - e_e3)) div e_e3"))
+      .groupBy(col("p").cast("long").as("p"))
+      .agg(count(lit(1)).as("n_phases"), max(col("n_events")).as("n_events"),
+        sum(col("contrib")).as("chi2_e3"))
+  }
 }
