@@ -200,7 +200,16 @@ class PlanShapeSpec extends SparkSpec {
     ("q_hurst", 3, 0),             // rank window + block/scale aggs, keyed
     ("q_rec_coverage", 4, 2),      // CF checkpointed; tiny scalar broadcasts
     ("q_fifo_matching", 4, 1),     // 2 class windows + blocked pair join
-    ("q_funnel_daily", 2, 0))      // funnel fold + day rollup
+    ("q_funnel_daily", 2, 0),      // funnel fold + day rollup
+    ("q_logrank", 0, 1),           // risk walk on checkpointed time axis
+    ("q_theils_u", 5, 3),          // post-checkpoint cell-axis aggs only
+    ("q_lift_gains", 1, 0),        // seg-partitioned ntile + cum windows
+    ("q_croston", 2, 0),           // (key,day) agg + keyed lag/fold
+    ("q_permutation_entropy", 2, 0), // lag windows + pattern agg share key
+    ("q_epoch_folding", 1, 4),     // hour agg once; spine/periods broadcast
+    ("q_tpch_min_cost", 3, 3),     // supply agg + argmin join-back, dims bc
+    ("q_tpch_large_orders", 1, 1), // ONE orderkey shuffle; customer bc
+    ("q_tpch_parts_supp", 3, 2))   // distinct + rollup; part/excl bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
