@@ -59,4 +59,28 @@ object Pareto {
         expr("""CAST(CAST(sum(v) AS DECIMAL(38,0)) * 1000000
                |     div max(t) AS BIGINT) AS share_e6""".stripMargin))
   }
+
+  /** Herfindahl–Hirschman concentration index per group: each member's
+    * share of the group total in basis points (truncating e4 division),
+    * HHI = Σ share_bp² — the e8-scaled standard 0–10000² index
+    * ([[abcClasses]] ranks the head; HHI summarizes the whole
+    * distribution in one number, the antitrust screen). Output:
+    * (g, n_members, total_cents, hhi_e8).
+    *
+    * Scale: one (group, member) aggregate off the raw scan, then a
+    * group-keyed rollup — the member axis never leaves its group
+    * partition. */
+  def hhi(df: DataFrame, groupCol: String, memberCol: String,
+          centsCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol).as("g"), col(memberCol).as("m"))
+      .agg(sum(col(centsCol)).as("rev"))
+    val tot = per.groupBy(col("g"))
+      .agg(sum(col("rev")).as("tot"), count(lit(1)).as("n_members"))
+    per.join(tot, "g")
+      .withColumn("share_bp", expr("rev * 10000 div tot"))
+      .groupBy(col("g"))
+      .agg(max(col("n_members")).as("n_members"),
+        max(col("tot")).as("total_cents"),
+        sum(expr("share_bp * share_bp")).as("hhi_e8"))
+  }
 }

@@ -97,6 +97,38 @@ object Ranking {
           |END AS auc_e6""".stripMargin)
   }
 
+  /** Step-wise precision-recall AUC (average precision over the
+    * DISTINCT-score threshold sweep, high scores first): AP =
+    * Σ_thresholds pc·prec@τ / n_pos, where prec@τ is the running
+    * precision INCLUDING the tied block — tie-deterministic because no
+    * within-tie order exists to disagree on, the PR companion of
+    * [[aucRank]]'s rank-statistic ROC AUC (ROC flatters heavy-negative
+    * corpora; PR does not). NULL when no positives. Output one row:
+    * (n_pos, n_neg, ap_e6).
+    *
+    * Scale: the [[aucRank]] contract — one score-keyed count aggregate
+    * off the raw scan, then the sweep window on the DISTINCT-value
+    * axis only. */
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byVal = df.select(col(scoreCol).cast("long").as("v"),
+        when(col(labelCol), 1L).otherwise(0L).as("pos"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pc"))
+    val ord = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal
+      .withColumn("cum_cnt", sum(col("cnt")).over(ord))
+      .withColumn("cum_pos", sum(col("pc")).over(ord))
+      .withColumn("prec_e6", expr("cum_pos * 1000000 div cum_cnt"))
+      .agg(sum(col("pc")).as("n_pos"),
+        sum(col("cnt") - col("pc")).as("n_neg"),
+        sum(col("pc") * col("prec_e6")).as("apn"))
+      .selectExpr("n_pos", "n_neg",
+        """CASE WHEN n_pos = 0 THEN NULL
+          |     ELSE CAST(apn div n_pos AS BIGINT)
+          |END AS ap_e6""".stripMargin)
+  }
+
   def retrievalMetrics(df: DataFrame, groupCol: String, rankCol: String,
                        relCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

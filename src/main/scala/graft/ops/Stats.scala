@@ -596,6 +596,42 @@ object Stats {
           |  div greatest(v_e6, 1) AS BIGINT) AS chi2_e3""".stripMargin)
   }
 
+  /** Cohen's kappa between two categorical labelings: chance-corrected
+    * agreement κ = (p_o − p_e)/(1 − p_e) with p_e the margin-product
+    * expectation. ALL integer e6: the per-class expectation term
+    * divides (n_a·n_b) by n BEFORE the e6 scaling (keeps every
+    * intermediate under 2⁶³ at 10⁶⁺ rows), and the final ratio factors
+    * the SIGN out first — κ is legitimately negative on worse-than-
+    * chance raters, and Spark `div` (toward zero) disagrees with DuckDB
+    * `//` (floor) on negatives. Output one row: (n, po_e6, pe_e6,
+    * kappa_e6).
+    *
+    * Scale: the [[chiSquare]] contract — one |A|×|B| cell aggregate off
+    * the raw scan; margins join on the CLASS axis. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // |A|x|B| cells: tiny; ONE raw scan
+    val ra = cells.groupBy(col("a")).agg(sum(col("c")).as("na"))
+    val rb = cells.groupBy(col("b")).agg(sum(col("c")).as("nb"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val agree = cells
+      .agg(coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L))
+        .as("agree"))
+    val pe = ra.join(rb, col("a") === col("b")).crossJoin(broadcast(tot))
+      .agg(coalesce(sum(expr("((na * nb) div n * 1000000) div n")), lit(0L))
+        .as("pe_e6"))
+    agree.crossJoin(broadcast(tot)).crossJoin(broadcast(pe))
+      .selectExpr("n",
+        "CAST(agree * 1000000 div n AS BIGINT) AS po_e6",
+        "CAST(pe_e6 AS BIGINT) AS pe_e6")
+      .selectExpr("n", "po_e6", "pe_e6",
+        """CAST(CASE WHEN po_e6 >= pe_e6
+          |  THEN (po_e6 - pe_e6) * 1000000 div greatest(1000000 - pe_e6, 1)
+          |  ELSE -((pe_e6 - po_e6) * 1000000 div greatest(1000000 - pe_e6, 1))
+          |END AS BIGINT) AS kappa_e6""".stripMargin)
+  }
+
   /** Theil's uncertainty coefficient U(x|y) = I(X;Y)/H(X) between two
     * categorical columns, in e6 units — the DIRECTIONAL companion of
     * [[mutualInfo]] (Cramér's V is symmetric; U answers "how much of

@@ -209,7 +209,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_epoch_folding", 1, 4),     // hour agg once; spine/periods broadcast
     ("q_tpch_min_cost", 3, 3),     // supply agg + argmin join-back, dims bc
     ("q_tpch_large_orders", 1, 1), // ONE orderkey shuffle; customer bc
-    ("q_tpch_parts_supp", 3, 2))   // distinct + rollup; part/excl bc
+    ("q_tpch_parts_supp", 3, 2),   // distinct + rollup; part/excl bc
+    ("q_hhi", 4, 2),               // supplier agg + group rollup; dims bc
+    ("q_pr_auc", 1, 0),            // value agg + distinct-axis sweep
+    ("q_cohens_kappa", 2, 3))      // cell checkpoint; margins/totals bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
