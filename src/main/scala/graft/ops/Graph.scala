@@ -1352,4 +1352,35 @@ object Graph {
           |       ELSE num * 1000000 div (aa * aa) END AS BIGINT)
           |AS q_e6""".stripMargin)
   }
+
+  /** Bowtie decomposition of a directed graph around a SEED known to
+    * sit in the core: forward BFS from the seed covers core ∪ OUT,
+    * backward BFS (edges reversed) covers core ∪ IN, and the two
+    * reachability bits classify every node — core (both), in (backward
+    * only), out (forward only), other (neither) — the classic
+    * web-graph / dependency-graph structure report WITHOUT computing
+    * all SCCs (two bounded BFS sweeps instead of an SCC fixpoint; the
+    * seed stands for the giant SCC, the standard double-sweep trick).
+    * Output: (cls, n_nodes).
+    *
+    * Scale: two [[bfsLevels]] runs — per-round frontier⋈edges joins
+    * with checkpoint-truncated lineage — plus two membership joins and
+    * one 4-row rollup. */
+  def bowtie(nodes: DataFrame, edges: DataFrame, seedCol: String,
+             maxDepth: Int): DataFrame = {
+    val fwd = bfsLevels(nodes, edges, seedCol, maxDepth)
+      .select(col("id"), lit(1L).as("f"))
+    val bwd = bfsLevels(nodes,
+      edges.select(col("dst").as("src"), col("src").as("dst")),
+      seedCol, maxDepth)
+      .select(col("id"), lit(1L).as("b"))
+    nodes.select(col("id"))
+      .join(fwd, Seq("id"), "left").join(bwd, Seq("id"), "left")
+      .withColumn("cls",
+        when(col("f").isNotNull && col("b").isNotNull, "core")
+          .when(col("b").isNotNull, "in")
+          .when(col("f").isNotNull, "out")
+          .otherwise("other"))
+      .groupBy(col("cls")).agg(count(lit(1)).as("n_nodes"))
+  }
 }

@@ -470,4 +470,43 @@ object TextAnalysis {
       .selectExpr("doc_id", "n_shingles", "novel",
         "novel * 1000000 div n_shingles AS novelty_e6")
   }
+
+  /** Symmetric-pair KL divergence between the unigram distributions of
+    * two corpus splits (the train/eval drift check of a data pipeline):
+    * Laplace-smoothed over the UNION vocabulary V, so
+    * p_A(w) = (c_A+1)/(n_A+V) and
+    * KL(A‖B) = Σ (c_A+1)·[log₂((c_A+1)(n_B+V)) − log₂((c_B+1)(n_A+V))]
+    *           / (n_A+V)
+    * — entirely integer in e6 log₂ units via the shared fixed-point
+    * table; the numerator sum is clamped at 0 before its single
+    * truncating division (truncated logs can leave a tiny negative
+    * residue on identical splits, and `div` truncation direction
+    * differs between engines on negatives). `df` carries (`split` ∈
+    * {0,1}, `word`). Output one row:
+    * (vocab, n_a, n_b, kl_ab_e6, kl_ba_e6).
+    *
+    * Scale: one (split, word) count aggregate off the token scan, one
+    * word-keyed self-pivot (group, not join), totals broadcast. */
+  def klVocab(df: DataFrame): DataFrame = {
+    val counts = df.groupBy(col("word"))
+      .agg(sum(when(col("split") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("split") === 1L, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(true) // vocab axis; ONE token scan
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("sa", col("ca") + 1).withColumn("sb", col("cb") + 1)
+      .withColumn("da", col("na") + col("v"))
+      .withColumn("db", col("nb") + col("v"))
+      .withColumn("tab", col("sa") *
+        (Bm25.log2E6(col("sa") * col("db")) - Bm25.log2E6(col("sb") * col("da"))))
+      .withColumn("tba", col("sb") *
+        (Bm25.log2E6(col("sb") * col("da")) - Bm25.log2E6(col("sa") * col("db"))))
+      .groupBy(col("v").as("vocab"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("da"), col("db"))
+      .agg(sum(col("tab")).as("nab"), sum(col("tba")).as("nba"))
+      .selectExpr("vocab", "n_a", "n_b",
+        "CAST(greatest(nab, 0) div da AS BIGINT) AS kl_ab_e6",
+        "CAST(greatest(nba, 0) div db AS BIGINT) AS kl_ba_e6")
+  }
 }

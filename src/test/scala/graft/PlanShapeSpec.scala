@@ -212,7 +212,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_tpch_parts_supp", 3, 2),   // distinct + rollup; part/excl bc
     ("q_hhi", 4, 2),               // supplier agg + group rollup; dims bc
     ("q_pr_auc", 1, 0),            // value agg + distinct-axis sweep
-    ("q_cohens_kappa", 2, 3))      // cell checkpoint; margins/totals bc
+    ("q_cohens_kappa", 2, 3),      // cell checkpoint; margins/totals bc
+    ("q_bowtie", 4, 0),            // 2 BFS sweeps checkpointed + class joins
+    ("q_kl_vocab", 1, 1),          // ONE token agg; totals broadcast
+    ("q_zonemap_prune", 2, 0))     // file stats + partition rollup
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
