@@ -105,4 +105,41 @@ object Curation {
         max(col("enc")).as("enc_max"),
         expr("sum(enc) div count(1)").as("enc_avg"))
   }
+
+  /** Mixture reweighting toward a UNIFORM target over `nBuckets`
+    * pre-assigned buckets: weight_b = target/actual = N·10⁶/(B·c_b) in
+    * e6, plus the effective sample size of the reweighted corpus,
+    * ESS = (Σ c_b·w_b)²/(Σ c_b·w_b²), as a share of N in e6 — THE
+    * number that says how much resolution importance weighting burns
+    * (uniform data → 10⁶; one starved bucket → small). ESS squares ride
+    * DECIMAL(38,0) (e6 weights squared pass 2⁶³; [[Pareto.abcClasses]]
+    * precedent, HUGEINT on the oracle side). `df` carries a `bucket`
+    * column in [0, nBuckets). Output per bucket: (bucket, c, share_e6,
+    * weight_e6, ess_e6) — ess_e6 constant across rows by construction.
+    *
+    * Scale: ONE bucket-keyed count off the raw scan; the B-row bucket
+    * axis then self-aggregates, totals broadcast. */
+  def mixReweight(df: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2)
+    val dec = "decimal(38,0)"
+    val buckets = df.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // bucket axis: ≤ nBuckets rows; ONE scan
+    val tot = buckets.agg(sum(col("c")).as("n"))
+    val weighted = buckets.crossJoin(broadcast(tot))
+      .withColumn("weight_e6",
+        expr(s"n * 1000000 div (${nBuckets}L * c)"))
+    val ess = weighted
+      .agg(sum(expr(s"CAST(c AS $dec) * CAST(weight_e6 AS $dec)")).as("sw"),
+        sum(expr(s"CAST(c AS $dec) * CAST(weight_e6 AS $dec)"
+          + s" * CAST(weight_e6 AS $dec)")).as("sww"),
+        max(col("n")).as("n"))
+      .selectExpr(
+        """CAST(sw * sw * 1000000
+          |     div (CAST(n AS DECIMAL(38,0)) * sww) AS BIGINT)
+          |AS ess_e6""".stripMargin)
+    weighted
+      .select(col("bucket"), col("c"),
+        expr("c * 1000000 div n").as("share_e6"), col("weight_e6"))
+      .crossJoin(broadcast(ess))
+  }
 }

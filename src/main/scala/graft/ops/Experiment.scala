@@ -228,4 +228,37 @@ object Experiment {
         "array_min(bm) AS boot_lo_e4", "array_max(bm) AS boot_hi_e4",
         s"CAST($b AS BIGINT) AS n_resamples")
   }
+
+  /** Minimum detectable effect per segment for a future 50/50 test at
+    * α = 0.05 (two-sided) and 80% power: MDE = (z_{α/2} + z_β) ·
+    * √(2σ²/(n/2)) with the z-sum embedded as one shared literal
+    * (1.959964 + 0.841621). Moments are EXACT DECIMAL(38,0) integer
+    * sums; only the single-row epilogue touches doubles ([[Stats.welchT]]
+    * contract: IEEE ops on exact integers + one floor, identical in
+    * both engines). Output per segment: (seg, n, mean_cents, mde_cents,
+    * mde_rel_e6) — NULL mde when n < 4 or zero variance.
+    *
+    * Scale: ONE segment-keyed moment aggregate off the raw scan;
+    * everything after is per-segment scalar arithmetic. */
+  def mde(df: DataFrame, segCol: String, centsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(segCol).as("seg"), col(centsCol).cast(dec).as("v"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+      .selectExpr("seg", "n", "s",
+        """CAST(n * q - s * s AS DOUBLE)
+          |  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var0""".stripMargin)
+      .selectExpr("seg", "CAST(n AS BIGINT) AS n",
+        "CAST(s div n AS BIGINT) AS mean_cents",
+        """CASE WHEN n < 4 OR var0 <= 0 THEN NULL
+          |     ELSE CAST(floor(CAST('2.801585' AS DOUBLE)
+          |          * sqrt(CAST('4' AS DOUBLE) * var0 / CAST(n AS DOUBLE))
+          |          + CAST('0.5' AS DOUBLE)) AS BIGINT)
+          |END AS mde_cents""".stripMargin)
+      .selectExpr("seg", "n", "mean_cents", "mde_cents",
+        """CASE WHEN mde_cents IS NULL OR mean_cents = 0 THEN NULL
+          |     ELSE mde_cents * 1000000 div mean_cents
+          |END AS mde_rel_e6""".stripMargin)
+  }
 }

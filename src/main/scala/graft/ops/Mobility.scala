@@ -183,6 +183,42 @@ object Mobility {
       .limit(k)
   }
 
+  /** Convoy detection: vehicle pairs co-located (same snapped cell,
+    * same time bucket) for at least `minLen` CONSECUTIVE buckets — the
+    * temporal-persistence upgrade of [[colocation]] (a chance shared
+    * block is contact; a sustained run is co-movement). Pair presence
+    * is deduplicated to the (pair, bucket) grain before run detection,
+    * so two vehicles sharing several cells in one bucket count once.
+    * Runs come from the gaps-and-islands trick (bucket − row_number is
+    * constant inside a consecutive run). Output per qualifying pair:
+    * (veh_a, veh_b, n_convoys, max_len, convoy_bkts).
+    *
+    * Scale: the [[colocation]] contract — dedup to presence first, the
+    * self-join blocked on (cell, bucket) — then one pair-keyed window
+    * and two pair-keyed aggregates; nothing global. */
+  def convoys(pos: DataFrame, res: Int, bucketUs: Long,
+              minLen: Int): DataFrame = {
+    require(bucketUs > 0L && minLen >= 2)
+    val presence = pos.select(col("vehicleId").as("veh"),
+        hex_cell_id(col("lat"), col("lon"), res).as("cell"),
+        expr(s"unix_micros(eventTs) div ${bucketUs}L").as("bkt"))
+      .distinct()
+    val a = presence.select(col("cell"), col("bkt"), col("veh").as("veh_a"))
+    val b = presence.select(col("cell"), col("bkt"), col("veh").as("veh_b"))
+    val pairBkt = a.join(b, Seq("cell", "bkt"))
+      .filter(col("veh_a") < col("veh_b"))
+      .select(col("veh_a"), col("veh_b"), col("bkt")).distinct()
+    val w = Window.partitionBy(col("veh_a"), col("veh_b")).orderBy(col("bkt"))
+    pairBkt
+      .withColumn("grp", col("bkt") - row_number().over(w))
+      .groupBy(col("veh_a"), col("veh_b"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .filter(col("len") >= minLen.toLong)
+      .groupBy(col("veh_a"), col("veh_b"))
+      .agg(count(lit(1)).as("n_convoys"), max(col("len")).as("max_len"),
+        sum(col("len")).as("convoy_bkts"))
+  }
+
   /** Stay-point detection: maximal runs of CONSECUTIVE positions (by
     * (ts, tie) within a vehicle) snapped to the same cell, kept when the
     * run spans ≥ `minStayUs`, rolled up per cell. The stop/POI-visit

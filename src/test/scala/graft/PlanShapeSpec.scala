@@ -215,7 +215,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_cohens_kappa", 2, 3),      // cell checkpoint; margins/totals bc
     ("q_bowtie", 4, 0),            // 2 BFS sweeps checkpointed + class joins
     ("q_kl_vocab", 1, 1),          // ONE token agg; totals broadcast
-    ("q_zonemap_prune", 2, 0))     // file stats + partition rollup
+    ("q_zonemap_prune", 2, 0),     // file stats + partition rollup
+    ("q_convoy", 4, 0),            // presence dedup + blocked pair join + runs
+    ("q_mix_reweight", 0, 2),      // bucket axis checkpointed; scalars bc
+    ("q_mde", 1, 0))               // ONE segment moment aggregate
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
