@@ -601,4 +601,38 @@ object Behavior {
       .selectExpr("state", "n_out",
         "CAST(hsum div n_out AS BIGINT) AS h_e6")
   }
+
+  /** Daily path drift per entity: each day's event-type sequence
+    * renders to one '>'-joined path string, and consecutive days are
+    * compared by Levenshtein edit distance — how much a user's routine
+    * CHANGES day over day (the string-metric companion of the
+    * transition-entropy predictability measures; both engines ship the
+    * identical DP edit distance, so the metric is bit-exact). Entities
+    * with a single active day drop (no transition to score). Output per
+    * entity: (u, n_days, n_transitions, dist_total, drift_e3).
+    *
+    * Scale: one (entity, day) sort-fold aggregate + one entity-keyed
+    * lag window + one entity rollup — the [[transitionEntropy]] shuffle
+    * contract; path strings stay bounded by per-day event counts. */
+  def pathDrift(df: DataFrame, keyCol: String, tsUsCol: String,
+                tieCol: String, etCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.select(col(keyCol).as("u"),
+        expr(s"$tsUsCol div 86400000000").as("day"),
+        struct(col(tsUsCol).as("t"), col(tieCol).as("tie"),
+          col(etCol).as("et")).as("s"))
+      .groupBy(col("u"), col("day"))
+      .agg(expr("array_join(transform(sort_array(collect_list(s)), x -> x.et), '>')")
+        .as("path"))
+    val w = Window.partitionBy(col("u")).orderBy(col("day"))
+    daily.withColumn("prev", lag(col("path"), 1).over(w))
+      .withColumn("dist",
+        when(col("prev").isNull, lit(null))
+          .otherwise(levenshtein(col("path"), col("prev")).cast("long")))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_days"), count(col("dist")).as("n_transitions"),
+        coalesce(sum(col("dist")), lit(0L)).as("dist_total"))
+      .filter(col("n_transitions") >= 1L)
+      .withColumn("drift_e3", expr("dist_total * 1000 div n_transitions"))
+  }
 }

@@ -1353,6 +1353,91 @@ object Graph {
           |AS q_e6""".stripMargin)
   }
 
+  /** Rich-club coefficient sweep: for each degree threshold k, the
+    * subgraph induced on nodes of degree > k has density
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) — do high-degree nodes preferentially
+    * link to each other ([[assortativity]]'s mixing coefficient
+    * summarizes one number; the rich-club CURVE localizes where the
+    * elite tightens). Output per threshold: (k, n_nodes, n_edges,
+    * phi_e6) — 0 when fewer than 2 qualifying nodes.
+    *
+    * Scale: one degree aggregate, two node-keyed degree joins onto the
+    * canonical edge list (AQE broadcasts them when small), and a
+    * |ks|-row rollup — the candidate-k frame is a broadcast literal. */
+  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = canonical(edges).localCheckpoint(true)
+    val deg = degrees(e).localCheckpoint(true)
+    val kdf = ks.map(_.toLong).toDF("k")
+    val nk = deg.crossJoin(broadcast(kdf)).filter(col("degree") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val ek = e
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+      .crossJoin(broadcast(kdf))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    nk.join(ek, Seq("k"), "left")
+      .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+      .selectExpr("k", "n_nodes", "n_edges",
+        """CASE WHEN n_nodes < 2 THEN 0
+          |     ELSE 2 * n_edges * 1000000 div (n_nodes * (n_nodes - 1))
+          |END AS phi_e6""".stripMargin)
+  }
+
+  /** Global transitivity 3·triangles/wedges — the whole-graph companion
+    * of [[localClustering]] (the mean of local coefficients over-weights
+    * low-degree nodes; transitivity weights every wedge equally).
+    * Output one row: (n_triangles, n_wedges, transitivity_e6).
+    *
+    * Scale: the [[triangleCount]] wedge joins plus one degree
+    * aggregate — wedges come from degrees in closed form, not from
+    * materializing the wedge set twice. */
+  def transitivity(edges: DataFrame): DataFrame = {
+    val e = canonical(edges).localCheckpoint(true)
+    val wed = degrees(e).agg(sum(expr("degree * (degree - 1)")).as("w2"))
+    triangleCount(e).crossJoin(broadcast(wed))
+      .selectExpr("n_triangles", "w2 div 2 AS n_wedges",
+        """CASE WHEN w2 = 0 THEN 0
+          |     ELSE 6 * n_triangles * 1000000 div w2
+          |END AS transitivity_e6""".stripMargin)
+  }
+
+  /** SALSA authority scores over a bipartite (`hub`, `auth`) edge list
+    * in CLOSED FORM (Lempel–Moran): the stationary authority weight is
+    * π_j = (|A_c|/|A|) · d_in(j)/Σ_{k∈c} d_in(k), with c the connected
+    * component of j — no power iteration at all, which is what makes
+    * SALSA the scalable cousin of [[hits]] (same hub/authority idea,
+    * but the random-walk stationary distribution has a degree formula).
+    * Components come from [[StarComponents]] over the bipartite graph
+    * with hubs and authorities disjointly encoded (2h / 2a+1). Scores
+    * are e9 truncating divisions (they sum to ~10⁹ across all
+    * authorities). Output per authority: (auth, din, comp_sz,
+    * score_e9).
+    *
+    * Scale: one distinct-edge aggregate, the O(log n) star-contraction
+    * rounds, then degree/component rollups on the authority axis —
+    * never a co-citation pair join (which squares on hub degree). */
+  def salsa(edges: DataFrame): DataFrame = {
+    val ed = edges.select(col("hub"), col("auth")).distinct()
+      .localCheckpoint(true)
+    val enc = ed.select((col("hub") * 2).as("a"), (col("auth") * 2 + 1).as("b"))
+    val nodes = enc.select(col("a").as("id"))
+      .unionByName(enc.select(col("b").as("id"))).distinct()
+    val cc = StarComponents.connectedComponents(nodes, enc)
+    val authComp = cc.filter(col("id") % 2 === 1)
+      .select(expr("(id - 1) div 2").as("auth"), col("cluster_id"))
+    val din = ed.groupBy(col("auth")).agg(count(lit(1)).as("din"))
+    val j = din.join(authComp, "auth")
+    val comp = j.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("comp_sz"), sum(col("din")).as("s_c"))
+    val tot = comp.agg(sum(col("comp_sz")).as("a_tot"))
+    j.join(broadcast(comp), "cluster_id").crossJoin(broadcast(tot))
+      .selectExpr("auth", "din", "comp_sz",
+        "(comp_sz * din * 1000000000) div (a_tot * s_c) AS score_e9")
+  }
+
   /** Bowtie decomposition of a directed graph around a SEED known to
     * sit in the core: forward BFS from the seed covers core ∪ OUT,
     * backward BFS (edges reversed) covers core ∪ IN, and the two

@@ -218,7 +218,12 @@ class PlanShapeSpec extends SparkSpec {
     ("q_zonemap_prune", 2, 0),     // file stats + partition rollup
     ("q_convoy", 4, 0),            // presence dedup + blocked pair join + runs
     ("q_mix_reweight", 0, 2),      // bucket axis checkpointed; scalars bc
-    ("q_mde", 1, 0))               // ONE segment moment aggregate
+    ("q_mde", 1, 0),               // ONE segment moment aggregate
+    // q_salsa is ungated like the other star-contraction CC queries —
+    // its exchange count tracks the (data-dependent) round count.
+    ("q_rich_club", 2, 3),         // degree axis + k-grid rollups
+    ("q_transitivity", 2, 2),      // wedge joins + degree closed form
+    ("q_path_drift", 2, 0))        // (u,day) fold + u-keyed lag/rollup
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
