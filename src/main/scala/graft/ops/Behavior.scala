@@ -602,6 +602,34 @@ object Behavior {
         "CAST(hsum div n_out AS BIGINT) AS h_e6")
   }
 
+  /** Run-length compressibility of each entity's event-type sequence:
+    * consecutive repeats collapse into runs (gaps-and-islands on the
+    * entity key), and n_runs/n_events is the RLE compression ratio —
+    * low means habitual repetition, 10⁶ means no two consecutive events
+    * repeat. Output per entity: (u, n_events, n_runs, max_run,
+    * ratio_e6).
+    *
+    * Scale: one entity-keyed lag window + one (entity, run) aggregate +
+    * one entity rollup — the [[pathDrift]] shuffle contract. */
+  def rleCompression(df: DataFrame, keyCol: String, tsUsCol: String,
+                     tieCol: String, etCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("tie"))
+    val runs = df.select(col(keyCol).as("u"), col(tsUsCol).as("t"),
+        col(tieCol).as("tie"), col(etCol).as("et"))
+      .withColumn("brk",
+        when(lag(col("et"), 1).over(w).isNull ||
+          lag(col("et"), 1).over(w) =!= col("et"), 1L).otherwise(0L))
+      .withColumn("run", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy(col("u"), col("run"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("u"))
+      .agg(sum(col("len")).as("n_events"), count(lit(1)).as("n_runs"),
+        max(col("len")).as("max_run"))
+      .withColumn("ratio_e6", expr("n_runs * 1000000 div n_events"))
+  }
+
   /** Daily path drift per entity: each day's event-type sequence
     * renders to one '>'-joined path string, and consecutive days are
     * compared by Levenshtein edit distance — how much a user's routine

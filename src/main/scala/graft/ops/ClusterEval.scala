@@ -102,4 +102,42 @@ object ClusterEval {
         sum((col("cp") - col("cr")) * (col("cp") - col("cr")))
           .as("drift_d2_e12"))
   }
+
+  /** Inter-centroid squared-L2 distance matrix: per-label centroids
+    * (the [[centroidDrift]] e6 fixed-point contract — floor(sum/count)
+    * per coordinate on exact integer sums), then every unordered label
+    * pair's Σ(c_a − c_b)² in e12, flagged when it is a's nearest other
+    * centroid (symmetrically b's). The cluster-geometry report behind
+    * silhouette: which classes sit dangerously close. Output per pair
+    * (a < b): (label_a, label_b, d2_e12, is_nn).
+    *
+    * Scale: one (label, dim) aggregate off the vector scan; the pair
+    * join and the nearest-neighbor window live on the LABEL axis
+    * (|labels|² rows, broadcast-sized). */
+  def centroidMatrix(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = emb.select(col("label").cast("long").as("label"),
+        posexplode(expr(
+          """transform(CAST(embedding AS ARRAY<DOUBLE>),
+            |          x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"""
+            .stripMargin)).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+      .localCheckpoint(true) // label×dim axis: tiny; ONE vector scan
+    val a = cent.select(col("label").as("la"), col("i"), col("c").as("ca"))
+    val b = cent.select(col("label").as("lb"), col("i"), col("c").as("cb"))
+    val d2 = a.join(b, "i").filter(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .as("d2_e12"))
+    val sym = d2.unionByName(d2.select(col("lb").as("la"),
+      col("la").as("lb"), col("d2_e12")))
+    val mins = sym.groupBy(col("la")).agg(min(col("d2_e12")).as("mn"))
+    d2.join(mins.select(col("la"), col("mn").as("mn_a")), "la")
+      .join(mins.select(col("la").as("lb"), col("mn").as("mn_b")), "lb")
+      .select(col("la").as("label_a"), col("lb").as("label_b"), col("d2_e12"),
+        (col("d2_e12") === col("mn_a") || col("d2_e12") === col("mn_b"))
+          .as("is_nn"))
+  }
 }

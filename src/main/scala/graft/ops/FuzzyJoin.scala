@@ -71,4 +71,46 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("l_key"), col("r_key"), maxDist).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
+
+  /** Fellegi–Sunter match weights over BLOCKED candidate pairs: each
+    * pair carries agreement bits f1/f2/f3 and a truth bit `is_match`;
+    * per field the m-probability a_k/M (agreement among matches) and
+    * u-probability b_k/U (agreement among non-matches) combine into the
+    * classic log-likelihood weight — agreement contributes
+    * log₂(m/u) = log₂(a_k·U) − log₂(b_k·M), disagreement
+    * log₂((1−m)/(1−u)) — summed per PATTERN in e6 fixed point (counts
+    * slot straight into the shared integer log₂; zero cells clamp to 1,
+    * the standard add-one guard). Output one row per observed pattern:
+    * (f1, f2, f3, n_pairs, n_match, weight_e6) — the decision table a
+    * linkage pipeline thresholds.
+    *
+    * Scale: the caller owns blocking (candidate set, never a cross
+    * join); this aggregate is one pattern-keyed count plus broadcast
+    * scalar totals — 8 pattern rows. */
+  def fellegiSunter(pairs: DataFrame): DataFrame = {
+    val pat = pairs.groupBy(col("f1"), col("f2"), col("f3"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"))
+      .localCheckpoint(true) // ≤ 8 pattern rows; ONE pair scan
+    val fieldTotals = (1 to 3).map { k =>
+      pat.agg(sum(when(col(s"f$k"), col("n_match")).otherwise(0L)).as("a"),
+        sum(when(col(s"f$k"), col("n_pairs") - col("n_match")).otherwise(0L))
+          .as("b"))
+        .selectExpr(s"a AS a$k", s"b AS b$k")
+    }
+    val tot = pat.agg(sum(col("n_match")).as("m"),
+      sum(col("n_pairs") - col("n_match")).as("u"))
+    val joined = fieldTotals.foldLeft(pat.crossJoin(broadcast(tot))) {
+      (acc, ft) => acc.crossJoin(broadcast(ft))
+    }
+    def term(k: Int): Column =
+      when(col(s"f$k"),
+        Bm25.log2E6(greatest(col(s"a$k") * col("u"), lit(1L))) -
+          Bm25.log2E6(greatest(col(s"b$k") * col("m"), lit(1L))))
+        .otherwise(
+          Bm25.log2E6(greatest((col("m") - col(s"a$k")) * col("u"), lit(1L))) -
+            Bm25.log2E6(greatest((col("u") - col(s"b$k")) * col("m"), lit(1L))))
+    joined.select(col("f1"), col("f2"), col("f3"), col("n_pairs"),
+      col("n_match"), (term(1) + term(2) + term(3)).as("weight_e6"))
+  }
 }

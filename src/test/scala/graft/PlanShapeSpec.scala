@@ -223,7 +223,10 @@ class PlanShapeSpec extends SparkSpec {
     // its exchange count tracks the (data-dependent) round count.
     ("q_rich_club", 2, 3),         // degree axis + k-grid rollups
     ("q_transitivity", 2, 2),      // wedge joins + degree closed form
-    ("q_path_drift", 2, 0))        // (u,day) fold + u-keyed lag/rollup
+    ("q_path_drift", 2, 0),        // (u,day) fold + u-keyed lag/rollup
+    ("q_fellegi_sunter", 0, 4),    // pattern axis checkpointed; totals bc
+    ("q_rle_compression", 1, 0),   // lag + run aggs share the entity key
+    ("q_centroid_matrix", 9, 2))   // label-axis joins post-checkpoint
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
