@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A/B experiment readout with an EXACT integer significance decision.
@@ -260,5 +261,55 @@ object Experiment {
         """CASE WHEN mde_cents IS NULL OR mean_cents = 0 THEN NULL
           |     ELSE mde_cents * 1000000 div mean_cents
           |END AS mde_rel_e6""".stripMargin)
+  }
+
+  /** Benjamini–Hochberg FDR step-up over one hypothesis per `keyCols`
+    * cell, with DISTRIBUTION-FREE p-values: each cell's p is the
+    * Chebyshev bound P(|mean_g − μ| ≥ d) ≤ Var/(n_g·d²) on the cell
+    * mean under the global null — a valid (conservative) p-value with
+    * no normality assumption and no special functions, so both engines
+    * compute it from exact integer moments closed by one identical
+    * double sequence. The step-up then sorts p ascending (key-tiebroken),
+    * rejects ranks 1..k* where k* = max{k : p_(k) ≤ k·α/m}, α = 0.05.
+    * Output per cell: (keys…, n_g, p, k_rank, rejected).
+    *
+    * Scale: one cell-keyed moment aggregate off the raw scan plus a
+    * broadcast 1-row global; the sort window runs on the HYPOTHESIS
+    * axis (|cells|, bounded by the key cardinality product, not the
+    * data volume) — at 100 TB the window input is unchanged. */
+  def chebyshevBh(df: DataFrame, keyCols: Seq[String],
+                  valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val t = df.select(keyCols.map(col) :+ col(valueCol).cast(dec).as("v"): _*)
+    val cells = t.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("ng"), sum(col("v")).as("sg"))
+    val glob = t.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("v")).as("s"), sum(col("v") * col("v")).as("q"))
+    val keyList = keyCols.mkString(", ")
+    val scored = cells.crossJoin(broadcast(glob))
+      .selectExpr(keyCols :+ "CAST(ng AS BIGINT) AS n_g" :+
+        // d = mean_g − μ and Var as one-division doubles off exact
+        // integer numerators — both engines run this exact sequence.
+        """CASE WHEN n * sg - ng * s = 0 THEN CAST(1.0 AS DOUBLE)
+          |     ELSE least(CAST(1.0 AS DOUBLE),
+          |       CAST(n * q - s * s AS DOUBLE)
+          |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+          |       / (CAST(ng AS DOUBLE)
+          |          * (CAST(n * sg - ng * s AS DOUBLE)
+          |             / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE)))
+          |          * (CAST(n * sg - ng * s AS DOUBLE)
+          |             / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE)))))
+          |END AS p_raw""".stripMargin: _*)
+    val w = Window.orderBy(col("p_raw") +: keyCols.map(col): _*)
+    scored
+      .withColumn("k_rank", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy()).cast("long"))
+      .withColumn("ok_k", when(col("p_raw") <=
+        col("k_rank").cast("double") * lit(0.05) / col("m").cast("double"),
+        col("k_rank")))
+      .withColumn("k_star", max(col("ok_k")).over(Window.partitionBy()))
+      .selectExpr(keyCols :+ "n_g" :+ "round(p_raw, 6) AS p" :+ "k_rank" :+
+        "k_rank <= coalesce(k_star, CAST(0 AS BIGINT)) AS rejected": _*)
   }
 }

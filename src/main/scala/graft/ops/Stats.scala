@@ -667,4 +667,90 @@ object Stats {
       .selectExpr("n", "hx_e6", "mi_e6",
         "CAST(greatest(mi_e6, 0) * 1000000 div greatest(hx_e6, 1) AS BIGINT) AS u_e6")
   }
+
+  /** Per-key Kendall τ-b between `xCol` and `yCol` over units ordered by
+    * `unitCol` (concordant/discordant pair counting with the tie-adjusted
+    * denominator). Complements [[spearmanByKey]]: τ is the probability-
+    * scale rank statistic (P[concordant] − P[discordant]) and is the one
+    * robust to monotone-but-nonlinear drift in either metric. All pair
+    * counts are exact longs; the closing ratio-over-sqrt is the
+    * [[corrMatrix]] deterministic-double sequence. Zero-after-ties
+    * denominators yield NULL. Output: (k, n_pairs, concordant,
+    * discordant, tau_b).
+    *
+    * Scale: the self-join is keyed on `k` (one shuffle) and the pair
+    * count is O(groups · units²) where the unit axis (e.g. calendar
+    * months) is BOUNDED by the time range, not the data volume — at
+    * 100 TB the pair count is unchanged. Never call with an unbounded
+    * per-key unit axis. */
+  def kendallTauByKey(df: DataFrame, keyCol: String, unitCol: String,
+                      xCol: String, yCol: String): DataFrame = {
+    val t = df.select(col(keyCol).as("k"), col(unitCol).as("u"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val b = t.select(col("k").as("kb"), col("u").as("ub"),
+      col("x").as("xb"), col("y").as("yb"))
+    t.join(b, col("k") === col("kb") && col("u") < col("ub"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when((col("x") < col("xb") && col("y") < col("yb")) ||
+                 (col("x") > col("xb") && col("y") > col("yb")), 1L)
+          .otherwise(0L)).as("conc"),
+        sum(when((col("x") < col("xb") && col("y") > col("yb")) ||
+                 (col("x") > col("xb") && col("y") < col("yb")), 1L)
+          .otherwise(0L)).as("disc"),
+        sum(when(col("x") === col("xb"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("y") === col("yb"), 1L).otherwise(0L)).as("ty"))
+      .selectExpr("k", "n0 AS n_pairs", "conc AS concordant",
+        "disc AS discordant",
+        """CASE WHEN n0 - tx = 0 OR n0 - ty = 0 THEN NULL
+          |     ELSE round(CAST(conc - disc AS DOUBLE) /
+          |          sqrt(CAST(n0 - tx AS DOUBLE) *
+          |               CAST(n0 - ty AS DOUBLE)), 6)
+          |END AS tau_b""".stripMargin)
+  }
+
+  /** First-order partial correlation r(x,y · z) — the linear x~y
+    * association with the z channel regressed out:
+    * (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). The three pairwise
+    * Pearson r's come from one exact DECIMAL(38,0) moment aggregate
+    * (the [[corrMatrix]] contract), each closed by the same
+    * deterministic double ratio-over-sqrt; only the final outputs are
+    * rounded, so both engines traverse an identical IEEE sequence.
+    * Degenerate channels (zero variance, |r|=1 controls) yield NULL.
+    * Output one row: (n, r_xy, r_xz, r_yz, r_partial).
+    *
+    * Scale: a single global moment aggregate — map-side partials, one
+    * row out; no second pass, no window. */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val t = df.select(col(xCol).cast(dec).as("x"),
+      col(yCol).cast(dec).as("y"), col(zCol).cast(dec).as("z"))
+    def r(a: String, b: String) =
+      s"""CASE WHEN n * q_$a - s_$a * s_$a = 0 OR n * q_$b - s_$b * s_$b = 0
+         |     THEN NULL
+         |     ELSE CAST(n * x_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |          sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE) *
+         |               CAST(n * q_$b - s_$b * s_$b AS DOUBLE))
+         |END""".stripMargin
+    t.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("s_x"), sum(col("y")).as("s_y"),
+        sum(col("z")).as("s_z"),
+        sum(col("x") * col("x")).as("q_x"),
+        sum(col("y") * col("y")).as("q_y"),
+        sum(col("z") * col("z")).as("q_z"),
+        sum(col("x") * col("y")).as("x_x_y"),
+        sum(col("x") * col("z")).as("x_x_z"),
+        sum(col("y") * col("z")).as("x_y_z"))
+      .selectExpr("CAST(n AS BIGINT) AS n",
+        s"${r("x", "y")} AS rxy", s"${r("x", "z")} AS rxz",
+        s"${r("y", "z")} AS ryz")
+      .selectExpr("n", "round(rxy, 6) AS r_xy", "round(rxz, 6) AS r_xz",
+        "round(ryz, 6) AS r_yz",
+        """CASE WHEN rxy IS NULL OR rxz IS NULL OR ryz IS NULL
+          |       OR (1 - rxz * rxz) * (1 - ryz * ryz) <= 0 THEN NULL
+          |     ELSE round((rxy - rxz * ryz) /
+          |          sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+          |END AS r_partial""".stripMargin)
+  }
 }
