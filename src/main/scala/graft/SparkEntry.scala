@@ -40,7 +40,8 @@ object Registry {
       queries.Round47Queries.defs ++ queries.Round48Queries.defs ++
       queries.Round49Queries.defs ++ queries.Round50Queries.defs ++
       queries.Round51Queries.defs ++ queries.Round52Queries.defs ++
-      queries.Round53Queries.defs ++ queries.Round54Queries.defs
+      queries.Round53Queries.defs ++ queries.Round54Queries.defs ++
+      queries.Round55Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

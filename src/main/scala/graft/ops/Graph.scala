@@ -1468,4 +1468,41 @@ object Graph {
           .otherwise("other"))
       .groupBy(col("cls")).agg(count(lit(1)).as("n_nodes"))
   }
+
+  /** Holland–Leinhardt dyad census of a directed graph: every unordered
+    * node pair is MUTUAL (edges both ways), ASYMMETRIC (one way), or
+    * NULL — the triad-census' tractable little sibling and the standard
+    * reciprocity readout (2M/(2M+A), the probability the reverse edge
+    * exists given an edge). Self-loops dropped, edges deduped. Output
+    * one row: (n_nodes, n_edges, mutual, asym, null_dyads,
+    * reciprocity_e6).
+    *
+    * Scale: one distinct over the edge list, then ONE exchange on the
+    * canonical (lo, hi) pair key — never a node-pair cross join; the
+    * null count is closed-form n(n−1)/2 − M − A. */
+  def dyadCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true) // reused by pairs/nodes/count: ONE raw scan
+    val pairs = e.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("dirs"))
+      .agg(sum(when(col("dirs") === 2L, 1L).otherwise(0L)).as("mutual"),
+        sum(when(col("dirs") === 1L, 1L).otherwise(0L)).as("asym"))
+    val nn = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    pairs.crossJoin(nn).crossJoin(ne)
+      .selectExpr("n_nodes", "n_edges",
+        "coalesce(mutual, CAST(0 AS BIGINT)) AS mutual",
+        "coalesce(asym, CAST(0 AS BIGINT)) AS asym")
+      .selectExpr("n_nodes", "n_edges", "mutual", "asym",
+        "n_nodes * (n_nodes - 1) div 2 - mutual - asym AS null_dyads",
+        """CASE WHEN 2 * mutual + asym = 0 THEN NULL
+          |     ELSE CAST(2 * mutual * 1000000 div (2 * mutual + asym)
+          |       AS BIGINT)
+          |END AS reciprocity_e6""".stripMargin)
+  }
 }
