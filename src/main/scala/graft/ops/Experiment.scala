@@ -312,4 +312,43 @@ object Experiment {
       .selectExpr(keyCols :+ "n_g" :+ "round(p_raw, 6) AS p" :+ "k_rank" :+
         "k_rank <= coalesce(k_star, CAST(0 AS BIGINT)) AS rejected": _*)
   }
+
+  /** Stratified average treatment effect: within each stratum (a
+    * FIXED-WIDTH confounder band, so no global quantile sort) compare
+    * treated vs control outcome means; the overall ATE is the
+    * stratum-size-weighted mean of the per-stratum differences — the
+    * classic propensity-stratification estimator with the bands playing
+    * the propensity-score role. Strata missing either arm are DROPPED
+    * (standard positivity handling) and excluded from the weights.
+    * All integer: per-arm means are truncating cents divisions; the ATE
+    * numerator Σ n_s·diff_s can be negative, so the closing division
+    * rides a +C·n offset (C = 1e7 cents) to keep both engines'
+    * truncation on the positive side. Output per kept stratum:
+    * (stratum, n_s, n_t, n_c, mean_t_cents, mean_c_cents, diff_cents,
+    * w_e6, ate_cents) with ate_cents constant across rows.
+    *
+    * Scale: ONE stratum-keyed aggregate off the unit table; the
+    * weighting window runs on the STRATUM axis (fixed band count). */
+  def stratifiedAte(units: DataFrame, strataCol: String, treatCol: String,
+                    centsCol: String): DataFrame = {
+    val cells = units.select(col(strataCol).as("stratum"),
+        col(treatCol).cast("boolean").as("t"),
+        col(centsCol).cast("long").as("y"))
+      .groupBy(col("stratum"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("t"), col("y")).otherwise(0L)).as("s_t"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("s_c"))
+      .where(col("n_t") > 0 && col("n_c") > 0)
+    val all = Window.partitionBy()
+    cells
+      .selectExpr("stratum", "n_t + n_c AS n_s", "n_t", "n_c",
+        "s_t div n_t AS mean_t_cents", "s_c div n_c AS mean_c_cents",
+        "s_t div n_t - s_c div n_c AS diff_cents")
+      .withColumn("n", sum(col("n_s")).over(all))
+      .withColumn("num", sum(col("n_s") * col("diff_cents")).over(all))
+      .selectExpr("stratum", "n_s", "n_t", "n_c", "mean_t_cents",
+        "mean_c_cents", "diff_cents", "n_s * 1000000 div n AS w_e6",
+        "(num + n * 10000000) div n - 10000000 AS ate_cents")
+  }
 }

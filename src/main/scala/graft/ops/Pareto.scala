@@ -83,4 +83,37 @@ object Pareto {
         max(col("tot")).as("total_cents"),
         sum(expr("share_bp * share_bp")).as("hhi_e8"))
   }
+
+  /** Kneedle knee detection on the concentration curve: keys sorted by
+    * value descending, x = rank/n, y = cumulative share; the knee is
+    * argmax(y − x) — the point of diminishing returns where adding the
+    * next key stops paying ("how many top brands actually matter"), the
+    * operating point [[abcClasses]]' fixed 80/95 cuts approximate. All
+    * integer: shares and ranks are e6 truncating divisions, the argmax
+    * is min-rank-tiebroken. Output one row:
+    * (n_points, knee_rank, knee_key, knee_x_e6, knee_y_e6, knee_gap_e6).
+    *
+    * Scale: the window runs on the KEY axis (brand/segment cardinality,
+    * not row count) — callers aggregate the raw scan to per-key totals
+    * first, so the sort input is bounded. */
+  def kneedle(perKey: DataFrame, keyCol: String,
+              centsCol: String): DataFrame = {
+    val t = perKey.select(col(keyCol).cast("string").as("k"),
+      col(centsCol).cast("long").as("v"))
+    val ord = Window.orderBy(col("v").desc, col("k"))
+    t.withColumn("r", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("v")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tot", sum(col("v")).over(Window.partitionBy()))
+      .selectExpr("k", "r", "n",
+        "r * 1000000 div n AS x_e6",
+        "cum * 1000000 div tot AS y_e6")
+      .withColumn("gap", col("y_e6") - col("x_e6"))
+      .withColumn("pick", row_number().over(
+        Window.orderBy(col("gap").desc, col("r"))))
+      .where(col("pick") === 1)
+      .selectExpr("n AS n_points", "r AS knee_rank", "k AS knee_key",
+        "x_e6 AS knee_x_e6", "y_e6 AS knee_y_e6", "gap AS knee_gap_e6")
+  }
 }
