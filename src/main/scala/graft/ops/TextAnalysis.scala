@@ -509,4 +509,43 @@ object TextAnalysis {
         "CAST(greatest(nab, 0) div da AS BIGINT) AS kl_ab_e6",
         "CAST(greatest(nba, 0) div db AS BIGINT) AS kl_ba_e6")
   }
+
+  /** Bag-of-words cosine similarity between document pairs — the
+    * count-weighted complement of the SET-based n-gram Jaccard path: a
+    * doc that repeats a rare word 10× now weighs it 10×, which is what
+    * separates near-boilerplate from genuinely repeated content. Pairs
+    * materialize ONLY through the shared-word inverted index (dot = 0
+    * pairs never exist); dot products and squared norms are exact
+    * integer count sums, closed by the deterministic
+    * ratio-over-sqrt. Output: (doc_a, doc_b, dot, cos) for pairs with
+    * cos ≥ minCosE6/1e6, doc_a < doc_b.
+    *
+    * Scale: one word-keyed exchange builds the index, one (a, b)
+    * exchange sums dots — the inverted-index candidate contract of
+    * [[Bm25]]/[[invertedIndex]]; df-cap the index upstream for corpora
+    * where stopword postings explode. */
+  def bowCosinePairs(docs: DataFrame, minCosE6: Long = 500000L): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // reused: index pairing + both norm sides
+    val norms = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("c")).as("nrm"))
+    val b = counts.select(col("word"), col("doc_id").as("doc_b"),
+      col("c").as("cb"))
+    counts.join(b, "word").where(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(sum(col("c") * col("cb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+        "doc_b")
+      .selectExpr("doc_a", "doc_b", "dot",
+        """round(CAST(dot AS DOUBLE) /
+          |  sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cos""".stripMargin)
+      .where(col("cos") >= lit(minCosE6).cast("double") / 1000000.0)
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("cos"))
+  }
 }
