@@ -234,6 +234,53 @@ object Similarity {
     x.select(col("j").as("i"), col("x").as("x_e4"))
   }
 
+  /** Second principal direction by HOTELLING DEFLATION: estimate the
+    * top eigenvector x₁ with [[powerIteration]], subtract its rank-one
+    * component G' = G − λ₁·x₁x₁ᵀ/(x₁ᵀx₁) with λ₁ the Rayleigh quotient
+    * x₁ᵀGx₁/x₁ᵀx₁, and power-iterate the deflated matrix. Entirely in
+    * integers: λ₁'s numerator rides DECIMAL(38,0) (HUGEINT in the
+    * oracle), the rank-one correction closes with ONE sign-factored
+    * truncating division per (i,j), and the second iteration reuses
+    * [[powerIteration]] verbatim on the deflated entries (n_rows = 1 —
+    * already scaled). G is PSD so λ₁ ≥ 0; only x₁'s component signs
+    * alternate, which sdiv factors positive. Output per dim:
+    * (i, x1_e4, x2_e4).
+    *
+    * Scale: both iterations and the deflation are dims²-sized frames —
+    * after the ONE Gram aggregate nothing touches the data again. */
+  def powerIterationDeflated(gram: DataFrame, dims: Int,
+                             iters: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x1 = powerIteration(gram, dims, iters).localCheckpoint(true)
+    // same scaled symmetric covariance powerIteration builds internally
+    val g0 = gram.localCheckpoint(true)
+    val sym = g0.select(col("i"), col("j"), col("g_e12"), col("n_rows"))
+      .unionByName(g0.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g_e12"),
+          col("n_rows")))
+    val gsc = sym.select(col("i"), col("j"),
+        expr(sdiv("g_e12", "n_rows")).as("g"))
+      .localCheckpoint(true)
+    val xx = x1.agg(sum(col("x_e4") * col("x_e4")).as("xx"))
+    val gx = gsc.join(x1.select(col("i").as("j"), col("x_e4").as("xj")), "j")
+      .groupBy(col("i")).agg(sum(col("g") * col("xj")).as("gx"))
+    val lam = gx.join(x1, "i")
+      .agg(sum(col("gx").cast(dec) * col("x_e4").cast(dec)).as("lam_num"))
+    val g2 = gsc
+      .join(broadcast(x1.select(col("i"), col("x_e4").as("xi"))), "i")
+      .join(broadcast(x1.select(col("i").as("j"), col("x_e4").as("xj"))), "j")
+      .crossJoin(broadcast(lam)).crossJoin(broadcast(xx))
+      .where(col("i") <= col("j"))
+      .selectExpr("i", "j",
+        s"""CAST(g - ${sdiv(
+          s"lam_num * CAST(xi AS $dec) * CAST(xj AS $dec)",
+          s"CAST(xx AS $dec) * CAST(xx AS $dec)")} AS BIGINT) AS g_e12""",
+        "CAST(1 AS BIGINT) AS n_rows")
+    val x2 = powerIteration(g2, dims, iters)
+    x1.select(col("i"), col("x_e4").as("x1_e4"))
+      .join(x2.select(col("i"), col("x_e4").as("x2_e4")), "i")
+  }
+
   /** k-NN classification with a fold split: vectors with
     * vec_id % 5 == `testFold` are scored against ALL training vectors
     * by EXACT integer squared L2 over e6-quantized components
