@@ -42,7 +42,8 @@ object Registry {
       queries.Round51Queries.defs ++ queries.Round52Queries.defs ++
       queries.Round53Queries.defs ++ queries.Round54Queries.defs ++
       queries.Round55Queries.defs ++ queries.Round56Queries.defs ++
-      queries.Round57Queries.defs ++ queries.Round58Queries.defs
+      queries.Round57Queries.defs ++ queries.Round58Queries.defs ++
+      queries.Round59Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
