@@ -43,7 +43,8 @@ object Registry {
       queries.Round53Queries.defs ++ queries.Round54Queries.defs ++
       queries.Round55Queries.defs ++ queries.Round56Queries.defs ++
       queries.Round57Queries.defs ++ queries.Round58Queries.defs ++
-      queries.Round59Queries.defs ++ queries.Round60Queries.defs
+      queries.Round59Queries.defs ++ queries.Round60Queries.defs ++
+      queries.Round61Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
