@@ -12,6 +12,10 @@ class PlanShapeSpec extends SparkSpec {
 
   private def shape(q: String): (Int, Int) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Hermetic plan: a frame cached by an earlier spec in the same JVM
+    // swaps scans for InMemoryRelation and perturbs the exchange count
+    // (the r8 q_minhash_curve flake: 16 exchanges full-suite, 8 alone).
+    spark.catalog.clearCache()
     val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan.toString
     ("Exchange (hash|range)partitioning".r.findAllIn(p).size,
       "BroadcastExchange".r.findAllIn(p).size)
