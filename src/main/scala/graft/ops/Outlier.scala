@@ -41,7 +41,13 @@ object Outlier {
         "x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))").as("qv"))
     val b = q.select(col("label"), col("vec_id").as("ib"),
       col("qv").as("bv"))
+    // The label join lands on |labels| partitions; round-robin the raw
+    // pairs across the session's shuffle width BEFORE the 64-wide
+    // distance fold so it runs on every core (the knnClassify lesson —
+    // fusing the fold into the skewed join stage measured ~3× slower).
+    val width = emb.sparkSession.sessionState.conf.numShufflePartitions
     val knn = q.join(b, "label").where(col("vec_id") =!= col("ib"))
+      .repartition(width)
       .select(col("label"), col("vec_id").as("ia"), col("ib"),
         expr("""aggregate(zip_with(qv, bv, (x, y) -> (x - y) * (x - y)),
                |0L, (acc, v) -> acc + v)""".stripMargin).as("d2"))
