@@ -230,7 +230,47 @@ class PlanShapeSpec extends SparkSpec {
     ("q_path_drift", 2, 0),        // (u,day) fold + u-keyed lag/rollup
     ("q_fellegi_sunter", 0, 4),    // pattern axis checkpointed; totals bc
     ("q_rle_compression", 1, 0),   // lag + run aggs share the entity key
-    ("q_centroid_matrix", 9, 2))   // label-axis joins post-checkpoint
+    ("q_centroid_matrix", 9, 2),   // label-axis joins post-checkpoint
+    // round-8 batches (54..66); q_graph_robustness ungated like the
+    // other star-contraction CC queries (data-dependent round count)
+    ("q_kendall_tau", 4, 2),       // month agg + nk-keyed pair join
+    ("q_bh_fdr", 1, 1),            // ONE cell agg; global moments bc
+    ("q_partial_corr", 1, 0),      // per-order agg then one moment row
+    ("q_offpolicy_eval", 3, 2),    // cell agg; best/K broadcast back
+    ("q_compaction_bins", 2, 1),   // day agg + bin rollup; total bc
+    ("q_dyad_census", 2, 2),       // edge dedup + pair agg; scalars bc
+    ("q_lof", 12, 0),              // label-blocked kNN + 3 keyed aggs
+    ("q_stratified_ate", 2, 1),    // spend agg + stratum cells
+    ("q_knee_detection", 1, 1),    // brand agg; curve window post-bc
+    ("q_bitemporal", 2, 0),        // version union + keyed pick + rollup
+    ("q_bow_cosine", 3, 3),        // word index + pair agg; norms bc
+    ("q_pca_deflation", 2, 0),     // two Gram aggs; dims² frames after
+    ("q_simpson_reversal", 1, 1),  // ONE group moment agg; pooled bc
+    ("q_price_elasticity", 2, 1),  // qty agg + brand moments
+    ("q_haar_energy", 10, 10),     // 5 dyadic levels × (agg + spine bc)
+    ("q_hausdorff_traj", 4, 2),    // cell dedup + band-blocked pair aggs
+    ("q_rbo", 1, 1),               // part agg; rank windows + depth bc
+    ("q_tpch_forecast_revenue", 0, 0), // pure scan-filter-agg, pushed
+    ("q_tpch_priority", 1, 1),     // left-semi residual; orders bc side
+    ("q_tpch_small_qty", 1, 2),    // ONE lineitem shuffle; brand/thr bc
+    ("q_cdc_replay", 1, 0),        // ONE key shuffle for all windows
+    ("q_pit_features", 1, 0),      // union + ONE user window, no join
+    ("q_leakage_audit", 2, 1),     // (u, day)-bucketed join; labels bc
+    ("q_srm_check", 2, 0),         // unit dedup + experiment rollup
+    ("q_autocomplete_topk", 2, 0), // word agg + prefix top-k window
+    ("q_seasonal_anomaly", 0, 1),  // residuals checkpointed; MAD bc
+    ("q_event_study", 1, 1),       // ONE rel-month agg; customers bc
+    ("q_weighted_quantile", 3, 0), // order-count agg + seg windows
+    ("q_position_attribution", 2, 0), // user window + channel rollup
+    ("q_cohort_ltv", 4, 1),        // cohort min + cell agg + age window
+    ("q_negative_sampling", 2, 2), // pos dedup + anti-join; counts bc
+    ("q_curriculum_order", 0, 0),  // doc agg folds into decile window
+    ("q_bandit_regret", 4, 1),     // day×arm grid windows; best arm bc
+    ("q_delta_encoding", 1, 0),    // ONE user shuffle: lag + rollup
+    ("q_dp_histogram", 1, 0),      // ONE segment agg; noise is scalar
+    ("q_goertzel_power", 2, 1),    // 24-row profile; freq spine bc
+    ("q_critical_slack", 4, 1),    // two DAG sweeps + join; horizon bc
+    ("q_pinball_loss", 4, 1))      // fit windows; predictors broadcast
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
