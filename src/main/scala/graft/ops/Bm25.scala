@@ -53,10 +53,15 @@ object Bm25 {
       when(v >= lit(1L << b), lit(b)).otherwise(acc)
     }
 
-  /** SQL twin of [[msb]]. */
-  def msbSql(v: String): String =
+  /** SQL twin of [[msb]]. The argument is re-parenthesized before
+    * textual substitution — `log2E6Sql("ca + 1")` once expanded to
+    * `ca + 1 * 32` (the r8 q_log_odds_words bug); composite expressions
+    * are now safe. */
+  def msbSql(v0: String): String = {
+    val v = s"($v0)"
     "(CASE " + (47 to 1 by -1).map(b => s"WHEN $v >= ${1L << b} THEN $b")
       .mkString(" ") + " ELSE 0 END)"
+  }
 
   /** log₂(v)·10⁶ for positive integer v (exact msb + 5-bit mantissa). */
   def log2E6(v: Column): Column = {
@@ -67,7 +72,8 @@ object Bm25 {
   }
 
   /** SQL twin of [[log2E6]] (DuckDB `>>` takes column amounts natively). */
-  def log2E6Sql(v: String): String = {
+  def log2E6Sql(v0: String): String = {
+    val v = s"($v0)"
     val m = msbSql(v)
     val table = mantissaE6.mkString("[", ", ", "]")
     s"($m * 1000000 + $table[((($v * 32) >> $m) - 32) + 1])"
