@@ -26,6 +26,7 @@ object Round69Queries {
             expr("h % 24").as("hod"))
           .agg(count(lit(1)).as("orig"))
           .withColumn("v", col("orig"))
+          .localCheckpoint(true) // 168-row grid; each sweep re-reads it
         def sweep(df: org.apache.spark.sql.DataFrame, byCol: String,
                   ordTie: String) = {
           val w = Window.partitionBy(col(byCol))
@@ -37,6 +38,9 @@ object Round69Queries {
             .select(col(byCol), col("v").as("med"))
           df.join(broadcast(med), byCol)
             .withColumn("v", col("v") - col("med")).drop("med")
+            // truncate lineage: without this the 4-sweep chain re-derives
+            // the grid per sweep (31 exchanges in the r8 gate probe)
+            .localCheckpoint(true)
         }
         val once = sweep(sweep(grid, "dow", "hod"), "hod", "dow")
         val twice = sweep(sweep(once, "dow", "hod"), "hod", "dow")

@@ -270,7 +270,50 @@ class PlanShapeSpec extends SparkSpec {
     ("q_dp_histogram", 1, 0),      // ONE segment agg; noise is scalar
     ("q_goertzel_power", 2, 1),    // 24-row profile; freq spine bc
     ("q_critical_slack", 4, 1),    // two DAG sweeps + join; horizon bc
-    ("q_pinball_loss", 4, 1))      // fit windows; predictors broadcast
+    ("q_pinball_loss", 4, 1),      // fit windows; predictors broadcast
+    // round-8 batches (67..80)
+    ("q_influence_seeds", 0, 0),   // adj checkpointed; greedy steps tiny
+    ("q_od_gravity", 4, 6),        // lag window + OD cells; margins bc
+    ("q_rendezvous_rebalance", 2, 1), // key dedup + HRW windows
+    ("q_itemset3", 4, 0),          // basket dedup + triple self-joins
+    ("q_blocking_quality", 0, 2),  // blocked join; scalar sides bc
+    ("q_golden_record", 2, 0),     // version union + entity rollup
+    ("q_median_polish", 0, 0),     // 168-cell grid checkpointed sweeps
+    ("q_log_odds_words", 0, 1),    // counts checkpointed; totals bc
+    ("q_pacf", 2, 1),              // day agg + lead window; totals bc
+    ("q_mahalanobis_diag", 2, 1),  // per-order agg + topk; moments bc
+    ("q_cronbach_alpha", 1, 0),    // ONE per-order agg then scalar row
+    ("q_vif", 1, 0),               // ONE per-order agg then scalar row
+    ("q_wilcoxon_signed", 0, 1),   // pair join bc; global rank window
+    ("q_friedman_test", 1, 2),     // grid agg + block ranks; sums bc
+    ("q_siegel_slope", 1, 1),      // bounded day pairs; medians windows
+    ("q_tokenizer_fertility", 1, 0), // ONE lang rollup
+    ("q_perplexity_filter", 1, 2), // NLL checkpointed; thr/fit bc
+    ("q_kcenter_coreset", 0, 0),   // pts checkpointed; rounds broadcast
+    ("q_block_dedup", 2, 0),       // block explode + source rollup
+    ("q_tombstone_gc", 1, 1),      // ONE key window; watermark bc
+    ("q_idempotent_ingest", 2, 0), // (producer,seq) window + rollup
+    ("q_emd_1d", 2, 1),            // bin agg + cum window; totals bc
+    ("q_set_churn", 3, 2),         // month dedup + adjacency joins
+    ("q_dispersion_index", 2, 0),  // day agg + type moments
+    ("q_hill_tail", 0, 1),         // global top-k + bc reference
+    ("q_katz_centrality", 0, 0),   // edges checkpointed; rounds tiny
+    ("q_wls_slope", 1, 0),         // ONE weighted moment aggregate
+    ("q_bitmap_intersect", 3, 3),  // word bitmaps + pair AND; sizes bc
+    ("q_var_es", 2, 1),            // daily agg + keyed windows; VaR bc
+    ("q_robust_shape", 2, 0),      // seg rank window + octile union
+    ("q_iv_wald", 1, 1),           // spend agg; ONE scalar moment row
+    ("q_reg_discontinuity", 4, 3), // side moments; scalar cross join
+    ("q_permutation_test", 2, 1),  // split explode + k rollup
+    ("q_subgroup_discovery", 1, 1),// cell rollup; threshold/totals bc
+    ("q_conformal", 2, 3),         // split aggs; fit/qhat broadcast
+    ("q_rate_volume_decomp", 4, 2),// year cells + seg self-join
+    ("q_newsvendor", 2, 1),        // daily demand + quantile; q* bc
+    ("q_price_index", 2, 1),       // part-year agg + basket moments
+    ("q_raking", 6, 2),            // cell/margin aggs + margin windows
+    ("q_watermark_advisor", 4, 3), // HWM window + percentile picks
+    ("q_smape_eval", 4, 0),        // day agg + 2 lag-window passes
+    ("q_sla_attainment", 2, 1))    // ship agg + keyed quantile; p90 bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
