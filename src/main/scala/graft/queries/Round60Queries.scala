@@ -21,6 +21,16 @@ object Round60Queries {
     //    cents×cents (price_cents · discount_cents) exact units.
     QueryDef("q_tpch_forecast_revenue",
       (s, d) => Tables.lineitem(s, d)
+        // Pushdown companions: conservative RAW-column supersets of the
+        // exact cents predicates below. The exact forms wrap columns in
+        // floor()/unix_micros() and can never reach the parquet reader;
+        // these raw comparisons DO (PushedFilters + row-group stats
+        // pruning), and the exact predicates still decide membership.
+        .where(expr(
+          "l_shipdate >= TIMESTAMP '1993-12-31 00:00:00' AND " +
+            "l_shipdate <= TIMESTAMP '1995-01-02 00:00:00' AND " +
+            "l_discount >= 0.0449 AND l_discount <= 0.0751 AND " +
+            "l_quantity <= 23.51"))
         .select(
           expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div $day")
             .as("sday"),
@@ -50,7 +60,11 @@ object Round60Queries {
     //    an inequality residual on the join).
     QueryDef("q_tpch_priority",
       (s, d) => {
-        val o = Tables.orders(s, d).select(col("o_orderkey"),
+        val o = Tables.orders(s, d)
+          // pushdown companion (see q_tpch_forecast_revenue)
+          .where(expr("o_orderdate >= TIMESTAMP '1994-12-31 00:00:00' " +
+            "AND o_orderdate <= TIMESTAMP '1995-07-02 00:00:00'"))
+          .select(col("o_orderkey"),
           col("o_orderpriority"),
           expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $day")
             .as("oday"))
