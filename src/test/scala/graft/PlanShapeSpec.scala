@@ -313,7 +313,26 @@ class PlanShapeSpec extends SparkSpec {
     ("q_raking", 6, 2),            // cell/margin aggs + margin windows
     ("q_watermark_advisor", 4, 3), // HWM window + percentile picks
     ("q_smape_eval", 4, 0),        // day agg + 2 lag-window passes
-    ("q_sla_attainment", 2, 1))    // ship agg + keyed quantile; p90 bc
+    ("q_sla_attainment", 2, 1),    // ship agg + keyed quantile; p90 bc
+    // round-8 batches (81..86)
+    ("q_smote_midpoints", 3, 3),   // minority pairs; class pick bc
+    ("q_ood_margin", 6, 2),        // centroid build + bc distance scan
+    ("q_isotropy", 2, 3),          // gram agg + dims² Rayleigh frames
+    ("q_qq_map", 0, 1),            // docs checkpointed; ladder windows
+    ("q_energy_distance", 0, 0),   // ONE merged-order sweep
+    ("q_cvm_test", 1, 0),          // value cells + merged sweep
+    ("q_circular_stats", 1, 0),    // ONE type rollup over literal trig
+    ("q_morans_i", 0, 2),          // band axis checkpointed; adj join bc
+    ("q_conductance", 0, 0),       // edges checkpointed; 3 cut scans
+    ("q_discounted_ltv", 3, 1),    // cohort min + weighted rollup
+    ("q_winnowing", 2, 1),         // gram explode + doc windows
+    ("q_capture_recapture", 2, 1), // ONE (et,u) collapse + type rollup
+    ("q_group_sequential", 0, 0),  // units checkpointed; 4 scalar looks
+    ("q_adf_lite", 2, 0),          // day agg + keyed lag window
+    ("q_theil_index", 4, 3),       // member log terms; margins bc
+    ("q_lognormal_fit", 2, 1),     // log moments + positional median
+    ("q_block_maxima", 2, 0),      // day agg + month max + scalar row
+    ("q_jackknife_groups", 4, 3))  // nation cells; totals broadcast
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
