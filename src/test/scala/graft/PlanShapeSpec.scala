@@ -332,7 +332,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_theil_index", 4, 3),       // member log terms; margins bc
     ("q_lognormal_fit", 2, 1),     // log moments + positional median
     ("q_block_maxima", 2, 0),      // day agg + month max + scalar row
-    ("q_jackknife_groups", 4, 3))  // nation cells; totals broadcast
+    ("q_jackknife_groups", 4, 3),  // nation cells; totals broadcast
+    ("q_median_ci", 0, 2),         // ranked axis checkpointed; picks bc
+    ("q_abc_xyz", 5, 0),           // revenue + variability rollups
+    ("q_fleiss_kappa", 0, 0))      // ONE scan → scalar moment row
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
