@@ -26,7 +26,8 @@ object Round68Queries {
           .select(col("l_orderkey").as("ok"), col("p_brand").as("br"))
           .distinct()
           .localCheckpoint(true) // three self-join sides + total
-        val tot = b.select(col("ok")).distinct().count()
+        val tot = b.select(col("ok")).distinct()
+          .agg(count(lit(1)).as("tot"))
         val x = b.select(col("ok"), col("br").as("b1"))
         val y = b.select(col("ok"), col("br").as("b2"))
         val z = b.select(col("ok"), col("br").as("b3"))
@@ -34,8 +35,10 @@ object Round68Queries {
           .join(z, "ok").where(col("b2") < col("b3"))
           .groupBy(col("b1"), col("b2"), col("b3"))
           .agg(count(lit(1)).as("supp"))
-          .where(col("supp") * 1000 >= tot)
-          .withColumn("share_e6", expr(s"supp * 1000000 div ${tot}L"))
+          .crossJoin(broadcast(tot))
+          .where(col("supp") * 1000 >= col("tot"))
+          .selectExpr("b1", "b2", "b3", "supp",
+            "supp * 1000000 div tot AS share_e6")
       },
       Some("""WITH b AS (
              |  SELECT DISTINCT l_orderkey AS ok, p_brand AS br
