@@ -335,7 +335,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_jackknife_groups", 4, 3),  // nation cells; totals broadcast
     ("q_median_ci", 0, 2),         // ranked axis checkpointed; picks bc
     ("q_abc_xyz", 5, 0),           // revenue + variability rollups
-    ("q_fleiss_kappa", 0, 0))      // ONE scan → scalar moment row
+    ("q_fleiss_kappa", 0, 0),      // ONE scan → scalar moment row
+    ("q_bollinger", 1, 0),         // day agg + ONE trailing window
+    ("q_pettitt", 1, 1),           // bounded day pairs + cum window
+    ("q_turning_points", 1, 0))    // day agg + lag/lead + scalar row
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
