@@ -275,7 +275,7 @@ class PlanShapeSpec extends SparkSpec {
     ("q_influence_seeds", 0, 0),   // adj checkpointed; greedy steps tiny
     ("q_od_gravity", 4, 6),        // lag window + OD cells; margins bc
     ("q_rendezvous_rebalance", 2, 1), // key dedup + HRW windows
-    ("q_itemset3", 4, 0),          // basket dedup + triple self-joins
+    ("q_itemset3", 5, 1),          // basket dedup + triple joins; tot bc
     ("q_blocking_quality", 0, 2),  // blocked join; scalar sides bc
     ("q_golden_record", 2, 0),     // version union + entity rollup
     ("q_median_polish", 0, 0),     // 168-cell grid checkpointed sweeps
@@ -338,7 +338,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_fleiss_kappa", 0, 0),      // ONE scan → scalar moment row
     ("q_bollinger", 1, 0),         // day agg + ONE trailing window
     ("q_pettitt", 1, 1),           // bounded day pairs + cum window
-    ("q_turning_points", 1, 0))    // day agg + lag/lead + scalar row
+    ("q_turning_points", 1, 0),    // day agg + lag/lead + scalar row
+    ("q_growth_share", 1, 0),      // checkpointed brand axis + pair max
+    ("q_kendall_w", 2, 1),         // brand agg + three rank windows
+    ("q_smr", 3, 1))               // unit frame + cells; rates broadcast
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
