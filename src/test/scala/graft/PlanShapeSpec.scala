@@ -341,7 +341,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_turning_points", 1, 0),    // day agg + lag/lead + scalar row
     ("q_growth_share", 1, 0),      // checkpointed brand axis + pair max
     ("q_kendall_w", 2, 1),         // brand agg + three rank windows
-    ("q_smr", 3, 1))               // unit frame + cells; rates broadcast
+    ("q_smr", 3, 1),               // unit frame + cells; rates broadcast
+    ("q_mediation", 2, 1),         // order agg + z-group moment rows
+    ("q_treatment_heterogeneity", 1, 1), // ONE seg moment agg; pool bc
+    ("q_rate_ratio_test", 1, 1))   // type rollup; midpoint broadcast
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
