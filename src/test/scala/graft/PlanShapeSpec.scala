@@ -344,7 +344,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_smr", 3, 1),               // unit frame + cells; rates broadcast
     ("q_mediation", 2, 1),         // order agg + z-group moment rows
     ("q_treatment_heterogeneity", 1, 1), // ONE seg moment agg; pool bc
-    ("q_rate_ratio_test", 1, 1))   // type rollup; midpoint broadcast
+    ("q_rate_ratio_test", 1, 1),   // type rollup; midpoint broadcast
+    ("q_ts_discord", 1, 1),        // week pivot; pair scan post-bc
+    ("q_max_subarray", 2, 1),      // day agg + prefix windows; tot bc
+    ("q_tversky", 7, 0))           // basket dedup + index join + sizes
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
