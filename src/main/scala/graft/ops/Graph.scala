@@ -965,15 +965,22 @@ object Graph {
     * Scale: stages 1–2 are |V| simultaneous BFS labels — the exact
     * all-sources regime, right when betweenness is computed WITHIN
     * components/communities of bounded size (the usual production
-    * shape after clustering). For one huge component, sample pivots s
-    * (Riondato–Kornaropoulos bounds) — same plan with a seed filter on
-    * stage 1 and a count-rescale, not a different algorithm.
+    * shape after clustering). For one huge component, pass `seedCol`:
+    * a boolean column marking SAMPLED pivots — the SAME plan runs with
+    * the BFS seeded only there, so both pair endpoints (s, t) range
+    * over the sample and the result is the exact pair-dependency sum
+    * over sampled ordered pairs (the pair-sampling estimator; callers
+    * rescale by n(n−1)/(k(k−1)) for an unbiased full-graph estimate —
+    * deterministic, so the rescale lives in the query AND its oracle).
+    * This is the §7.4k escape hatch: the k-sample variant IS this code
+    * path behind the parameter, not a different algorithm.
     * Pass a bidirected edge view for undirected semantics; undirected
     * bc is the ordered-pair result halved. Output: (v, bc_e6). */
   def betweenness(nodes: DataFrame, edges: DataFrame,
-                  maxDepth: Int): DataFrame = {
-    val dist = multiSourceBfs(nodes.withColumn("every_node", lit(true)),
-      edges, "every_node", maxDepth)
+                  maxDepth: Int, seedCol: Option[String] = None): DataFrame = {
+    val seeded = seedCol.fold(nodes.withColumn("every_node", lit(true)))(
+      c => nodes.withColumn("every_node", col(c)))
+    val dist = multiSourceBfs(seeded, edges, "every_node", maxDepth)
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     var front = dist.filter(col("dist") === 0L)
       .select(col("seed"), col("id"), lit(1L).as("sig"))

@@ -62,7 +62,12 @@ object Outlier {
         "ib")
       .groupBy(col("label"), col("ia"))
       .agg(sum(greatest(col("kdist_b"), col("d2"))).as("sreach0"))
-      .withColumn("sreach", greatest(col("sreach0"), lit(1L)))
+      // Floor at 2e5 (e12 units), not 1: inv_b = 1e24 div sreach must fit
+      // a BIGINT (1e24/2e5 = 5e18 < Long.MAX). Below the floor the
+      // neighborhood is near-duplicate anyway and the density saturates;
+      // without it Spark's non-ANSI decimal→long cast yields NULL while
+      // DuckDB's HUGEINT→BIGINT cast raises — divergent engines.
+      .withColumn("sreach", greatest(col("sreach0"), lit(200000L)))
     val inv = sreach.selectExpr("ia AS ib",
       s"""CAST(CAST('1000000000000000000000000' AS $dec)
          |  div CAST(sreach AS $dec) AS BIGINT) AS inv_b""".stripMargin)

@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * this variant — a 500-node chain converges in ~6 star rounds vs 500
   * label rounds.
   *
-  * Each round is two groupBy-join passes over the edge list:
+  * Each round FUSES the two star operators into one groupBy-join pass
+  * over the edge list (see [[fusedStar]]):
   *  - large-star: every node points its LARGER neighbors at the minimum of
   *    its neighborhood (incl. itself) — flattens long tails in one hop;
-  *  - small-star: every node points its smaller-or-equal neighbors (and
-  *    itself) at that minimum — collapses local stars onto their roots.
+  *  - small-star: every node points its smaller neighbors (and itself) at
+  *    the minimum of its LOW neighborhood — collapses local stars onto
+  *    their roots.
   * Both emit strictly-decreasing parent links, so Σ(parent) is monotone
   * non-increasing and serves as the convergence check (one tiny aggregate
   * per round — the same trick as min-label's label-sum; no
@@ -46,31 +48,66 @@ object StarComponents {
     * pass costs one exchange instead of three. */
   private val loopPartitions = 8
 
-  /** One large-star round: for each node, larger neighbors re-point at the
-    * neighborhood minimum. Input/output: undirected edge list (a, b);
-    * output may carry duplicates — deduped once per round in the driver
-    * loop. */
-  private[ops] def largeStar(edges: DataFrame): DataFrame = {
+  /** One FUSED star round: large-star and small-star applied to the SAME
+    * edge set and emitted from ONE groupBy+join (the §7.4d tagged-union
+    * fusion the bench tail asked for). Per node `a` over the
+    * bidirectional neighborhood, the aggregate computes BOTH minima the
+    * two stars need —
+    *   mAll = min(N(a) ∪ {a})        (large-star's re-point target)
+    *   mLo  = min(lows(a) ∪ {a})     (small-star's, lows = neighbors < a)
+    * — then a single co-partitioned join back emits the union of the two
+    * operators' edges: larger neighbors → mAll (large-star), smaller
+    * neighbors and self → mLo (small-star). Both operators preserve
+    * components and both fix disjoint min-rooted stars, so the union
+    * converges to the same fixpoint as the sequential
+    * smallStar(largeStar(e)) alternation; the convergence stats + maxIter
+    * guard in [[connectedComponents]] pin it per run.
+    *
+    * Plan shape: ONE repartition per round (the groupBy and the join
+    * back both reuse it) + the loop's distinct — 2 exchanges/round vs the
+    * sequential form's 3, and one groupBy+join pair instead of two. Every
+    * emitted edge is strictly decreasing (mAll ≤ a < b on the large leg;
+    * mLo ≤ b < a and mLo < a on the small legs), so the Σ(endpoint)
+    * convergence monotone still holds. */
+  private[ops] def fusedStar(edges: DataFrame): DataFrame = {
     val bi = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .repartition(loopPartitions, col("a"))
-    val m = bi.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
-    bi.join(m, "a").filter(col("b") > col("a"))
-      .select(col("b").as("a"), col("m").as("b"))
-      .filter(col("a") =!= col("b"))
+    val m = bi.groupBy(col("a")).agg(
+      least(min(col("b")), col("a")).as("mAll"),
+      least(min(when(col("b") < col("a"), col("b"))), col("a")).as("mLo"))
+    // Both star legs come out of ONE conditional projection over ONE
+    // join — NOT a union of filtered branches. With per-leg filters the
+    // optimizer pushes each filter below the neighborhood repartition,
+    // the three exchange subtrees stop being canonically equal, and the
+    // "shared" shuffle silently becomes three (caught by the round gate).
+    val pairs = bi.join(m, "a").select(col("b").as("a"),
+      when(col("b") > col("a"), col("mAll")).otherwise(col("mLo")).as("b"))
+    val self = m.select(col("a"), col("mLo").as("b"))
+    pairs.unionByName(self).filter(col("a") =!= col("b"))
   }
 
-  /** One small-star round: orient edges high→low, then each high node and
-    * its low neighbors all re-point at the neighborhood minimum. */
-  private[ops] def smallStar(edges: DataFrame): DataFrame = {
-    val hiLo = edges.select(
-      greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
-      .repartition(loopPartitions, col("a"))
-    val m = hiLo.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
-    val lows = hiLo.join(m, "a").select(col("b").as("a"), col("m").as("b"))
-    val his = m.select(col("a"), col("m").as("b"))
-    lows.unionByName(his).filter(col("a") =!= col("b"))
-  }
+  /** Instrumentation (spec/bench only): cumulative round count and
+    * per-round planned exchange count across every
+    * [[connectedComponents]] call in this JVM. Total rounds are
+    * data-dependent (that's why the CC-family queries are exempt from
+    * PlanShapeSpec's absolute gates); these counters let the round-gate
+    * spec assert the ROUND-NORMALIZED shape instead — exchanges ≤
+    * k·rounds — so a regression inside the loop body still fails CI. */
+  val roundsCounter = new java.util.concurrent.atomic.AtomicLong
+  val roundExchangesCounter = new java.util.concurrent.atomic.AtomicLong
+
+  /** DISTINCT shuffles a plan will actually run: canonicalized
+    * ShuffleExchangeLike nodes, deduped. The fused round's plan TEXT
+    * repeats the neighborhood-repartition subtree under all three union
+    * legs, but AQE's stage cache (keyed on the canonicalized plan)
+    * materializes identical exchanges once — counting raw occurrences
+    * would triple-count what executes as one shuffle. */
+  private def distinctPlannedExchanges(df: DataFrame): Long =
+    df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.canonicalized
+    }.distinct.size.toLong
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 30): DataFrame = {
@@ -91,7 +128,10 @@ object StarComponents {
     var converged = prev._1 == 0
     var iter = 0
     while (!converged && iter < maxIter) {
-      val (ne, cur) = checkpointWithStats(smallStar(largeStar(e)).distinct())
+      val round = fusedStar(e).distinct()
+      roundsCounter.incrementAndGet()
+      roundExchangesCounter.addAndGet(distinctPlannedExchanges(round))
+      val (ne, cur) = checkpointWithStats(round)
       e = ne
       // Fixpoint: both passes emit the same (child→root) star two rounds
       // running — count and endpoint-sum together pin the edge multiset.

@@ -678,6 +678,13 @@ object Stats {
     * denominators yield NULL. Output: (k, n_pairs, concordant,
     * discordant, tau_b).
     *
+    * PRECONDITION: exactly one row per (key, unit). Pairs are formed via
+    * `u < ub`, so duplicate unit values within a key are silently
+    * excluded from ALL pair counts (they are neither concordant,
+    * discordant, nor ties — n_pairs undercounts and tau-b shifts).
+    * Aggregate to the (key, unit) grain first, as q_kendall_tau does
+    * with (nation, month).
+    *
     * Scale: the self-join is keyed on `k` (one shuffle) and the pair
     * count is O(groups · units²) where the unit axis (e.g. calendar
     * months) is BOUNDED by the time range, not the data volume — at

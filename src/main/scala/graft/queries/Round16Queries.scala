@@ -295,7 +295,7 @@ object Round16Queries {
   /** The chain-with-chords graph of Round12/Round14 (10 ten-node
     * chains; chords (c, c+4) everywhere and (c+4, c+9) on even
     * chains) — small components exercise the all-pairs-exact regime. */
-  private val chainGraphSql =
+  private[queries] val chainGraphSql =
     """nodes AS (SELECT DISTINCT p_partkey % 100 AS id FROM part),
       |ce AS (
       |  SELECT id AS src, id + 1 AS dst FROM nodes WHERE id % 10 <> 9
@@ -304,7 +304,7 @@ object Round16Queries {
       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       |        FROM ce WHERE src <> dst)""".stripMargin
 
-  private def chainGraph(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[queries] def chainGraph(s: org.apache.spark.sql.SparkSession, d: String) = {
     val nodes = Tables.part(s, d)
       .select((col("p_partkey") % 100).as("id")).distinct()
     val chain = nodes.filter(col("id") % 10 =!= 9)
@@ -321,10 +321,13 @@ object Round16Queries {
     (nodes, und)
   }
 
-  /** Layered-σ betweenness oracle body (expects `nodes` and `und` CTEs
-    * in scope): recursive BFS distances, `layers` unrolled σ CTEs, the
-    * tight-triangle triple join. */
-  private def betweennessSql(layers: Int): String = {
+  /** Layered-σ betweenness oracle body through the `contrib` CTE
+    * (expects `nodes` and `und` CTEs in scope): recursive BFS distances
+    * seeded where `seedPred` holds, `layers` unrolled σ CTEs, the
+    * tight-triangle triple join. Callers append their final SELECT
+    * (exact: coalesce join-back; sampled: the pair-count rescale). */
+  private[queries] def betweennessBodySql(layers: Int,
+                                          seedPred: String = "TRUE"): String = {
     val sigs = (1 to layers).map { k =>
       s"""sig$k AS MATERIALIZED (
          |  SELECT f.s, adj.v, CAST(sum(f.sig) AS BIGINT) AS sig, $k AS d
@@ -334,7 +337,7 @@ object Round16Queries {
     }.mkString(",\n")
     s"""adj AS (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und),
        |bfs AS (
-       |  SELECT id AS s, id AS v, 0 AS dd FROM nodes
+       |  SELECT id AS s, id AS v, 0 AS dd FROM nodes WHERE $seedPred
        |  UNION
        |  SELECT bfs.s, adj.v, bfs.dd + 1 AS dd
        |  FROM bfs JOIN adj ON adj.u = bfs.v WHERE bfs.dd < $layers),
@@ -347,9 +350,13 @@ object Round16Queries {
        |  FROM sigd a
        |  JOIN sigd b ON b.v = a.v AND b.s <> a.s AND a.v <> a.s AND a.v <> b.s
        |  JOIN sigd c ON c.s = a.s AND c.v = b.s AND c.d = a.d + b.d
-       |  GROUP BY 1)
-       |SELECT CAST(n.id AS BIGINT) AS v,
-       |       CAST(coalesce(bc.bc_e6, 0) AS BIGINT) AS bc_e6
-       |FROM nodes n LEFT JOIN contrib bc ON bc.v = n.id""".stripMargin
+       |  GROUP BY 1)""".stripMargin
   }
+
+  private def betweennessSql(layers: Int): String =
+    betweennessBodySql(layers) +
+      s"""
+         |SELECT CAST(n.id AS BIGINT) AS v,
+         |       CAST(coalesce(bc.bc_e6, 0) AS BIGINT) AS bc_e6
+         |FROM nodes n LEFT JOIN contrib bc ON bc.v = n.id""".stripMargin
 }

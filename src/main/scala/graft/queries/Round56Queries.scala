@@ -42,7 +42,7 @@ object Round56Queries {
              |       FROM knn GROUP BY 1),
              |sr AS (SELECT k.label, k.ia,
              |              greatest(CAST(sum(greatest(kb.kdist, k.d2))
-             |                AS BIGINT), 1) AS sreach
+             |                AS BIGINT), 200000) AS sreach
              |       FROM knn k JOIN kd kb ON k.ib = kb.ia
              |       GROUP BY 1, 2),
              |inv AS (SELECT ia AS ib,

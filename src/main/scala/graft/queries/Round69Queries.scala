@@ -92,8 +92,13 @@ object Round69Queries {
           .withColumn("lb", Bm25.log2E6(col("cb") + 1) -
             Bm25.log2E6(greatest(lit(1L),
               col("nb") + col("vocab") - col("cb") - 1)))
+          // Sign-factored: Spark `div` truncates, DuckDB `//` floors — the
+          // two agree only on non-negative numerators, and la < lb for
+          // every non-en-leaning word.
+          .withColumn("dlt", expr("CAST(la AS BIGINT) - CAST(lb AS BIGINT)"))
           .withColumn("delta_e6", expr(
-            "(CAST(la AS BIGINT) - CAST(lb AS BIGINT)) * 693147 div 1000000"))
+            """CASE WHEN dlt >= 0 THEN dlt * 693147 div 1000000
+              |ELSE -((-dlt) * 693147 div 1000000) END""".stripMargin))
           .withColumn("z", expr(
             """round(CAST(delta_e6 AS DOUBLE) / CAST('1000000' AS DOUBLE)
               |/ sqrt(CAST('1.0' AS DOUBLE) / CAST(ca + 1 AS DOUBLE)
@@ -122,13 +127,18 @@ object Round69Queries {
            |               CAST(sum(cb) AS BIGINT) AS nb,
            |               CAST(count(*) AS BIGINT) AS vocab
            |        FROM counts),
-           |sc AS (SELECT word, ca, cb,
-           |              (CAST(${Bm25.log2E6Sql("(ca + 1)")} -
+           |sc0 AS (SELECT word, ca, cb,
+           |              CAST(${Bm25.log2E6Sql("(ca + 1)")} -
            |               ${Bm25.log2E6Sql("greatest(na + vocab - ca - 1, 1)")}
            |               - ${Bm25.log2E6Sql("(cb + 1)")} +
            |               ${Bm25.log2E6Sql("greatest(nb + vocab - cb - 1, 1)")}
-           |               AS BIGINT)) * 693147 // 1000000 AS delta_e6
+           |               AS BIGINT) AS dlt
            |       FROM counts CROSS JOIN tot),
+           |sc AS (SELECT word, ca, cb,
+           |              CASE WHEN dlt >= 0 THEN dlt * 693147 // 1000000
+           |                   ELSE -((-dlt) * 693147 // 1000000)
+           |              END AS delta_e6
+           |       FROM sc0),
            |z AS (SELECT word, ca, cb, delta_e6,
            |             round(CAST(delta_e6 AS DOUBLE)
            |               / CAST('1000000' AS DOUBLE)

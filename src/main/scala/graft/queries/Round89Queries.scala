@@ -37,8 +37,13 @@ object Round89Queries {
         val j = j0.join(mx, col("g") =!= col("g2"))
           .groupBy(col("g"), col("rev_a"), col("rev_b"))
           .agg(max(col("rb2")).as("mx_other"))
+        // Sign-factored: Spark `div` truncates, DuckDB `//` floors — they
+        // agree only on non-negative numerators (SURVEY §convention).
         j.selectExpr("g", "rev_a", "rev_b",
-            "(rev_b - rev_a) * 1000000 div rev_a AS growth_e6",
+            """CASE WHEN rev_b >= rev_a
+              |       THEN (rev_b - rev_a) * 1000000 div rev_a
+              |     ELSE -((rev_a - rev_b) * 1000000 div rev_a)
+              |END AS growth_e6""".stripMargin,
             "rev_b * 1000000 div mx_other AS rel_share_e6")
           .selectExpr("g", "rev_a", "rev_b", "growth_e6", "rel_share_e6",
             """CASE WHEN growth_e6 > 0 AND rel_share_e6 >= 1000000
@@ -60,7 +65,10 @@ object Round89Queries {
              |mx AS (SELECT j1.g, CAST(max(j2.rev_b) AS BIGINT) AS mx_other
              |       FROM j j1 JOIN j j2 ON j1.g <> j2.g GROUP BY 1),
              |sc AS (SELECT j.g, rev_a, rev_b,
-             |              (rev_b - rev_a) * 1000000 // rev_a AS growth_e6,
+             |              CASE WHEN rev_b >= rev_a
+             |                     THEN (rev_b - rev_a) * 1000000 // rev_a
+             |                   ELSE -((rev_a - rev_b) * 1000000 // rev_a)
+             |              END AS growth_e6,
              |              rev_b * 1000000 // mx_other AS rel_share_e6
              |       FROM j JOIN mx ON j.g = mx.g)
              |SELECT g, rev_a, rev_b, growth_e6, rel_share_e6,

@@ -80,8 +80,11 @@ object Round91Queries {
           .withColumn("v", expr("n * c - s"))
           .withColumn("pre", sum(col("v")).over(
             ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("minpre", coalesce(min(col("pre")).over(
-            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          // least(0, …): the empty prefix (sum 0) is always a valid start,
+          // so subarrays beginning at day 1 count even when every strictly
+          // preceding prefix is positive (Kadane's empty-prefix case).
+          .withColumn("minpre", least(lit(0L), coalesce(min(col("pre")).over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
           .withColumn("burst_n", col("pre") - col("minpre"))
         p.withColumn("rk", row_number().over(
             Window.orderBy(col("burst_n").desc, col("day"))))
@@ -99,9 +102,9 @@ object Round91Queries {
              |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
              |      FROM daily CROSS JOIN tot),
              |q AS (SELECT day, n, pre,
-             |             coalesce(min(pre) OVER (ORDER BY day
+             |             least(0, coalesce(min(pre) OVER (ORDER BY day
              |               ROWS BETWEEN UNBOUNDED PRECEDING
-             |               AND 1 PRECEDING), 0) AS minpre
+             |               AND 1 PRECEDING), 0)) AS minpre
              |      FROM p)
              |SELECT day AS burst_end_day,
              |       pre - minpre AS burst_sum_nscaled,

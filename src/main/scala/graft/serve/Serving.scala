@@ -40,11 +40,21 @@ object Serving {
       struct(col("provider"), col("vehicleId"), col("eventTs")).as("properties")).as("feature"))
 
   /** The FeatureCollection envelope (`app.py:69`) — a serving-path
-    * emission for an API handler, so driver-side assembly of the final
-    * string mirrors the reference; the per-feature JSON is computed
-    * distributed by `to_json`. */
-  def featureCollectionJson(features: DataFrame): String =
-    features.select(to_json(col("feature")).as("j"))
-      .collect().map(_.getString(0))
-      .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+    * emission for an API handler. The per-feature JSON is computed
+    * distributed by `to_json`; the driver STREAMS the feature lines via
+    * `toLocalIterator` (one partition in memory at a time) instead of
+    * `collect()`, so a hot window whose feature set outgrows driver
+    * memory at 100× still serializes — the envelope is O(1) driver
+    * state plus the output stream. */
+  def featureCollectionJson(features: DataFrame): String = {
+    val sb = new java.lang.StringBuilder("""{"type":"FeatureCollection","features":[""")
+    val it = features.select(to_json(col("feature")).as("j")).toLocalIterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) sb.append(',')
+      sb.append(it.next().getString(0))
+      first = false
+    }
+    sb.append("]}").toString
+  }
 }

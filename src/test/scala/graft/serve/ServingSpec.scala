@@ -39,6 +39,32 @@ class ServingSpec extends SparkSpec {
     assert(nFeatures == Serving.tilesLatest(tiles).count())
   }
 
+  test("featureCollectionJson streams partition-at-a-time (no full collect)") {
+    // Exchange-free 4-partition plan: toLocalIterator runs ONE JOB PER
+    // PARTITION, a full collect() would be exactly one job. (AQE is not
+    // in play — no exchange — so job count is a faithful materialization
+    // probe.)
+    val rows = (1 to 8).map(i =>
+      ("p", s"v$i", i.toDouble, -i.toDouble, s"2024-01-01T00:00:0$i"))
+    val df = spark.sparkContext.parallelize(rows, 4)
+      .toDF("provider", "vehicleId", "lat", "lon", "eventTs")
+    val features = Serving.positionFeatures(df)
+    val group = "fc-envelope-stream"
+    spark.sparkContext.setJobGroup(group, "featureCollectionJson", false)
+    val fc = try Serving.featureCollectionJson(features)
+             finally spark.sparkContext.clearJobGroup()
+    assert(fc.contains(""""v1"""") && fc.contains(""""v8""""))
+    assert(spark.read.json(Seq(fc).toDS()).columns.contains("features"))
+    // status tracker fills from the async listener bus — poll briefly
+    var jobs = 0; var waited = 0
+    while (jobs < 2 && waited < 5000) {
+      jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      if (jobs < 2) { Thread.sleep(100); waited += 100 }
+    }
+    assert(jobs >= 2,
+      s"expected >=2 per-partition jobs (streamed envelope), got $jobs — full collect?")
+  }
+
   test("positionFeatures emits Point features for the latest positions (Q2)") {
     val latest = Pipeline.latestByKeyMaxBy(
       Pipeline.sanitize(Tables.positions(spark, sf())), Seq("lat", "lon"))
