@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ordering — the scale-correct replacement for an
+  * unpartitioned `row_number().over(Window.orderBy(...))`, which moves
+  * EVERY row to one partition (WindowExec's single-partition warning;
+  * catastrophic at 100 TB even though results are identical).
+  *
+  * Mechanism: `repartitionByRange` on the sort key (Spark samples split
+  * points; explicit numPartitions, so AQE never coalesces them) +
+  * `sortWithinPartitions` (local sort only), then the LOCAL row index is
+  * read straight off `monotonically_increasing_id` — its documented
+  * layout is (partitionId << 33) | localIndex, and the projection runs
+  * over the sorted iterator, so the low 33 bits ARE the 0-based sorted
+  * position within the partition with NO window and NO extra shuffle.
+  * Global rank = local index + the partition's offset, computed from
+  * per-partition counts (a #partitions-row aggregate that broadcasts).
+  *
+  * The total order is exact and identical to the single-partition window
+  * as long as `sortCols` is a total order (pass tie-breaker columns!);
+  * only the plan shape changes. Cost: ONE data-sized range exchange + a
+  * tiny count aggregate + a broadcast join — vs "ship everything to one
+  * task". Bound: < 2^33 rows per range partition (size `parts` to the
+  * cluster).
+  */
+object Ranks {
+
+  /** `df` plus column `rankCol` = exact 1-based global rank by
+    * `sortCols` (must be a total order — include a unique tie-break).
+    * `parts` bounds the range partitions (pass the real cluster width
+    * in production; the default matches the suite's loop width). */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      rankCol: String, parts: Int = 8): DataFrame = {
+    val keyed = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr",
+        (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))) + 1L)
+    val offs = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("__c"))
+      .select(col("__pid"), col("__off")) // one row per partition: tiny
+    keyed.join(broadcast(offs), "__pid")
+      .withColumn(rankCol, col("__lr") + col("__off"))
+      .drop("__pid", "__lr")
+  }
+}

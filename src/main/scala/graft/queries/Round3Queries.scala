@@ -467,12 +467,26 @@ object Round3Queries {
     //    per-band size + cent-exact balance range.
     QueryDef("q_ntile_buckets",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("bal_c").asc, col("c_custkey").asc)
-        Tables.customer(s, d)
-          .select(col("c_custkey"),
-            floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_c"))
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        // ntile(10) computed ARITHMETICALLY from the distributed global
+        // rank (Ranks.globalRowNumber — range partitions + offsets), not
+        // from an unpartitioned window: identical bucket assignment
+        // (SQL ntile semantics: first n%10 buckets get one extra row),
+        // but no single-partition sort of the whole table.
+        val ranked = graft.ops.Ranks.globalRowNumber(
+          Tables.customer(s, d)
+            .select(col("c_custkey"),
+              floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_c")),
+          Seq(col("bal_c").asc, col("c_custkey").asc), "r")
+        // count from the BASE frame (a bare scan), not `ranked` — the
+        // latter would re-plan the whole rank subtree under the broadcast
+        val tot = Tables.customer(s, d).agg(count(lit(1)).as("nt"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("decile", expr(
+            """CASE WHEN r <= (nt % 10) * (nt div 10 + 1)
+              |     THEN (r - 1) div (nt div 10 + 1) + 1
+              |     ELSE (nt % 10) +
+              |          (r - (nt % 10) * (nt div 10 + 1) - 1) div (nt div 10) + 1
+              |END""".stripMargin).cast("long"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"), min(col("bal_c")).as("min_bal_c"),
             max(col("bal_c")).as("max_bal_c"))

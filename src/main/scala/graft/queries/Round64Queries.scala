@@ -110,8 +110,20 @@ object Round64Queries {
           .withColumn("ttr_e6", expr("uniq * 1000000 div toks"))
           .withColumn("difficulty_e6",
             expr("toks * 1000 + (1000000 - ttr_e6)"))
-        docs.withColumn("decile", ntile(10).over(
-            Window.orderBy(col("difficulty_e6"), col("doc_id"))).cast("long"))
+        // ntile from the distributed global rank (see q_ntile_buckets):
+        // same buckets, no single-partition sort of the corpus.
+        val ranked = graft.ops.Ranks.globalRowNumber(docs,
+          Seq(col("difficulty_e6").asc, col("doc_id").asc), "r")
+        // count from the BASE frame, not `ranked` — the latter would
+        // re-plan the whole rank subtree under the broadcast
+        val tot = docs.agg(count(lit(1)).as("nt"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("decile", expr(
+            """CASE WHEN r <= (nt % 10) * (nt div 10 + 1)
+              |     THEN (r - 1) div (nt div 10 + 1) + 1
+              |     ELSE (nt % 10) +
+              |          (r - (nt % 10) * (nt div 10 + 1) - 1) div (nt div 10) + 1
+              |END""".stripMargin).cast("long"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_docs"),
             min(col("difficulty_e6")).as("min_diff_e6"),

@@ -29,14 +29,26 @@ object Round71Queries {
         val diffs = ev.join(od, "p")
           .select((col("va") - col("vb")).as("dv"))
           .where(col("dv") =!= 0)
-        val r2 = diffs
-          .withColumn("ad", abs(col("dv")))
+        // Tie-corrected doubled rank from the distinct-|d| axis: for a
+        // tie group starting at global position p with c members,
+        // r2 = 2p + c − 1 (≡ 2·rank + ties − 1 of the per-row form), so
+        // one aggregate to (|d|, sign-count) cells replaces the
+        // single-partition rank over all pairs — the window walks |d|
+        // cells only.
+        val cells = diffs.withColumn("ad", abs(col("dv")))
+          .groupBy(col("ad"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("dv") > 0, 1L).otherwise(0L)).as("pos"),
+            sum(when(col("dv") < 0, 1L).otherwise(0L)).as("neg"))
+        val r2 = cells
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.orderBy(col("ad"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("r2",
-            lit(2L) * rank().over(Window.orderBy(col("ad"))).cast("long") +
-              count(lit(1)).over(Window.partitionBy(col("ad"))) - 1L)
-        r2.agg(count(lit(1)).as("n"),
-            sum(when(col("dv") > 0, col("r2")).otherwise(0L)).as("w2_plus"),
-            sum(when(col("dv") < 0, col("r2")).otherwise(0L)).as("w2_minus"))
+            lit(2L) * (col("cum") - col("cnt") + 1L) + col("cnt") - 1L)
+        r2.agg(sum(col("cnt")).as("n"),
+            sum(col("pos") * col("r2")).as("w2_plus"),
+            sum(col("neg") * col("r2")).as("w2_minus"))
           .selectExpr("n", "w2_plus", "w2_minus",
             """round((CAST(w2_plus AS DOUBLE) - CAST(w2_minus AS DOUBLE))
               |/ (CAST('2.0' AS DOUBLE)

@@ -45,11 +45,20 @@ object Round72Queries {
         val nll = TextAnalysis.bigramNll(
             Tables.documents(s, d).select(col("doc_id"), col("text")))
           .localCheckpoint(true) // reused: threshold + rollup
-        val thr = nll
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("avg_nll_e6"), col("doc_id"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-          .where(col("rn") === expr("(9 * n + 9) div 10"))
+        // Percentile THRESHOLD via the distinct-score axis (group → cum
+        // counts → select the value at position ⌈0.9n⌉): the selected
+        // VALUE is identical to the positional pick regardless of
+        // tie-break, and the window runs over score cells, never docs.
+        val cells = nll.groupBy(col("avg_nll_e6"))
+          .agg(count(lit(1)).as("c"))
+        val thr = cells
+          .withColumn("cum", sum(col("c")).over(
+            Window.orderBy(col("avg_nll_e6"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy(lit(1))))
+          .where(col("cum") >= expr("(9 * n + 9) div 10") &&
+            col("cum") - col("c") < expr("(9 * n + 9) div 10"))
           .select(col("avg_nll_e6").as("thr"))
         nll.join(Tables.documents(s, d)
             .select(col("doc_id"), col("source")), "doc_id")

@@ -21,17 +21,24 @@ object Round82Queries {
     //    quantile (positional on both sides).
     QueryDef("q_qq_map",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select((col("lang") === "en").as("isA"), col("n_chars"),
-            col("doc_id"))
+        // Quantile ladders over the distinct-LENGTH axis (cells → cum
+        // counts → value at position ⌈k·n/10⌉): the selected value is
+        // identical to the positional pick, and every window runs over
+        // length cells — never a single-partition sort of the corpus.
+        val cells = Tables.documents(s, d)
+          .select((col("lang") === "en").as("isA"), col("n_chars"))
+          .groupBy(col("isA"), col("n_chars"))
+          .agg(count(lit(1)).as("c"))
           .localCheckpoint(true) // both quantile ladders
         def ladder(isA: Boolean, nm: String) = {
-          val side = docs.where(col("isA") === isA)
-            .withColumn("rn", row_number().over(
-              Window.orderBy(col("n_chars"), col("doc_id"))))
-            .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          val side = cells.where(col("isA") === isA)
+            .withColumn("cum", sum(col("c")).over(
+              Window.orderBy(col("n_chars"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
           (1 to 9).map { k =>
-            side.where(col("rn") === expr(s"($k * n + 9) div 10"))
+            side.where(col("cum") >= expr(s"($k * n + 9) div 10") &&
+                col("cum") - col("c") < expr(s"($k * n + 9) div 10"))
               .select(lit(k.toLong).as("decile"), col("n_chars").as(nm))
           }.reduce(_ unionByName _)
         }
@@ -61,21 +68,24 @@ object Round82Queries {
     QueryDef("q_energy_distance",
       (s, d) => {
         val dec = "decimal(38,0)"
-        val v = Tables.documents(s, d)
-          .select((col("lang") === "en").as("isA"), col("n_chars").as("v"),
-            col("doc_id"))
-        val w = Window.orderBy(col("v"), col("doc_id"))
+        // Gap sweep over the distinct-VALUE axis: rows within a tie
+        // contribute zero gap, so cumulative counts at each distinct
+        // value (inclusive of its ties) reproduce the per-doc sweep
+        // exactly — and every window walks value cells, never the
+        // corpus (no single-partition doc sort).
+        val cells = Tables.documents(s, d)
+          .select((col("lang") === "en").as("isA"), col("n_chars").as("v"))
+          .groupBy(col("v"))
+          .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("a_c"),
+            sum(when(!col("isA"), 1L).otherwise(0L)).as("b_c"))
+        val w = Window.orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val sweep = v
-          .withColumn("ca", sum(when(col("isA"), 1L).otherwise(0L)).over(w))
-          .withColumn("cb", sum(when(!col("isA"), 1L).otherwise(0L)).over(w))
-          .withColumn("nxt", lead(col("v"), 1).over(
-            Window.orderBy(col("v"), col("doc_id"))))
-          .withColumn("na", count(lit(1)).over(Window.partitionBy()) -
-            sum(when(!col("isA"), 1L).otherwise(0L)).over(
-              Window.partitionBy()))
-          .withColumn("nb", sum(when(!col("isA"), 1L).otherwise(0L)).over(
-            Window.partitionBy()))
+        val sweep = cells
+          .withColumn("ca", sum(col("a_c")).over(w))
+          .withColumn("cb", sum(col("b_c")).over(w))
+          .withColumn("nxt", lead(col("v"), 1).over(Window.orderBy(col("v"))))
+          .withColumn("na", sum(col("a_c")).over(Window.partitionBy(lit(1))))
+          .withColumn("nb", sum(col("b_c")).over(Window.partitionBy(lit(1))))
           .where(col("nxt").isNotNull)
           .withColumn("gap", (col("nxt") - col("v")).cast(dec))
         sweep.agg(

@@ -264,7 +264,7 @@ class PlanShapeSpec extends SparkSpec {
     ("q_position_attribution", 2, 0), // user window + channel rollup
     ("q_cohort_ltv", 4, 1),        // cohort min + cell agg + age window
     ("q_negative_sampling", 2, 2), // pos dedup + anti-join; counts bc
-    ("q_curriculum_order", 0, 0),  // doc agg folds into decile window
+    ("q_curriculum_order", 4, 2),  // range rank (2 plan copies, reused at runtime) + pid agg + decile agg; offs/tot bc
     ("q_bandit_regret", 4, 1),     // day×arm grid windows; best arm bc
     ("q_delta_encoding", 1, 0),    // ONE user shuffle: lag + rollup
     ("q_dp_histogram", 1, 0),      // ONE segment agg; noise is scalar
@@ -284,11 +284,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_mahalanobis_diag", 2, 1),  // per-order agg + topk; moments bc
     ("q_cronbach_alpha", 1, 0),    // ONE per-order agg then scalar row
     ("q_vif", 1, 0),               // ONE per-order agg then scalar row
-    ("q_wilcoxon_signed", 0, 1),   // pair join bc; global rank window
+    ("q_wilcoxon_signed", 1, 1),   // pair join bc; |d|-cell agg feeds the rank window
     ("q_friedman_test", 1, 2),     // grid agg + block ranks; sums bc
     ("q_siegel_slope", 1, 1),      // bounded day pairs; medians windows
     ("q_tokenizer_fertility", 1, 0), // ONE lang rollup
-    ("q_perplexity_filter", 1, 2), // NLL checkpointed; thr/fit bc
+    ("q_perplexity_filter", 2, 2), // NLL checkpointed; score-cell agg for thr; thr bc
     ("q_kcenter_coreset", 0, 0),   // pts checkpointed; rounds broadcast
     ("q_block_dedup", 2, 0),       // block explode + source rollup
     ("q_tombstone_gc", 1, 1),      // ONE key window; watermark bc
@@ -319,7 +319,7 @@ class PlanShapeSpec extends SparkSpec {
     ("q_ood_margin", 6, 2),        // centroid build + bc distance scan
     ("q_isotropy", 2, 3),          // gram agg + dims² Rayleigh frames
     ("q_qq_map", 0, 1),            // docs checkpointed; ladder windows
-    ("q_energy_distance", 0, 0),   // ONE merged-order sweep
+    ("q_energy_distance", 1, 0),   // value-cell agg feeds the gap sweep
     ("q_cvm_test", 1, 0),          // value cells + merged sweep
     ("q_circular_stats", 1, 0),    // ONE type rollup over literal trig
     ("q_morans_i", 0, 2),          // band axis checkpointed; adj join bc
