@@ -459,21 +459,14 @@ object Dedup {
   def sortedNeighborPairs(docs: DataFrame, w: Int, tauE6: Long,
                           parts: Int = 8): DataFrame = {
     require(w >= 1 && tauE6 >= 0L)
-    val keyed = docs
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-      .repartitionByRange(parts, col("lang"), col("n_chars"), col("doc_id"))
-      .sortWithinPartitions(col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val local = keyed.withColumn("lr", row_number().over(
-      Window.partitionBy(col("pid"))
-        .orderBy(col("lang"), col("n_chars"), col("doc_id"))))
-    val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
-      .withColumn("off", sum(col("c")).over(
-        Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("c"))
-      .select(col("pid"), col("off")) // one row per partition: tiny
-    val ranked = local.join(broadcast(offs), "pid")
-      .select(col("doc_id"), (col("lr") + col("off")).as("r"))
+    // Global sort-key rank via Ranks.globalRowNumber (range partitions +
+    // monotonic-id local index + broadcast offsets): the earlier inline
+    // form windowed by partition id, which re-shuffled the full corpus a
+    // second time; the helper's local index needs no window at all.
+    val ranked = Ranks.globalRowNumber(
+        docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq(col("lang"), col("n_chars"), col("doc_id")), "r", parts)
+      .select(col("doc_id"), col("r"))
       .withColumn("blk", expr(s"(r - 1) div $w")) // integer div: `/` is double
       .localCheckpoint(true)
     val probes = ranked.select(col("doc_id"), col("r"),

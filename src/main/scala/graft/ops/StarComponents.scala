@@ -179,4 +179,34 @@ object StarComponents {
         .select(col("id"), col("cluster_id"))
     }
   }
+
+  /** Incremental CC under EDGE INSERTS: given the existing labeling
+    * `labels` (id, cluster_id — roots are component minima, as every
+    * producer in this file emits) and a batch of `newEdges`, recompute
+    * WITHOUT touching the original edge set. Each existing cluster is a
+    * super-node; each new edge collapses to an edge between its
+    * endpoints' cluster roots; star-CC runs on THAT graph — whose size
+    * is O(|delta|), not O(|V|+|E|) — and the resulting root merges map
+    * back over the labeling with one broadcast-friendly join. Exact:
+    * merging clusters by any path through new edges is precisely
+    * connectivity on the super-node graph, and the new root is the min
+    * of the merged roots = the global component min. At 100 TB this is
+    * the difference between re-clustering the corpus nightly and
+    * absorbing a crawl increment in minutes. */
+  def incrementalConnectedComponents(labels: DataFrame,
+                                     newEdges: DataFrame,
+                                     maxIter: Int = 30): DataFrame = {
+    val la = labels.select(col("id").as("a"), col("cluster_id").as("ca"))
+    val lb = labels.select(col("id").as("b"), col("cluster_id").as("cb"))
+    val ce = newEdges.select(col("a"), col("b"))
+      .join(la, Seq("a")).join(lb, Seq("b"))
+      .select(col("ca").as("a"), col("cb").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val cn = ce.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+    val merged = connectedComponents(cn, ce, maxIter)
+      .select(col("id").as("cluster_id"), col("cluster_id").as("new_root"))
+    labels.join(merged, Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
+  }
 }

@@ -29,4 +29,22 @@ object StreamJoins {
         right(rightTs) <= left(leftTs) + expr(s"interval $tolerance"),
       "inner")
       .drop(right(key))
+
+  /** LEFT OUTER interval join — the semantically hard variant: a left
+    * row that finds no right match within ±`tolerance` is NOT dropped;
+    * it is emitted null-padded, but only once BOTH watermarks have
+    * passed the point where a match could still arrive (the engine must
+    * prove absence, not just observe it — hence outer emissions lag the
+    * watermark, never the data). Same state bound as the inner form.
+    * Batch twin: a plain left_outer join with the same range predicate
+    * (`q_interval_left_outer`), where absence is provable immediately. */
+  def joinLeftOuterWithin(left: DataFrame, right: DataFrame, key: String,
+                          leftTs: String, rightTs: String,
+                          tolerance: String): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        right(rightTs) >= left(leftTs) - expr(s"interval $tolerance") &&
+        right(rightTs) <= left(leftTs) + expr(s"interval $tolerance"),
+      "left_outer")
+      .drop(right(key))
 }
