@@ -92,12 +92,20 @@ object Round93Queries {
           .withColumn("mid_l", expr("bucket * 57536L + 28768L"))
           .withColumn("est_cents", graft.ops.Sketches.pow2E6Expr("mid_l"))
           .select(col("g"), col("p_e6"), col("est_cents"))
+        // Exact percentile via the per-group distinct-value cell axis
+        // (cum counts select the same value a positional sort would) —
+        // the windows walk value cells, not raw rows.
+        val cells = e.groupBy(col("g"), col("cents"))
+          .agg(count(lit(1)).as("c"))
         val byg = Window.partitionBy(col("g"))
-        val r = e
-          .withColumn("rn", row_number().over(byg.orderBy(col("cents"))))
-          .withColumn("n", count(lit(1)).over(byg))
+        val r = cells
+          .withColumn("cum", sum(col("c")).over(byg.orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum(col("c")).over(byg))
         val exact = Seq(500000L, 990000L).map(p =>
-          r.where(col("rn") === expr(s"(n * ${p}L + 999999L) div 1000000L"))
+          r.where(col("cum") >= expr(s"(n * ${p}L + 999999L) div 1000000L") &&
+              col("cum") - col("c") <
+                expr(s"(n * ${p}L + 999999L) div 1000000L"))
             .select(col("g"), lit(p).as("p_e6"),
               col("cents").as("exact_cents"))).reduce(_ unionByName _)
         est.join(exact, Seq("g", "p_e6"))

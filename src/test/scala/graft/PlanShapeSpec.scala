@@ -347,7 +347,20 @@ class PlanShapeSpec extends SparkSpec {
     ("q_rate_ratio_test", 1, 1),   // type rollup; midpoint broadcast
     ("q_ts_discord", 1, 1),        // week pivot; pair scan post-bc
     ("q_max_subarray", 2, 1),      // day agg + prefix windows; tot bc
-    ("q_tversky", 7, 0))           // basket dedup + index join + sizes
+    ("q_tversky", 7, 0),           // basket dedup + index join + sizes
+    ("q_holt_smooth", 2, 2),       // month agg + pivot agg; tot/steps bc
+    ("q_es_reservoir", 0, 0),      // pure projection + TakeOrdered
+    ("q_first_per_key", 1, 0),     // ONE keyed struct-min aggregate
+    ("q_mg_guarantee", 4, 1),      // (k,v) agg (2 plan copies) + k tot + rank window
+    ("q_ddsketch_accuracy", 6, 1), // sketch agg + value-cell agg + cum window per percentile leg (plan copies; runtime-reused)
+    ("q_kmv_set_ops", 2, 3),       // token distinct; sketches checkpointed, stats bc
+    ("q_interval_left_outer", 2, 1), // two side shuffles; range pred in-group
+    ("q_matrix_profile", 1, 1),    // day agg; non-equi pair join broadcasts
+    ("q_mp_motif", 0, 1),          // windows ride the checkpointed axis
+    ("q_split_leakage", 4, 1),     // shingle distinct + index join + split rollups
+    ("q_vocab_coverage", 0, 1),    // freq/rank checkpointed; budgets re-scan it
+    ("q_betweenness_sampled", 26, 1), // 15-seed BFS relaxation rounds (fixed depth 10)
+    ("q_bucketed_join", 0, 1))     // ZERO shuffles: the bucketed-layout property
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
