@@ -34,11 +34,20 @@ object Ranks {
     * in production; the default matches the suite's loop width). */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
                       rankCol: String, parts: Int = 8): DataFrame = {
+    // Materialize the partitioned+sorted+locally-indexed layout ONCE
+    // (eager checkpoint): both downstream consumers — the offset
+    // aggregate and the join back — must see the SAME physical
+    // partition boundaries. Without this they re-execute the range
+    // exchange independently, and range boundaries come from SAMPLING,
+    // so the two executions can split differently — offsets then
+    // disagree with the join-back's layout and ranks silently collide
+    // or skip (observed at sf0.1 as an 11th ntile decile).
     val keyed = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lr",
         (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))) + 1L)
+      .localCheckpoint(true)
     val offs = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
       .withColumn("__off", sum(col("__c")).over(
         Window.orderBy(col("__pid"))
