@@ -209,4 +209,46 @@ object StarComponents {
       .select(col("id"),
         coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
   }
+
+  /** Incremental CC under EDGE DELETES — the hard direction: a removal
+    * can SPLIT a component, which no super-node shortcut can detect, so
+    * the affected clusters must re-run CC on their own subgraph. The
+    * point is the blast radius: `labels` + `edges` (current, pre-delete)
+    * + `removed` → only clusters CONTAINING a removed edge rebuild
+    * (their nodes + surviving internal edges re-cluster from scratch,
+    * with labels re-minimized per new sub-component); every untouched
+    * cluster keeps its label. The edge set is scanned ONCE (the
+    * surviving-filter + membership joins — cheap linear passes); the
+    * expensive part, iterative CC rounds, runs only on the affected
+    * subgraph. Deletes are usually rare and local (a retracted crawl,
+    * a takedown), so this is the difference between a surgical fix and
+    * a nightly re-cluster. */
+  def incrementalDeleteConnectedComponents(labels: DataFrame,
+                                           edges: DataFrame,
+                                           removed: DataFrame,
+                                           maxIter: Int = 30): DataFrame = {
+    val norm = (df: DataFrame) => df.select(
+      least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val surviving = norm(edges).join(norm(removed), Seq("a", "b"), "left_anti")
+    // blast radius: every cluster owning a removed-edge endpoint
+    val hit = removed.select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct()
+      .join(labels, "id")
+      .select(col("cluster_id")).distinct()
+    val affectedNodes = labels.join(hit, "cluster_id")
+      .select(col("id"), col("cluster_id"))
+    // surviving edges INTERNAL to affected clusters (both endpoints
+    // affected — an edge never crosses clusters by CC invariant)
+    val aIds = affectedNodes.select(col("id"))
+    val subEdges = surviving
+      .join(aIds.withColumnRenamed("id", "a"), Seq("a"))
+      .join(aIds.withColumnRenamed("id", "b"), Seq("b"))
+    val rebuilt = connectedComponents(aIds, subEdges, maxIter)
+    // the using-column join hoists cluster_id first — restore the
+    // (id, cluster_id) contract every CC producer in this file keeps
+    labels.join(hit, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+      .unionByName(rebuilt)
+  }
 }
