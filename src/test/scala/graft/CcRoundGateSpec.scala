@@ -34,5 +34,5 @@ class CcRoundGateSpec extends SparkSpec {
         s"round gained a shuffle (expected ≤2/round)")
   }
 
-  Seq("q_cc_star", "q_salsa", "q_graph_robustness", "q_incremental_cc").foreach(gate)
+  Seq("q_cc_star", "q_salsa", "q_graph_robustness", "q_incremental_cc", "q_incremental_cc_delete").foreach(gate)
 }

@@ -360,7 +360,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_split_leakage", 4, 1),     // shingle distinct + index join + split rollups
     ("q_vocab_coverage", 0, 1),    // freq/rank checkpointed; budgets re-scan it
     ("q_betweenness_sampled", 26, 1), // 15-seed BFS relaxation rounds (fixed depth 10)
-    ("q_bucketed_join", 0, 1))     // ZERO shuffles: the bucketed-layout property
+    ("q_bucketed_join", 0, 1),     // ZERO shuffles: the bucketed-layout property
+    ("q_rendezvous_shards", 0, 0),   // ONE projection + one scalar agg — no shuffle
+    ("q_rendezvous_weighted", 1, 1), // shard rollup agg; total bc
+    ("q_dedup_canonical", 1, 1))     // cluster argmax agg over checkpointed CC labels
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
