@@ -47,7 +47,8 @@ object Registry {
       queries.Round61Queries.defs ++ queries.Round62Queries.defs ++ queries.Round63Queries.defs ++ queries.Round64Queries.defs ++ queries.Round65Queries.defs ++ queries.Round66Queries.defs ++ queries.Round67Queries.defs ++ queries.Round68Queries.defs ++ queries.Round69Queries.defs ++ queries.Round70Queries.defs ++ queries.Round71Queries.defs ++ queries.Round72Queries.defs ++ queries.Round73Queries.defs ++ queries.Round74Queries.defs ++ queries.Round75Queries.defs ++ queries.Round76Queries.defs ++ queries.Round77Queries.defs ++ queries.Round78Queries.defs ++ queries.Round79Queries.defs ++ queries.Round80Queries.defs ++ queries.Round81Queries.defs ++ queries.Round82Queries.defs ++ queries.Round83Queries.defs ++ queries.Round84Queries.defs ++ queries.Round85Queries.defs ++ queries.Round86Queries.defs ++ queries.Round87Queries.defs ++ queries.Round88Queries.defs ++ queries.Round89Queries.defs ++ queries.Round90Queries.defs ++ queries.Round91Queries.defs ++ queries.Round92Queries.defs ++
       queries.Round93Queries.defs ++ queries.Round94Queries.defs ++
       queries.Round95Queries.defs ++ queries.Round96Queries.defs ++
-      queries.Round97Queries.defs ++ queries.Round98Queries.defs
+      queries.Round97Queries.defs ++ queries.Round98Queries.defs ++
+      queries.Round99Queries.defs ++ queries.Round100Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -32,6 +32,44 @@ object Ranks {
     * `sortCols` (must be a total order — include a unique tie-break).
     * `parts` bounds the range partitions (pass the real cluster width
     * in production; the default matches the suite's loop width). */
+  /** Global exact nearest-rank (type-1) percentiles via the rank layout:
+    * value at rank ceil(p·n/100) for each integer p. Cost shape = ONE
+    * data-sized range exchange (the [[globalRowNumber]] layout, which is
+    * checkpointed — the total count and the offset aggregate both ride
+    * the materialized layout) + a broadcast of the #ps target ranks.
+    *
+    * This is the selection facade promised in SURVEY §7.4m: it answers
+    * "k-th smallest" without [[Quantiles.exactPercentiles]]'s
+    * histogram-refine machinery. Trade-off, measured not guessed:
+    * histogram-refine does two LIGHT scans (bucket counts, then residual
+    * scan) and never moves the data; this facade pays one FULL range
+    * shuffle but leaves behind a reusable totally-ordered layout. Use
+    * this form when the ranked layout is also needed downstream (top-k
+    * pages, ntiles, rank joins); use the histogram when only the
+    * quantile values matter.
+    *
+    * `tieBreaks` must complete a total order over `valueCol` — the
+    * returned VALUE at a target rank is tie-break-invariant (ranks
+    * within a tied value run all carry the same value), so any unique
+    * id works.
+    */
+  def globalExactPercentiles(df: DataFrame, valueCol: Column,
+                             tieBreaks: Seq[Column], ps: Seq[Int],
+                             valueName: String = "value",
+                             parts: Int = 8): DataFrame = {
+    val ranked = globalRowNumber(
+      df.select((valueCol.as("__v") +: tieBreaks): _*),
+      col("__v") +: tieBreaks, "__rk", parts)
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = ps.toDF("p").crossJoin(total)
+      .select(col("p").cast("long").as("p"),
+        expr("(p * __n + 99) div 100").as("__target"))
+    ranked.join(broadcast(targets), col("__rk") === col("__target"))
+      .select(col("p"), col("__v").as(valueName))
+  }
+
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
                       rankCol: String, parts: Int = 8): DataFrame = {
     // Materialize the partitioned+sorted+locally-indexed layout ONCE

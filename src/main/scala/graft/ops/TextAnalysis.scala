@@ -548,4 +548,71 @@ object TextAnalysis {
       .where(col("cos") >= lit(minCosE6).cast("double") / 1000000.0)
       .select(col("doc_a"), col("doc_b"), col("dot"), col("cos"))
   }
+
+  /** Good–Turing frequency smoothing over corpus n-gram counts — the
+    * standard unseen-mass estimator for a training corpus: how much
+    * probability mass should a language model reserve for n-grams it
+    * has never seen? Row r=0 reports that mass (`N₁/N`, e6 fixed-
+    * point); rows r=1..maxR report the smoothed count
+    * `r* = (r+1)·N_{r+1}/N_r`. Species are word n-grams (`n`=1 →
+    * unigrams; default trigrams — the shared synthetic corpus has a
+    * ~31-word vocabulary, so only n≥3 has the singleton tail the
+    * estimator is about).
+    *
+    * Scale shape: tokens → word counts (shuffle 1, partial-aggregable)
+    * → frequency-of-frequencies (shuffle 2 over a TINY axis — at most
+    * maxR+1 distinct counts survive the filter) → self-join of the tiny
+    * axis + one broadcast total. The corpus is touched once.
+    */
+  def goodTuring(docs: DataFrame, n: Int = 3, maxR: Int = 5): DataFrame = {
+    val species =
+      if (n <= 1)
+        docs.select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+      else
+        // n-gram species: built in-row; slice(ws,1,0) is the TYPED empty
+        // array fallback (bare array() is array<null> and breaks the CASE)
+        docs.withColumn("ws", split(col("text"), " "))
+          .select(explode(expr(
+            s"""CASE WHEN size(ws) >= $n
+               |  THEN transform(sequence(1, size(ws) - ${n - 1}),
+               |                 i -> concat_ws(' ', slice(ws, i, $n)))
+               |  ELSE slice(ws, 1, 0) END""".stripMargin)).as("word"))
+    val counts = species
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // reused: total N + the freq-of-freq axis
+    val total = counts.agg(sum(col("c")).as("n_tokens"))
+    val ff = counts.groupBy(col("c").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .filter(col("r") <= maxR + 1)
+      .localCheckpoint(true) // tiny; reused on both sides of the shift join
+    val shifted = ff.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    val smoothed = ff.filter(col("r") <= maxR)
+      .join(shifted, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        expr("(r + 1) * coalesce(n_r1, 0L) * 1000000 div n_r").as("gt_e6"))
+    val unseen = ff.filter(col("r") === 1).crossJoin(broadcast(total))
+      .select(lit(0L).as("r"), col("n_r"),
+        expr("n_r * 1000000 div n_tokens").as("gt_e6"))
+    unseen.unionByName(smoothed)
+  }
+
+  /** distinct-n corpus diversity (Li et al. 2016's distinct-bigram
+    * ratio, per source): unique n-grams ÷ total n-grams — low values
+    * flag templated/boilerplate-heavy slices of a training corpus.
+    * Bigrams are built per-document with an in-row `zip_with` (no
+    * shuffle); the only exchanges are the per-source count-distinct.
+    */
+  def distinctBigrams(docs: DataFrame, srcCol: String = "source"): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col(srcCol).as("source"), explode(expr(
+        """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+          |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct"))
+      .withColumn("distinct_e6",
+        expr("n_distinct * 1000000 div n_bigrams"))
 }

@@ -363,7 +363,13 @@ class PlanShapeSpec extends SparkSpec {
     ("q_bucketed_join", 0, 1),     // ZERO shuffles: the bucketed-layout property
     ("q_rendezvous_shards", 0, 0),   // ONE projection + one scalar agg — no shuffle
     ("q_rendezvous_weighted", 1, 1), // shard rollup agg; total bc
-    ("q_dedup_canonical", 1, 1))     // cluster argmax agg over checkpointed CC labels
+    ("q_dedup_canonical", 1, 1),     // cluster argmax agg over checkpointed CC labels
+    ("q_rank_percentile", 2, 2),     // ONE range layout (checkpointed) + count agg; targets bc
+    ("q_good_turing", 0, 2),         // species counts checkpointed; tiny ff axis + totals bc
+    ("q_distinct_n", 2, 0),          // per-source distinct expand + final agg
+    ("q_hilbert_layout", 2, 0),      // cell agg + d-bucket agg; hilbert fold is in-row
+    ("q_page_hinkley", 1, 0),        // day agg; PH windows ride the bounded day axis
+    ("q_grubbs", 2, 1))              // day agg + moment rollup broadcast
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
