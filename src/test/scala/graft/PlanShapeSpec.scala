@@ -369,7 +369,13 @@ class PlanShapeSpec extends SparkSpec {
     ("q_distinct_n", 2, 0),          // per-source distinct expand + final agg
     ("q_hilbert_layout", 2, 0),      // cell agg + d-bucket agg; hilbert fold is in-row
     ("q_page_hinkley", 1, 0),        // day agg; PH windows ride the bounded day axis
-    ("q_grubbs", 2, 1))              // day agg + moment rollup broadcast
+    ("q_grubbs", 2, 1),              // day agg + moment rollup broadcast
+    ("q_chao1", 2, 0),               // species counts + per-source rollup
+    ("q_seq_patterns", 3, 2),        // firsts checkpointed; pair agg + distinct; totals bc
+    ("q_cooks_distance", 0, 1),      // day axis checkpointed; moments broadcast
+    ("q_mcnemar", 1, 0),             // user rollup; global agg is SinglePartition
+    ("q_cohen_kappa", 2, 1),         // margins join over checkpointed cells; rc bc
+    ("q_bh_fdr", 0, 1))              // nation cells checkpointed; totals bc; 25-row BH axis
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
