@@ -49,7 +49,8 @@ object Registry {
       queries.Round95Queries.defs ++ queries.Round96Queries.defs ++
       queries.Round97Queries.defs ++ queries.Round98Queries.defs ++
       queries.Round99Queries.defs ++ queries.Round100Queries.defs ++
-      queries.Round101Queries.defs ++ queries.Round102Queries.defs
+      queries.Round101Queries.defs ++ queries.Round102Queries.defs ++
+      queries.Round103Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
