@@ -378,7 +378,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_bh_fdr", 0, 1),              // nation cells checkpointed; totals bc; 25-row BH axis
     ("q_brier", 1, 2),               // user-week frame checkpointed; rates+fallback bc
     ("q_youden", 0, 1),              // score axis checkpointed; totals bc; ROC on bounded axis
-    ("q_ece", 2, 2))                 // test-bin rollup; rates+fallback bc
+    ("q_ece", 2, 2),                 // test-bin rollup; rates+fallback bc
+    ("q_js_source", 3, 3),           // (source,word) counts checkpointed; margins bc; grid agg
+    ("q_neyman", 0, 1),              // stratum frame checkpointed; ΣN·S bc
+    ("q_capture_recapture", 1, 1))   // user flags agg; w0 scalar bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
