@@ -122,87 +122,6 @@ object Round102Queries {
            |         ELSE -((rc - diag * n) * 1000000 // greatest(n * n - rc, 1))
            |       END AS kappa_e6
            |FROM st CROSS JOIN mg""".stripMargin
-      }),
-
-    // ── Benjamini–Hochberg FDR across the 25 per-nation tests of
-    //    "share of finished orders ≠ global share": z² in e6 from exact
-    //    counts, pseudo-p by the distribution-free Chebyshev bound
-    //    p ≤ 1/z² (log/erf-free → portable), then the BH step-up rule
-    //    p(k) ≤ α·k/m at α = 0.05. Everything after the per-nation
-    //    rollup rides a 25-row axis.
-    QueryDef("q_bh_fdr",
-      (s, d) => {
-        val joined = Tables.orders(s, d)
-          .join(Tables.customer(s, d),
-            col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.nation(s, d)),
-            col("c_nationkey") === col("n_nationkey"))
-          .groupBy(col("n_name"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("f"))
-          .localCheckpoint(true) // nation cells + the global rollup
-        val g = joined.agg(sum(col("n")).as("tn"), sum(col("f")).as("tf"),
-          count(lit(1)).as("m"))
-        val z = joined.crossJoin(broadcast(g))
-          // z² = n·(p̂−p0)²/(p0(1−p0)) in e6: exact integer numerators,
-          // non-negative throughout → truncation engine-identical
-          .withColumn("p_hat_e6", expr("f * 1000000 div n"))
-          .withColumn("p0_e6", expr("tf * 1000000 div tn"))
-          .withColumn("z2_e6", expr(
-            """n * (p_hat_e6 - p0_e6) * (p_hat_e6 - p0_e6)
-              | div greatest(p0_e6 * (1000000 - p0_e6) div 1000000, 1)""".stripMargin))
-          .withColumn("p_e6",
-            expr("least(1000000L, 1000000000000L div greatest(z2_e6, 1))"))
-        val ranked = z
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("p_e6"), col("n_name"))).cast("long"))
-          .withColumn("bh_thresh_e6", expr("rk * 50000 div m"))
-          .withColumn("pass", expr("CASE WHEN p_e6 <= bh_thresh_e6 THEN rk ELSE 0 END"))
-        ranked
-          .withColumn("kmax", max(col("pass")).over(
-            Window.orderBy(col("rk")).rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
-          .withColumn("rejected",
-            expr("CAST(CASE WHEN rk <= kmax THEN 1 ELSE 0 END AS BIGINT)"))
-          .select(col("n_name"), col("z2_e6"), col("p_e6"), col("rk"),
-            col("bh_thresh_e6"), col("rejected"))
-      },
-      Some("""WITH cells AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
-             |                      CAST(sum(CASE WHEN o_orderstatus = 'F'
-             |                        THEN 1 ELSE 0 END) AS BIGINT) AS f
-             |               FROM orders
-             |               JOIN customer ON o_custkey = c_custkey
-             |               JOIN nation ON c_nationkey = n_nationkey
-             |               GROUP BY 1),
-             |g AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
-             |             CAST(sum(f) AS BIGINT) AS tf,
-             |             CAST(count(*) AS BIGINT) AS m FROM cells),
-             |z AS (SELECT n_name, n, f, tn, tf, m,
-             |             f * 1000000 // n AS p_hat_e6,
-             |             tf * 1000000 // tn AS p0_e6
-             |      FROM cells CROSS JOIN g),
-             |z2 AS (SELECT n_name, m,
-             |              n * (p_hat_e6 - p0_e6) * (p_hat_e6 - p0_e6)
-             |                // greatest(p0_e6 * (1000000 - p0_e6) // 1000000, 1)
-             |                AS z2_e6
-             |       FROM z),
-             |p AS (SELECT n_name, m, z2_e6,
-             |             least(1000000, 1000000000000 // greatest(z2_e6, 1))
-             |               AS p_e6
-             |      FROM z2),
-             |r AS (SELECT n_name, z2_e6, p_e6,
-             |             CAST(row_number() OVER (ORDER BY p_e6, n_name)
-             |               AS BIGINT) AS rk,
-             |             m
-             |      FROM p),
-             |t AS (SELECT *, rk * 50000 // m AS bh_thresh_e6,
-             |             CASE WHEN p_e6 <= rk * 50000 // m THEN rk
-             |                  ELSE 0 END AS pass
-             |      FROM r),
-             |k AS (SELECT *, max(pass) OVER () AS kmax FROM t)
-             |SELECT n_name, z2_e6, p_e6, rk, bh_thresh_e6,
-             |       CAST(CASE WHEN rk <= kmax THEN 1 ELSE 0 END AS BIGINT)
-             |         AS rejected
-             |FROM k""".stripMargin))
+      })
   )
 }

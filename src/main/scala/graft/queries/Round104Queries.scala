@@ -5,9 +5,10 @@ import graft.ops.Bm25
 import org.apache.spark.sql.functions._
 
 /** Round-104 batch: corpus-slice divergence (Jensen–Shannon, source vs
-  * rest), Neyman optimal sampling allocation, and Lincoln–Petersen
-  * capture–recapture population estimation — three estimators a
-  * curation pipeline uses to decide WHERE to spend its next tokens.
+  * rest) and Neyman optimal sampling allocation — estimators a curation
+  * pipeline uses to decide WHERE to spend its next tokens.
+  * (A Lincoln–Petersen capture–recapture variant was folded into the
+  * pre-existing `q_capture_recapture` in Round84Queries.)
   */
 object Round104Queries {
 
@@ -150,46 +151,6 @@ object Round104Queries {
              |       n_h * s_dollars * 1000 // greatest(w_tot, 1)
              |         AS neyman_alloc,
              |       n_h * 1000 // n_tot AS prop_alloc
-             |FROM sd CROSS JOIN t""".stripMargin)),
-
-    // ── Lincoln–Petersen capture–recapture (Chapman's bias-corrected
-    //    form): estimate the active-user population from two weekly
-    //    "captures" — the dedup-coverage estimator pattern: how many
-    //    entities exist beyond what two samples showed. All integer;
-    //    the true distinct count sits beside the estimate for audit.
-    QueryDef("q_capture_recapture",
-      (s, d) => {
-        val u = Tables.events(s, d)
-          .select(col("user_id"),
-            expr("unix_micros(ts) div 604800000000").as("wk"))
-          .distinct()
-          .localCheckpoint(true) // w0 scalar + the capture flags
-        val w0 = u.agg(min(col("wk")).as("w0"))
-        u.crossJoin(broadcast(w0))
-          .groupBy(col("user_id"))
-          .agg(max(when(col("wk") === col("w0"), 1L).otherwise(0L)).as("in1"),
-            max(when(col("wk") === col("w0") + 1, 1L).otherwise(0L)).as("in2"))
-          .agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
-            sum(expr("in1 * in2")).as("m"), count(lit(1)).as("n_true"))
-          .selectExpr("CAST(n1 AS BIGINT) AS n1", "CAST(n2 AS BIGINT) AS n2",
-            "CAST(m AS BIGINT) AS m", "CAST(n_true AS BIGINT) AS n_true",
-            "(n1 + 1) * (n2 + 1) div (m + 1) - 1 AS n_hat")
-      },
-      Some("""WITH u AS (SELECT DISTINCT user_id,
-             |                  epoch_us(ts) // 604800000000 AS wk
-             |           FROM events),
-             |w AS (SELECT min(wk) AS w0 FROM u),
-             |f AS (SELECT user_id,
-             |             max(CASE WHEN wk = w0 THEN 1 ELSE 0 END) AS in1,
-             |             max(CASE WHEN wk = w0 + 1 THEN 1 ELSE 0 END) AS in2
-             |      FROM u CROSS JOIN w GROUP BY 1)
-             |SELECT CAST(sum(in1) AS BIGINT) AS n1,
-             |       CAST(sum(in2) AS BIGINT) AS n2,
-             |       CAST(sum(in1 * in2) AS BIGINT) AS m,
-             |       CAST(count(*) AS BIGINT) AS n_true,
-             |       (CAST(sum(in1) AS BIGINT) + 1)
-             |         * (CAST(sum(in2) AS BIGINT) + 1)
-             |         // (CAST(sum(in1 * in2) AS BIGINT) + 1) - 1 AS n_hat
-             |FROM f""".stripMargin))
+             |FROM sd CROSS JOIN t""".stripMargin))
   )
 }

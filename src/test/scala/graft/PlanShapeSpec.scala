@@ -375,13 +375,14 @@ class PlanShapeSpec extends SparkSpec {
     ("q_cooks_distance", 0, 1),      // day axis checkpointed; moments broadcast
     ("q_mcnemar", 1, 0),             // user rollup; global agg is SinglePartition
     ("q_cohen_kappa", 2, 1),         // margins join over checkpointed cells; rc bc
-    ("q_bh_fdr", 0, 1),              // nation cells checkpointed; totals bc; 25-row BH axis
     ("q_brier", 1, 2),               // user-week frame checkpointed; rates+fallback bc
     ("q_youden", 0, 1),              // score axis checkpointed; totals bc; ROC on bounded axis
     ("q_ece", 2, 2),                 // test-bin rollup; rates+fallback bc
     ("q_js_source", 3, 3),           // (source,word) counts checkpointed; margins bc; grid agg
     ("q_neyman", 0, 1),              // stratum frame checkpointed; ΣN·S bc
-    ("q_capture_recapture", 1, 1))   // user flags agg; w0 scalar bc
+    ("q_mcc", 1, 0),                 // user rollup; global agg is SinglePartition
+    ("q_durbin_watson", 2, 1),       // day rollup + bounded-axis lag window; totals bc
+    ("q_cochran_q", 1, 0))           // user rollup; margins in one global agg
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
