@@ -51,7 +51,8 @@ object Registry {
       queries.Round99Queries.defs ++ queries.Round100Queries.defs ++
       queries.Round101Queries.defs ++ queries.Round102Queries.defs ++
       queries.Round103Queries.defs ++ queries.Round104Queries.defs ++
-      queries.Round105Queries.defs
+      queries.Round105Queries.defs ++ queries.Round106Queries.defs ++
+      queries.Round107Queries.defs ++ queries.Round108Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

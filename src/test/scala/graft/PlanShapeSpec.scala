@@ -382,7 +382,16 @@ class PlanShapeSpec extends SparkSpec {
     ("q_neyman", 0, 1),              // stratum frame checkpointed; ΣN·S bc
     ("q_mcc", 1, 0),                 // user rollup; global agg is SinglePartition
     ("q_durbin_watson", 2, 1),       // day rollup + bounded-axis lag window; totals bc
-    ("q_cochran_q", 1, 0))           // user rollup; margins in one global agg
+    ("q_cochran_q", 1, 0),           // user rollup; margins in one global agg
+    ("q_getis_ord", 0, 1),           // band axis checkpointed; moments bc; RANGE window
+    ("q_triad_census", 2, 5),        // canonical edges checkpointed; wedge joins bc'd scalars
+    ("q_rmst", 0, 1),                // KM axis checkpointed; integral on bounded spine
+    ("q_hodges_lehmann", 0, 3),      // (et,day) axis checkpointed; 30×30 grid bc'd
+    ("q_mood_median", 0, 2),         // same axis; median scalar + n bc
+    ("q_icc", 1, 1),                 // nation rollup; customer side broadcast
+    ("q_cramers_v", 3, 3),           // cell rollup + 125-cell margin joins, all bc
+    ("q_eoq", 1, 1),                 // brand rollup; part side broadcast
+    ("q_page_trend", 1, 0))          // user rollup; L in one global agg
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {

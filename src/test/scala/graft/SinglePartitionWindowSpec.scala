@@ -44,7 +44,11 @@ class SinglePartitionWindowSpec extends SparkSpec {
     "q_qq_map" -> ("checkpointed distinct-length cell axis (shared by " +
       "both quantile ladders) — post-aggregate behind the checkpoint"),
     "q_rank_fusion" -> ("window input is the literal doc_id < 200 slice " +
-      "— 200 rows by construction at any scale"))
+      "— 200 rows by construction at any scale"),
+    "q_getis_ord" -> ("RANGE neighborhood window runs directly on the " +
+      "localCheckpoint-materialized latitude-band axis (34 bands at any " +
+      "SF — bounded by the grid, not data volume); the groupBy that " +
+      "built it is truncated from the visible plan"))
 
   test("unpartitioned windows only ever run on post-aggregate axes") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
