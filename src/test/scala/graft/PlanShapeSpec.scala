@@ -391,7 +391,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_icc", 1, 1),                 // nation rollup; customer side broadcast
     ("q_cramers_v", 3, 3),           // cell rollup + 125-cell margin joins, all bc
     ("q_eoq", 1, 1),                 // brand rollup; part side broadcast
-    ("q_page_trend", 1, 0))          // user rollup; L in one global agg
+    ("q_page_trend", 1, 0),          // user rollup; L in one global agg
+    ("q_ripley_k", 0, 0),            // band axis checkpointed; 3 radii one pass
+    ("q_ansari_bradley", 0, 1),      // (et,day) axis checkpointed; n bc
+    ("q_chunk_ttr", 3, 0))           // (doc,chunk) rollup + distinct + lang axis
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
