@@ -394,7 +394,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_page_trend", 1, 0),          // user rollup; L in one global agg
     ("q_ripley_k", 0, 0),            // band axis checkpointed; 3 radii one pass
     ("q_ansari_bradley", 0, 1),      // (et,day) axis checkpointed; n bc
-    ("q_chunk_ttr", 3, 0))           // (doc,chunk) rollup + distinct + lang axis
+    ("q_chunk_ttr", 3, 0),           // (doc,chunk) rollup + distinct + lang axis
+    ("q_xbar_r", 2, 0),              // day rollup + week rollup; limits one agg
+    ("q_dixon_q", 0, 1),             // nation axis checkpointed; n bc
+    ("q_sn_scale", 2, 3))            // day axis checkpointed; 30×29 grid + 2 medians
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
