@@ -53,7 +53,8 @@ object Registry {
       queries.Round103Queries.defs ++ queries.Round104Queries.defs ++
       queries.Round105Queries.defs ++ queries.Round106Queries.defs ++
       queries.Round107Queries.defs ++ queries.Round108Queries.defs ++
-      queries.Round109Queries.defs ++ queries.Round110Queries.defs
+      queries.Round109Queries.defs ++ queries.Round110Queries.defs ++
+      queries.Round111Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -397,7 +397,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_chunk_ttr", 3, 0),           // (doc,chunk) rollup + distinct + lang axis
     ("q_xbar_r", 2, 0),              // day rollup + week rollup; limits one agg
     ("q_dixon_q", 0, 1),             // nation axis checkpointed; n bc
-    ("q_sn_scale", 2, 3))            // day axis checkpointed; 30×29 grid + 2 medians
+    ("q_sn_scale", 2, 3),            // day axis checkpointed; 30×29 grid + 2 medians
+    ("q_seasonal_mk", 1, 2),         // (y,m) rollup; pair grid + var axis bc
+    ("q_kz_filter", 0, 0),           // day rollup checkpointed; 2 RANGE passes
+    ("q_burrows_delta", 1, 1))       // z grid checkpointed; pair side bc; top-10 axis
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
