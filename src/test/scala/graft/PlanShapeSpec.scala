@@ -400,7 +400,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_sn_scale", 2, 3),            // day axis checkpointed; 30×29 grid + 2 medians
     ("q_seasonal_mk", 1, 2),         // (y,m) rollup; pair grid + var axis bc
     ("q_kz_filter", 0, 0),           // day rollup checkpointed; 2 RANGE passes
-    ("q_burrows_delta", 1, 1))       // z grid checkpointed; pair side bc; top-10 axis
+    ("q_burrows_delta", 1, 1),       // z grid checkpointed; pair side bc; top-10 axis
+    ("q_gopher_rules", 3, 0),        // (doc,w) rollup → doc rollup → lang axis
+    ("q_gram_coverage", 4, 1),       // grams checkpointed; gram rollup + join + lang distinct
+    ("q_rake_keywords", 2, 1))       // tok checkpointed; plen rollup bc'd into word agg
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
