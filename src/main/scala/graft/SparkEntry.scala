@@ -54,7 +54,8 @@ object Registry {
       queries.Round105Queries.defs ++ queries.Round106Queries.defs ++
       queries.Round107Queries.defs ++ queries.Round108Queries.defs ++
       queries.Round109Queries.defs ++ queries.Round110Queries.defs ++
-      queries.Round111Queries.defs ++ queries.Round112Queries.defs
+      queries.Round111Queries.defs ++ queries.Round112Queries.defs ++
+      queries.Round113Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -403,7 +403,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_burrows_delta", 1, 1),       // z grid checkpointed; pair side bc; top-10 axis
     ("q_gopher_rules", 3, 0),        // (doc,w) rollup → doc rollup → lang axis
     ("q_gram_coverage", 4, 1),       // grams checkpointed; gram rollup + join + lang distinct
-    ("q_rake_keywords", 2, 1))       // tok checkpointed; plen rollup bc'd into word agg
+    ("q_rake_keywords", 2, 1),       // tok checkpointed; plen rollup bc'd into word agg
+    ("q_jonckheere", 1, 1),          // grid checkpointed; pair grid bc; moment rollup
+    ("q_brown_forsythe", 2, 0),      // grid checkpointed; rank window + deviation rollup
+    ("q_cochran_armitage", 1, 0))    // one exposure-axis rollup + scalar close
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
