@@ -406,7 +406,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_rake_keywords", 2, 1),       // tok checkpointed; plen rollup bc'd into word agg
     ("q_jonckheere", 1, 1),          // grid checkpointed; pair grid bc; moment rollup
     ("q_brown_forsythe", 2, 0),      // grid checkpointed; rank window + deviation rollup
-    ("q_cochran_armitage", 1, 0))    // one exposure-axis rollup + scalar close
+    ("q_cochran_armitage", 1, 0),    // one exposure-axis rollup + scalar close
+    ("q_ljung_box", 1, 2),           // cen checkpointed; lag join + den/tot bc
+    ("q_hampel", 3, 1),              // daily checkpointed; two median rank passes
+    ("q_variance_ratio", 0, 1))      // per-axis checkpointed; base row bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
