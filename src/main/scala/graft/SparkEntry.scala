@@ -55,7 +55,8 @@ object Registry {
       queries.Round107Queries.defs ++ queries.Round108Queries.defs ++
       queries.Round109Queries.defs ++ queries.Round110Queries.defs ++
       queries.Round111Queries.defs ++ queries.Round112Queries.defs ++
-      queries.Round113Queries.defs ++ queries.Round114Queries.defs
+      queries.Round113Queries.defs ++ queries.Round114Queries.defs ++
+      queries.Round115Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

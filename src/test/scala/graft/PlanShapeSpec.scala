@@ -409,7 +409,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_cochran_armitage", 1, 0),    // one exposure-axis rollup + scalar close
     ("q_ljung_box", 1, 2),           // cen checkpointed; lag join + den/tot bc
     ("q_hampel", 3, 1),              // daily checkpointed; two median rank passes
-    ("q_variance_ratio", 0, 1))      // per-axis checkpointed; base row bc
+    ("q_variance_ratio", 0, 1),      // per-axis checkpointed; base row bc
+    ("q_holm_step", 0, 1),           // nation axis checkpointed; pooled bc
+    ("q_tukey_hsd", 0, 1),           // per-group axis checkpointed; pool bc
+    ("q_mantel_haenszel", 1, 2))     // customer join bc'd; one strat rollup
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
