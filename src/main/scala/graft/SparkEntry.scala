@@ -56,7 +56,7 @@ object Registry {
       queries.Round109Queries.defs ++ queries.Round110Queries.defs ++
       queries.Round111Queries.defs ++ queries.Round112Queries.defs ++
       queries.Round113Queries.defs ++ queries.Round114Queries.defs ++
-      queries.Round115Queries.defs
+      queries.Round115Queries.defs ++ queries.Round116Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

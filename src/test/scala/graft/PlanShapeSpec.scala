@@ -412,7 +412,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_variance_ratio", 0, 1),      // per-axis checkpointed; base row bc
     ("q_holm_step", 0, 1),           // nation axis checkpointed; pooled bc
     ("q_tukey_hsd", 0, 1),           // per-group axis checkpointed; pool bc
-    ("q_mantel_haenszel", 1, 2))     // customer join bc'd; one strat rollup
+    ("q_mantel_haenszel", 1, 2),     // customer join bc'd; one strat rollup
+    ("q_home_work", 2, 1),           // modal axis checkpointed; anchor join + rollup
+    ("q_flow_imbalance", 2, 0),      // transitions checkpointed; in/out full join
+    ("q_jump_lengths", 0, 1))        // bucket axis checkpointed; total bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
