@@ -56,7 +56,17 @@ object Registry {
       queries.Round109Queries.defs ++ queries.Round110Queries.defs ++
       queries.Round111Queries.defs ++ queries.Round112Queries.defs ++
       queries.Round113Queries.defs ++ queries.Round114Queries.defs ++
-      queries.Round115Queries.defs ++ queries.Round116Queries.defs
+      queries.Round115Queries.defs ++ queries.Round116Queries.defs ++
+      queries.Round117Queries.defs ++ queries.Round118Queries.defs ++
+      queries.Round119Queries.defs ++ queries.Round120Queries.defs ++
+      queries.Round121Queries.defs ++ queries.Round122Queries.defs ++
+      queries.Round123Queries.defs ++ queries.Round124Queries.defs ++
+      queries.Round125Queries.defs ++ queries.Round126Queries.defs ++
+      queries.Round127Queries.defs ++ queries.Round128Queries.defs ++
+      queries.Round129Queries.defs ++ queries.Round130Queries.defs ++
+      queries.Round131Queries.defs ++ queries.Round132Queries.defs ++
+      queries.Round133Queries.defs ++ queries.Round134Queries.defs ++
+      queries.Round135Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -48,7 +48,14 @@ class SinglePartitionWindowSpec extends SparkSpec {
     "q_getis_ord" -> ("RANGE neighborhood window runs directly on the " +
       "localCheckpoint-materialized latitude-band axis (34 bands at any " +
       "SF — bounded by the grid, not data volume); the groupBy that " +
-      "built it is truncated from the visible plan"))
+      "built it is truncated from the visible plan"),
+    "q_kz_filter" -> ("second KZ pass re-windows the checkpointed " +
+      "first-pass output — the calendar-day axis (bounded) with the " +
+      "first pass's Aggregate truncated from the visible plan"),
+    "q_abc_migration" -> ("both year legs rank the checkpointed " +
+      "(part, year) revenue rollup — post-aggregate behind the " +
+      "checkpoint; the same part axis q_abc_pareto sorts with its " +
+      "Aggregate visible"))
 
   test("unpartitioned windows only ever run on post-aggregate axes") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
