@@ -66,7 +66,7 @@ object Registry {
       queries.Round129Queries.defs ++ queries.Round130Queries.defs ++
       queries.Round131Queries.defs ++ queries.Round132Queries.defs ++
       queries.Round133Queries.defs ++ queries.Round134Queries.defs ++
-      queries.Round135Queries.defs
+      queries.Round135Queries.defs ++ queries.Round136Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
