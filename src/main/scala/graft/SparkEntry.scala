@@ -66,7 +66,12 @@ object Registry {
       queries.Round129Queries.defs ++ queries.Round130Queries.defs ++
       queries.Round131Queries.defs ++ queries.Round132Queries.defs ++
       queries.Round133Queries.defs ++ queries.Round134Queries.defs ++
-      queries.Round135Queries.defs ++ queries.Round136Queries.defs
+      queries.Round135Queries.defs ++ queries.Round136Queries.defs ++
+      queries.Round137Queries.defs ++ queries.Round138Queries.defs ++
+      queries.Round139Queries.defs ++ queries.Round140Queries.defs ++
+      queries.Round141Queries.defs ++ queries.Round142Queries.defs ++
+      queries.Round143Queries.defs ++ queries.Round144Queries.defs ++
+      queries.Round145Queries.defs ++ queries.Round146Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

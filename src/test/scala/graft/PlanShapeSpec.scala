@@ -415,7 +415,23 @@ class PlanShapeSpec extends SparkSpec {
     ("q_mantel_haenszel", 1, 2),     // customer join bc'd; one strat rollup
     ("q_home_work", 2, 1),           // modal axis checkpointed; anchor join + rollup
     ("q_flow_imbalance", 2, 0),      // transitions checkpointed; in/out full join
-    ("q_jump_lengths", 0, 1))        // bucket axis checkpointed; total bc
+    ("q_jump_lengths", 0, 1),        // bucket axis checkpointed; total bc
+    // round-9 batch (126..142)
+    ("q_fill_rate", 1, 2),           // ONE brand rollup; orders+part bc
+    ("q_otif", 2, 1),                // order rollup + priority axis; part bc
+    ("q_mrr", 1, 0),                 // ONE order-keyed rank+argmin shuffle
+    ("q_degree_entropy", 2, 0),      // edge distinct + degree rollup only
+    ("q_table_fingerprint", 1, 0),   // ONE month rollup, commutative aggs
+    ("q_luhn_check", 1, 0),          // ONE priority rollup; checksum in codegen
+    ("q_peak_to_mean", 2, 0),        // hour profile + type rollup
+    ("q_new_vs_repeat", 2, 1),       // first-month agg bc'd into month rollup
+    ("q_mld", 2, 1),                 // spend agg + nation rollup; customer bc
+    ("q_palma_ratio", 1, 0),         // spend agg; rank on post-agg axis
+    ("q_basket_diversity", 3, 2),    // brand cell + customer + decile rollups
+    ("q_mode_per_group", 2, 4),      // nation-brand cell + argmax; 4 dims bc
+    ("q_user_overlap_types", 3, 3),  // type-user distinct + pair agg; sizes bc
+    ("q_detour_ratio", 1, 0),        // ONE user-day shuffle: lag+frame+rollup
+    ("q_trip_stats", 2, 0))          // user-day fold + bounded trip axis
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
