@@ -71,7 +71,9 @@ object Registry {
       queries.Round139Queries.defs ++ queries.Round140Queries.defs ++
       queries.Round141Queries.defs ++ queries.Round142Queries.defs ++
       queries.Round143Queries.defs ++ queries.Round144Queries.defs ++
-      queries.Round145Queries.defs ++ queries.Round146Queries.defs
+      queries.Round145Queries.defs ++ queries.Round146Queries.defs ++
+      queries.Round147Queries.defs ++ queries.Round148Queries.defs ++
+      queries.Round149Queries.defs ++ queries.Round150Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

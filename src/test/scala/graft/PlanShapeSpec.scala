@@ -431,7 +431,20 @@ class PlanShapeSpec extends SparkSpec {
     ("q_mode_per_group", 2, 4),      // nation-brand cell + argmax; 4 dims bc
     ("q_user_overlap_types", 3, 3),  // type-user distinct + pair agg; sizes bc
     ("q_detour_ratio", 1, 0),        // ONE user-day shuffle: lag+frame+rollup
-    ("q_trip_stats", 2, 0))          // user-day fold + bounded trip axis
+    ("q_trip_stats", 2, 0),          // user-day fold + bounded trip axis
+    // round-9 final session (147..150)
+    ("q_panel_fe", 7, 3),            // cell agg + 3 bc'd mean frames
+    ("q_synth_control", 4, 4),       // fixed nation grid; weights bc
+    ("q_placebo_gaps", 4, 2),        // weights checkpointed + bc twice
+    ("q_textrank", 0, 0),            // rank rounds checkpointed away
+    ("q_louvain_pass", 3, 4),        // adjacency+degree checkpointed, bc joins
+    ("q_theta_forecast", 2, 0),      // daily rollup + keyed fold share key
+    ("q_knn_grid_join", 1, 1),       // probes bc into cell join; ONE rank shuffle
+    ("q_knn_regress", 1, 1),         // same candidates; rank+agg share qid
+    ("q_heading_octants", 5, 1),     // user window + octant rollup + share join
+    ("q_forecast_reconcile", 3, 5),  // dims bc; nation agg + region rollup
+    ("q_safety_stock", 6, 2),        // part bc; day rollup + 2 brand windows
+    ("q_cross_elasticity", 9, 6))    // brand-month cells; top-3 + lag + pair join
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
