@@ -444,7 +444,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_heading_octants", 5, 1),     // user window + octant rollup + share join
     ("q_forecast_reconcile", 3, 5),  // dims bc; nation agg + region rollup
     ("q_safety_stock", 6, 2),        // part bc; day rollup + 2 brand windows
-    ("q_cross_elasticity", 9, 6))    // brand-month cells; top-3 + lag + pair join
+    ("q_cross_elasticity", 9, 6),    // brand-month cells; top-3 + lag + pair join
+    ("q_littles_law", 1, 1),         // order-ship rollup bc'd; one scalar agg
+    ("q_quadtree_cells", 0, 5),      // leaf+levels checkpointed; parents bc
+    ("q_ar2_forecast", 5, 5))        // day axis checkpointed; moments bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
