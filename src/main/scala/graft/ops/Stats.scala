@@ -178,6 +178,59 @@ object Stats {
         col("cumhaz_e6"))
   }
 
+  /** Aalen–Johansen cumulative incidence under COMPETING risks — the
+    * correct replacement for "1 − KM per cause" (which over-counts
+    * because a subject failing from cause 2 can never fail from cause
+    * 1). Causes are 1 and 2; 0 = censored. At each event time:
+    *   CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ⁻) · d_{k,i} / n_riskᵢ
+    * where S(t⁻) is the all-cause KM survival just BEFORE tᵢ — here the
+    * same e6 log₂-sum/2^(−y) integer machinery as [[kaplanMeier]]
+    * (5-bit-mantissa accuracy), with the strictly-preceding window
+    * giving S(t⁻) for free. Output rows at event times:
+    * (t, n_risk, d1, d2, cif1_e6, cif2_e6); cif1+cif2 converges to
+    * 1e6 − S only through the shared approximate S, so the identity
+    * holds to mantissa accuracy by construction.
+    *
+    * Scale: the [[kaplanMeier]] contract — one duration-keyed count
+    * aggregate off the raw scan, then the walk on the tiny
+    * distinct-time axis (the unpartitioned windows are bounded by it). */
+  def competingRisks(df: DataFrame, durationCol: String,
+                     causeCol: String): DataFrame = {
+    val ord = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grp = df.select(col(durationCol).as("t"), col(causeCol).as("cz"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("cz") === 1L, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("cz") === 2L, 1L).otherwise(0L)).as("d2"),
+        count(lit(1)).as("leave"))
+      .localCheckpoint(true) // distinct-time axis: tiny; ONE raw scan
+    val tot = grp.agg(sum(col("leave")).as("n_all"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_all") - (sum(col("leave")).over(ord) - col("leave")))
+      .withColumn("d", col("d1") + col("d2"))
+      .filter(col("d") > 0L)
+      .withColumn("step_l",
+        when(col("n_risk") > col("d"),
+          Bm25.log2E6(col("n_risk") - col("d")) - Bm25.log2E6(col("n_risk")))
+          .otherwise(lit(0L)))
+      .withColumn("y_prev",
+        -coalesce(sum(col("step_l")).over(prev), lit(0L)))
+      .withColumn("dead_prev",
+        coalesce(max((col("n_risk") === col("d")).cast("int")).over(prev),
+          lit(0)))
+      .withColumn("lag_surv_e6",
+        when(col("dead_prev") === 1, lit(0L))
+          .otherwise(Sketches.pow2NegE6Expr("y_prev")))
+      .withColumn("t1", expr("lag_surv_e6 * d1 div n_risk"))
+      .withColumn("t2", expr("lag_surv_e6 * d2 div n_risk"))
+      .select(col("t"), col("n_risk"), col("d1"), col("d2"),
+        sum(col("t1")).over(ord).as("cif1_e6"),
+        sum(col("t2")).over(ord).as("cif2_e6"))
+  }
+
   /** Pairwise Pearson correlation matrix over integer (cents) columns —
     * ONE aggregate computes every moment exactly in DECIMAL(38,0)
     * (n + per-column sums/squares + per-pair cross sums, all map-side

@@ -447,7 +447,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_cross_elasticity", 9, 6),    // brand-month cells; top-3 + lag + pair join
     ("q_littles_law", 1, 1),         // order-ship rollup bc'd; one scalar agg
     ("q_quadtree_cells", 0, 5),      // leaf+levels checkpointed; parents bc
-    ("q_ar2_forecast", 5, 5))        // day axis checkpointed; moments bc
+    ("q_ar2_forecast", 5, 5),        // day axis checkpointed; moments bc
+    ("q_competing_risks", 3, 1),     // duration axis checkpointed; tot bc
+    ("q_recurrent_mcf", 5, 5),       // two bounded-axis rollups + sweep union
+    ("q_lexis_surface", 4, 2))       // user first-week rollup; cohort bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
