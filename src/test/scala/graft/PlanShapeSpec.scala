@@ -450,7 +450,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_ar2_forecast", 5, 5),        // day axis checkpointed; moments bc
     ("q_competing_risks", 3, 1),     // duration axis checkpointed; tot bc
     ("q_recurrent_mcf", 5, 5),       // two bounded-axis rollups + sweep union
-    ("q_lexis_surface", 4, 2))       // user first-week rollup; cohort bc
+    ("q_lexis_surface", 4, 2),       // user first-week rollup; cohort bc
+    ("q_woe_iv", 4, 1),              // customer rollup + log-band cells
+    ("q_two_hop_reach", 3, 2),       // adjacency checkpointed; wedge join
+    ("q_var_backtest", 0, 5))        // bounded day axis checkpointed; vr bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
