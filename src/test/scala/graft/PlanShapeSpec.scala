@@ -453,7 +453,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_lexis_surface", 4, 2),       // user first-week rollup; cohort bc
     ("q_woe_iv", 4, 1),              // customer rollup + log-band cells
     ("q_two_hop_reach", 3, 2),       // adjacency checkpointed; wedge join
-    ("q_var_backtest", 0, 5))        // bounded day axis checkpointed; vr bc
+    ("q_var_backtest", 0, 5),        // bounded day axis checkpointed; vr bc
+    ("q_shift_share", 2, 2),         // cell checkpointed; brand+nat rates bc
+    ("q_nn_matching_att", 1, 2),     // customer rollup checkpointed; band join
+    ("q_text_tiling", 4, 2))         // block counts checkpointed; 2 self-joins
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
