@@ -456,7 +456,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_var_backtest", 0, 5),        // bounded day axis checkpointed; vr bc
     ("q_shift_share", 2, 2),         // cell checkpointed; brand+nat rates bc
     ("q_nn_matching_att", 1, 2),     // customer rollup checkpointed; band join
-    ("q_text_tiling", 4, 2))         // block counts checkpointed; 2 self-joins
+    ("q_text_tiling", 4, 2),         // block counts checkpointed; 2 self-joins
+    ("q_ivf_nprobe_curve", 2, 1),    // assign/cand checkpointed; sweep bc
+    ("q_bradley_terry", 8, 1),       // 2 rank windows + 4 bounded rollups
+    ("q_tree_depth2", 2, 4))         // base checkpointed; root + cands bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
