@@ -459,7 +459,9 @@ class PlanShapeSpec extends SparkSpec {
     ("q_text_tiling", 4, 2),         // block counts checkpointed; 2 self-joins
     ("q_ivf_nprobe_curve", 2, 1),    // assign/cand checkpointed; sweep bc
     ("q_bradley_terry", 8, 1),       // 2 rank windows + 4 bounded rollups
-    ("q_tree_depth2", 2, 4))         // base checkpointed; root + cands bc
+    ("q_tree_depth2", 2, 4),         // base checkpointed; root + cands bc
+    ("q_queue_waits", 2, 1),         // ONE class-keyed window chain + rank
+    ("q_kmeans_inertia_curve", 4, 3))// per-round assigns checkpointed, cents bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
