@@ -20,6 +20,14 @@ object BucketAuditMain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Audit the CLUSTER-scale join shape: at sf0.01 nearly every join
+      // broadcasts and the audit sees zero shuffled joins (observed r10
+      // — an empty table). At 100 TB the fact sides exceed any broadcast
+      // threshold, so the sort-merge shape is the one bucketing must be
+      // judged against (same probe convention as BucketedJoinSpec). Dims
+      // that would still broadcast at scale show up as over-counted
+      // rows; the per-table totals still rank the hot keys correctly.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val ok = names.filter { n => // skip queries whose build needs a warehouse table

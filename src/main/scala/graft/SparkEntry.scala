@@ -76,7 +76,8 @@ object Registry {
       queries.Round149Queries.defs ++ queries.Round150Queries.defs ++
       queries.Round151Queries.defs ++ queries.Round152Queries.defs ++
       queries.Round153Queries.defs ++ queries.Round154Queries.defs ++
-      queries.Round155Queries.defs ++ queries.Round156Queries.defs
+      queries.Round155Queries.defs ++ queries.Round156Queries.defs ++
+      queries.Round157Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-157 batch (r9 VERDICT tasks 3–5):
+  *
+  *  - V-optimal histogram (`q_vopt_hist`): k=3 greedy max-SSE-reduction
+  *    splits over the l_quantity frequency axis — the optimizer-
+  *    statistics companion to q_equidepth_hist. Each greedy round is
+  *    one bucket-partitioned prefix-sum pass + one argmax over the
+  *    (≤50-value) candidate axis; the raw table is scanned ONCE.
+  *  - Gradient-boost step (`q_boost_stump`): two squared-loss boosting
+  *    rounds of regression stumps on integer residuals — proves the
+  *    aggregate-argmin induction of q_tree_depth2 composes through a
+  *    residual update. All integer; signed `div` truncates toward zero
+  *    in BOTH engines (verified: DuckDB -7//2 = -3), so residual means
+  *    are portable.
+  *  - OHLC candles (`q_ohlc_candles`): per (event_type, day) open/high/
+  *    low/close/volume via rank windows with a unique total order
+  *    (ts, event_id) — the batch twin of [[graft.stream.StreamOhlc]],
+  *    and the argmax form the verify recipe mandates (DuckDB struct-max
+  *    goes superlinear at sf0.1; engine-arbitrary max_by ties can't
+  *    happen under a unique key but rank windows make that structural).
+  */
+object Round157Queries {
+
+  /** One greedy v-optimal round: given the checkpointed frequency axis
+    * and the boundaries chosen so far (column `s`; left bucket takes
+    * v ≤ s), return the single boundary value whose split maximizes the
+    * SSE reduction (ties → smaller v). SSE of a bucket = Σf² − (Σf)²
+    * div n over its frequencies — truncating integer div, portable. */
+  private def voptPick(freq: DataFrame, bnds: DataFrame): DataFrame = {
+    // bucket of v = #boundaries < v; the groupBy is also the Aggregate
+    // that keeps the argmax window's input visibly bounded
+    val assigned = freq.join(broadcast(bnds), col("s") < col("v"), "left")
+      .groupBy(col("v"), col("f")).agg(count(col("s")).as("b"))
+    val cum = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("b"))
+    assigned
+      .withColumn("cn", count(lit(1)).over(cum))
+      .withColumn("cf", sum(col("f")).over(cum))
+      .withColumn("cf2", sum(col("f") * col("f")).over(cum))
+      .withColumn("tn", count(lit(1)).over(tot))
+      .withColumn("tf", sum(col("f")).over(tot))
+      .withColumn("tf2", sum(col("f") * col("f")).over(tot))
+      .filter(col("cn") < col("tn")) // a bucket's max value can't split it
+      .withColumn("red", expr(
+        """(tf2 - tf * tf div tn)
+          | - (cf2 - cf * cf div cn)
+          | - ((tf2 - cf2) - (tf - cf) * (tf - cf) div (tn - cn))"""
+          .stripMargin))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("red").desc, col("v"))))
+      .filter(col("rk") === 1)
+      .select(col("v").as("s"))
+      .localCheckpoint(true) // one-row boundary: later rounds reuse it
+  }
+
+  /** SQL twin of one [[voptPick]] round: `src` is the boundary CTE list
+    * so far (UNION ALL of one-row `s` selects, or an empty relation). */
+  private def voptPickSql(bndSrc: String): String =
+    s"""SELECT v AS s FROM (
+       |  SELECT v,
+       |         (tf2 - tf * tf // tn)
+       |           - (cf2 - cf * cf // cn)
+       |           - ((tf2 - cf2) - (tf - cf) * (tf - cf) // (tn - cn))
+       |           AS red
+       |  FROM (
+       |    SELECT v, f, b,
+       |           count(*) OVER cum AS cn, sum(f) OVER cum AS cf,
+       |           sum(f * f) OVER cum AS cf2,
+       |           count(*) OVER tot AS tn, sum(f) OVER tot AS tf,
+       |           sum(f * f) OVER tot AS tf2
+       |    FROM (
+       |      SELECT fr.v, fr.f, CAST(count(bb.s) AS BIGINT) AS b
+       |      FROM freq fr LEFT JOIN ($bndSrc) bb ON bb.s < fr.v
+       |      GROUP BY fr.v, fr.f)
+       |    WINDOW cum AS (PARTITION BY b ORDER BY v
+       |             ROWS UNBOUNDED PRECEDING),
+       |           tot AS (PARTITION BY b)) x
+       |  WHERE cn < tn) y
+       |QUALIFY row_number() OVER (ORDER BY red DESC, v) = 1""".stripMargin
+
+  /** One boosting round: fit the SSE-minimizing stump over the
+    * candidate axis to residual column `r` of `df`; returns one row
+    * (round, feature, threshold, n_left, n_right, left_val, right_val,
+    * sse_after) — leaf values are truncated integer residual means. */
+  private def fitStump(df: DataFrame, cands: DataFrame,
+                       round: Int): DataFrame =
+    df.crossJoin(broadcast(cands))
+      .selectExpr("f", "thr",
+        "CASE WHEN (f = 'hour' AND hour <= thr) OR " +
+          "(f = 'dow' AND dow <= thr) THEN 1L ELSE 0L END AS lft", "r")
+      .groupBy(col("f"), col("thr"))
+      .agg(sum(col("lft")).as("nl"),
+        sum(col("lft") * col("r")).as("sl"),
+        sum(col("lft") * col("r") * col("r")).as("s2l"),
+        sum(lit(1L) - col("lft")).as("nr"),
+        sum((lit(1L) - col("lft")) * col("r")).as("sr"),
+        sum((lit(1L) - col("lft")) * col("r") * col("r")).as("s2r"))
+      .selectExpr("f", "thr", "nl", "nr",
+        "sl div greatest(1L, nl) AS lv", "sr div greatest(1L, nr) AS rv",
+        """(s2l - sl * sl div greatest(1L, nl))
+          | + (s2r - sr * sr div greatest(1L, nr)) AS sse_after"""
+          .stripMargin)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("sse_after"), col("f"), col("thr"))))
+      .filter(col("rk") === 1)
+      .selectExpr(s"CAST($round AS BIGINT) AS step", "f AS feature",
+        "CAST(thr AS BIGINT) AS threshold", "CAST(nl AS BIGINT) AS n_left",
+        "CAST(nr AS BIGINT) AS n_right", "lv AS left_val",
+        "rv AS right_val", "sse_after")
+      .localCheckpoint(true) // one-row model: the residual update reuses it
+
+  /** SQL twin of one [[fitStump]] round over relation `src(hour,dow,r)`. */
+  private def fitStumpSql(src: String, round: Int): String =
+    s"""SELECT CAST($round AS BIGINT) AS step, f AS feature,
+       |       CAST(thr AS BIGINT) AS threshold,
+       |       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       |       sl // greatest(1, nl) AS left_val,
+       |       sr // greatest(1, nr) AS right_val,
+       |       (s2l - sl * sl // greatest(1, nl))
+       |         + (s2r - sr * sr // greatest(1, nr)) AS sse_after
+       |FROM (
+       |  SELECT c.f, c.thr,
+       |         CAST(sum(CASE WHEN (c.f = 'hour' AND b.hour <= c.thr)
+       |           OR (c.f = 'dow' AND b.dow <= c.thr)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+       |         CAST(sum(CASE WHEN (c.f = 'hour' AND b.hour <= c.thr)
+       |           OR (c.f = 'dow' AND b.dow <= c.thr)
+       |           THEN b.r ELSE 0 END) AS BIGINT) AS sl,
+       |         CAST(sum(CASE WHEN (c.f = 'hour' AND b.hour <= c.thr)
+       |           OR (c.f = 'dow' AND b.dow <= c.thr)
+       |           THEN b.r * b.r ELSE 0 END) AS BIGINT) AS s2l,
+       |         CAST(sum(CASE WHEN (c.f = 'hour' AND b.hour <= c.thr)
+       |           OR (c.f = 'dow' AND b.dow <= c.thr)
+       |           THEN 0 ELSE 1 END) AS BIGINT) AS nr,
+       |         CAST(sum(CASE WHEN (c.f = 'hour' AND b.hour <= c.thr)
+       |           OR (c.f = 'dow' AND b.dow <= c.thr)
+       |           THEN 0 ELSE b.r END) AS BIGINT) AS sr,
+       |         CAST(sum(CASE WHEN (c.f = 'hour' AND b.hour <= c.thr)
+       |           OR (c.f = 'dow' AND b.dow <= c.thr)
+       |           THEN 0 ELSE b.r * b.r END) AS BIGINT) AS s2r
+       |  FROM $src b CROSS JOIN cands c GROUP BY 1, 2)
+       |QUALIFY row_number() OVER (ORDER BY sse_after, f, thr) = 1"""
+      .stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── V-optimal histogram: 3 greedy splits over the quantity
+    //    frequency axis → 4 buckets minimizing Σ within-bucket
+    //    frequency variance (greedily). Output: per final bucket, its
+    //    value range, widths, mass, and residual SSE.
+    QueryDef("q_vopt_hist",
+      (s, d) => {
+        val freq = Tables.lineitem(s, d)
+          .selectExpr("CAST(l_quantity AS BIGINT) AS v")
+          .groupBy(col("v")).agg(count(lit(1)).as("f"))
+          .localCheckpoint(true) // ≤50-value axis; the ONE raw scan
+        val none = s.range(0).selectExpr("id AS s")
+        val s1 = voptPick(freq, none)
+        val s2 = voptPick(freq, s1)
+        val s3 = voptPick(freq, s1.unionByName(s2))
+        val bnds = s1.unionByName(s2).unionByName(s3)
+        freq.join(broadcast(bnds), col("s") < col("v"), "left")
+          .groupBy(col("v"), col("f")).agg(count(col("s")).as("b"))
+          .groupBy(col("b"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+            count(lit(1)).as("n_values"), sum(col("f")).as("n_rows"),
+            sum(col("f") * col("f")).as("f2"))
+          .selectExpr("CAST(b AS BIGINT) AS bucket", "lo", "hi",
+            "CAST(n_values AS BIGINT) AS n_values",
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            "f2 - n_rows * n_rows div n_values AS sse")
+      },
+      Some {
+        val empty = "SELECT CAST(NULL AS BIGINT) AS s WHERE FALSE"
+        s"""WITH freq AS (
+           |  SELECT CAST(l_quantity AS BIGINT) AS v,
+           |         CAST(count(*) AS BIGINT) AS f
+           |  FROM lineitem GROUP BY 1),
+           |s1 AS (${voptPickSql(empty)}),
+           |s2 AS (${voptPickSql("SELECT s FROM s1")}),
+           |s3 AS (${voptPickSql(
+            "SELECT s FROM s1 UNION ALL SELECT s FROM s2")}),
+           |bnds AS (SELECT s FROM s1 UNION ALL SELECT s FROM s2
+           |         UNION ALL SELECT s FROM s3),
+           |asg AS (SELECT fr.v, fr.f, CAST(count(bb.s) AS BIGINT) AS b
+           |        FROM freq fr LEFT JOIN bnds bb ON bb.s < fr.v
+           |        GROUP BY fr.v, fr.f)
+           |SELECT CAST(b AS BIGINT) AS bucket,
+           |       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+           |       CAST(count(*) AS BIGINT) AS n_values,
+           |       CAST(sum(f) AS BIGINT) AS n_rows,
+           |       CAST(sum(f * f) AS BIGINT)
+           |         - CAST(sum(f) AS BIGINT) * CAST(sum(f) AS BIGINT)
+           |           // CAST(count(*) AS BIGINT) AS sse
+           |FROM asg GROUP BY 1""".stripMargin
+      }),
+
+    // ── Two gradient-boost rounds of regression stumps on events:
+    //    target = whole-dollar value, features hour-of-day / day-of-week,
+    //    residuals updated by the fitted leaf means between rounds.
+    //    Dollar units keep (Σr)² inside BIGINT at any tested SF (≤1e5
+    //    rows × ≤560 → 3e15 ≪ 2⁶³); at true 100 TB these moments move
+    //    to DECIMAL(38,0) like ops/Stats correlation does.
+    QueryDef("q_boost_stump",
+      (s, d) => {
+        val cands = s.range(0, 6).selectExpr(
+          "CASE WHEN id < 3 THEN 'hour' ELSE 'dow' END AS f",
+          "CASE WHEN id < 3 THEN id * 6 + 5 ELSE (id - 3) * 2 + 1 END AS thr")
+        val base = Tables.events(s, d).selectExpr(
+            "CAST(floor(value) AS BIGINT) AS y",
+            "(unix_micros(ts) div 3600000000) % 24 AS hour",
+            "(unix_micros(ts) div 86400000000) % 7 AS dow")
+          .localCheckpoint(true) // both rounds + the mean share one scan
+        val mean = base.agg(expr("sum(y) div count(1)").as("m"))
+        val r1 = base.crossJoin(broadcast(mean))
+          .selectExpr("hour", "dow", "y - m AS r")
+        val st1 = fitStump(r1, cands, 1)
+        val r2 = r1.crossJoin(broadcast(st1.selectExpr("feature AS bf",
+            "threshold AS bt", "left_val AS blv", "right_val AS brv")))
+          .selectExpr("hour", "dow",
+            """r - CASE WHEN (bf = 'hour' AND hour <= bt)
+              |  OR (bf = 'dow' AND dow <= bt) THEN blv ELSE brv
+              |END AS r""".stripMargin)
+        st1.unionByName(fitStump(r2, cands, 2))
+      },
+      Some(s"""WITH cands AS (
+              |  SELECT CASE WHEN i < 3 THEN 'hour' ELSE 'dow' END AS f,
+              |         CASE WHEN i < 3 THEN i * 6 + 5
+              |           ELSE (i - 3) * 2 + 1 END AS thr
+              |  FROM (SELECT unnest(generate_series(0, 5)) AS i)),
+              |base AS (
+              |  SELECT CAST(floor(value) AS BIGINT) AS y,
+              |         (epoch_us(ts) // 3600000000) % 24 AS hour,
+              |         (epoch_us(ts) // 86400000000) % 7 AS dow
+              |  FROM events),
+              |m AS (SELECT CAST(sum(y) AS BIGINT) // count(*) AS m
+              |      FROM base),
+              |r1 AS (SELECT hour, dow, y - m AS r FROM base CROSS JOIN m),
+              |st1 AS (${fitStumpSql("r1", 1)}),
+              |r2 AS (SELECT b.hour, b.dow,
+              |         b.r - CASE WHEN (t.feature = 'hour'
+              |             AND b.hour <= t.threshold)
+              |           OR (t.feature = 'dow' AND b.dow <= t.threshold)
+              |           THEN t.left_val ELSE t.right_val END AS r
+              |       FROM r1 b CROSS JOIN st1 t),
+              |st2 AS (${fitStumpSql("r2", 2)})
+              |SELECT * FROM st1 UNION ALL SELECT * FROM st2""".stripMargin)),
+
+    // ── Daily OHLC candles per event type: open/close via rank windows
+    //    over the unique (ts, event_id) order (never struct-max — the
+    //    DuckDB superlinear trap), high/low/volume/amount from the same
+    //    keyed shuffle. Batch twin of stream.StreamOhlc.
+    QueryDef("q_ohlc_candles",
+      (s, d) => {
+        val base = Tables.events(s, d).selectExpr(
+          "event_type AS sym",
+          "unix_micros(ts) div 86400000000 AS day",
+          "unix_micros(ts) AS t", "event_id AS eid",
+          "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+        val grp = Window.partitionBy(col("sym"), col("day"))
+        base
+          .withColumn("ra", row_number().over(
+            grp.orderBy(col("t"), col("eid"))))
+          .withColumn("rd", row_number().over(
+            grp.orderBy(col("t").desc, col("eid").desc)))
+          .groupBy(col("sym"), col("day"))
+          .agg(max(when(col("ra") === 1, col("cents"))).as("open_c"),
+            max(col("cents")).as("high_c"),
+            min(col("cents")).as("low_c"),
+            max(when(col("rd") === 1, col("cents"))).as("close_c"),
+            count(lit(1)).as("volume"),
+            sum(col("cents")).as("amount_c"))
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type AS sym,
+             |         epoch_us(ts) // 86400000000 AS day,
+             |         epoch_us(ts) AS t, event_id AS eid,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |r AS (SELECT *,
+             |        row_number() OVER (PARTITION BY sym, day
+             |          ORDER BY t, eid) AS ra,
+             |        row_number() OVER (PARTITION BY sym, day
+             |          ORDER BY t DESC, eid DESC) AS rd
+             |      FROM base)
+             |SELECT sym, day,
+             |       CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT)
+             |         AS open_c,
+             |       CAST(max(cents) AS BIGINT) AS high_c,
+             |       CAST(min(cents) AS BIGINT) AS low_c,
+             |       CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT)
+             |         AS close_c,
+             |       CAST(count(*) AS BIGINT) AS volume,
+             |       CAST(sum(cents) AS BIGINT) AS amount_c
+             |FROM r GROUP BY 1, 2""".stripMargin))
+  )
+}

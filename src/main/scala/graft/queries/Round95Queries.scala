@@ -155,20 +155,24 @@ object Round95Queries {
            |FROM st CROSS JOIN cm CROSS JOIN ex""".stripMargin
       }),
 
-    // ── Incremental CC under edge inserts: the q_cc_star chain-block
-    //    graph is labeled once, then a DELTA batch (one bridge per
-    //    block pair) merges neighbors — via the super-node graph only
-    //    (O(|delta|) work), never re-touching the base edges. Oracle:
-    //    full CC over base ∪ delta, proving the increment is exact.
+    // ── Incremental CC under edge inserts: standing labels for the
+    //    chain-block graph arrive PRECOMPUTED (as production would hold
+    //    them — yesterday's labeling at rest), then a DELTA batch (one
+    //    bridge per block pair) merges neighbors — via the super-node
+    //    graph only (O(|delta|) work), never re-touching base edges.
+    //    The base graph is blocks of 50 consecutive doc_ids (edges
+    //    id→id+1 except across id%50==49), so its exact CC labeling is
+    //    analytic: cluster_id = id − id%50 (the block min — the same
+    //    min-id contract every CC producer keeps; IncrementalCcFixture-
+    //    Spec pins fixture == full StarComponents CC). Deriving labels
+    //    in-query made the bench pay full CC + rebuild and overstated
+    //    the operator's cost ~2.5× (r9 VERDICT task 2). Oracle: full CC
+    //    over base ∪ delta, proving the increment is exact.
     QueryDef("q_incremental_cc",
       (s, d) => {
         val ids = Tables.documents(s, d).select(col("doc_id").as("id"))
-        val base = ids.as("x")
-          .join(ids.as("y"), col("y.id") === col("x.id") + 1)
-          .filter(col("x.id") % 50 =!= 49)
-          .select(col("x.id").as("a"), col("y.id").as("b"))
-        val labels = graft.ops.StarComponents
-          .connectedComponents(ids, base)
+        val labels = ids.select(col("id"),
+          (col("id") - col("id") % 50).as("cluster_id"))
         val delta = ids.as("x")
           .join(ids.as("y"), col("y.id") === col("x.id") + 50)
           .filter(col("x.id") % 100 === 0)

@@ -72,6 +72,27 @@ class StatsSpec extends SparkSpec {
     assert(r.last._4 === 0L)
   }
 
+  test("competingRisks: hand-worked 8-subject CIF (tie-time, censor, extinction)") {
+    // Risk fractions are powers of two at every event time, so the e6
+    // log2/pow2 machinery is EXACT and the Aalen-Johansen CIF values can
+    // be asserted against hand-derived truth (not a twin of the code):
+    //  t=1: n=8, d1=3, d2=1 (TIE-TIME, both causes) -> S(1-)=1
+    //       cif1 = 1e6*3/8 = 375000, cif2 = 1e6*1/8 = 125000
+    //  t=2: two CENSORS (no output row; they still leave the risk set)
+    //  t=3: n=2, d2=1; S(3-)=pow2(-log2(8/4))=500000 -> cif2 += 250000
+    //  t=4: n=1, d1=1; S(4-)=pow2(-2e6)=250000 -> cif1 += 250000
+    //       (extinction: n_risk==d, so S after is 0 and cif1+cif2 = 1e6)
+    val df = Seq((1L, 1L), (1L, 1L), (1L, 1L), (1L, 2L),
+      (2L, 0L), (2L, 0L), (3L, 2L), (4L, 1L)).toDF("t", "cz")
+    val r = Stats.competingRisks(df, "t", "cz")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq(
+      (1L, 8L, 3L, 1L, 375000L, 125000L),
+      (3L, 2L, 0L, 1L, 375000L, 375000L),
+      (4L, 1L, 1L, 0L, 625000L, 375000L)))
+    assert(r.last._5 + r.last._6 === 1000000L) // CIFs exhaust S at extinction
+  }
+
   test("crossCorr: an impulse shifted by 2 correlates perfectly at lag 2") {
     val x = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 0L), (4L, 0L), (5L, 0L))
       .toDF("h", "x")

@@ -119,4 +119,44 @@ class TwsDetectorsSpec extends SparkSpec {
       assert(got === Set(("k", 5L, 225L), ("k", 6L, 270L)))
     }
   }
+
+  // level 100 for 3 points then 200 for 3, delta=10: u walks -10,-20,-30
+  // then +35,+85,+125 against minu=-30 -> ph 0,0,0,65,115,155; alarms
+  // (threshold 100) fire at t=5,6. Cross-batch carry is load-bearing:
+  // the mean mu=cx/t at t=4 uses the first batch's prefix sum.
+  private val phBatches = Seq(
+    (1L to 3L).map(t => StreamPageHinkley.Point("k", t, 100L)),
+    (4L to 6L).map(t => StreamPageHinkley.Point("k", t, 200L)))
+
+  test("PageHinkley detectTws matches detect across batches") {
+    withRocksDb {
+      def norm(rows: Seq[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      val fmgws = norm(collectStream(phBatches, "ph_fmgws")(
+        (ds: Dataset[StreamPageHinkley.Point]) =>
+          StreamPageHinkley.detect(ds, 10L, 100L)))
+      val tws = norm(collectStream(phBatches, "ph_tws")(
+        (ds: Dataset[StreamPageHinkley.Point]) =>
+          StreamPageHinkley.detectTws(ds, 10L, 100L)))
+      assert(tws === fmgws)
+      assert(tws === Set(("k", 1L, 0L, false), ("k", 2L, 0L, false),
+        ("k", 3L, 0L, false), ("k", 4L, 65L, false),
+        ("k", 5L, 115L, true), ("k", 6L, 155L, true)))
+    }
+  }
+
+  test("PageHinkley detectTws with a never-firing TTL is behavior-identical") {
+    withRocksDb {
+      val got = collectStreamPolled(phBatches, "ph_tws_ttl", 6)(
+        (ds: Dataset[StreamPageHinkley.Point]) =>
+          StreamPageHinkley.detectTws(ds, 10L, 100L,
+            Some(java.time.Duration.ofHours(1))))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(got === Set(("k", 1L, 0L, false), ("k", 2L, 0L, false),
+        ("k", 3L, 0L, false), ("k", 4L, 65L, false),
+        ("k", 5L, 115L, true), ("k", 6L, 155L, true)))
+    }
+  }
 }
