@@ -461,7 +461,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_bradley_terry", 8, 1),       // 2 rank windows + 4 bounded rollups
     ("q_tree_depth2", 2, 4),         // base checkpointed; root + cands bc
     ("q_queue_waits", 2, 1),         // ONE class-keyed window chain + rank
-    ("q_kmeans_inertia_curve", 4, 3))// per-round assigns checkpointed, cents bc
+    ("q_kmeans_inertia_curve", 4, 3),// per-round assigns checkpointed, cents bc
+    ("q_vopt_hist", 2, 1),           // freq agg + bucket assign agg; bnds bc
+    ("q_boost_stump", 0, 0),         // both stump rounds checkpointed one-rows
+    ("q_ohlc_candles", 1, 0))        // BOTH rank windows + agg share ONE (sym,day) shuffle
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
