@@ -464,7 +464,13 @@ class PlanShapeSpec extends SparkSpec {
     ("q_kmeans_inertia_curve", 4, 3),// per-round assigns checkpointed, cents bc
     ("q_vopt_hist", 2, 1),           // freq agg + bucket assign agg; bnds bc
     ("q_boost_stump", 0, 0),         // both stump rounds checkpointed one-rows
-    ("q_ohlc_candles", 1, 0))        // BOTH rank windows + agg share ONE (sym,day) shuffle
+    ("q_ohlc_candles", 1, 0),        // BOTH rank windows + agg share ONE (sym,day) shuffle
+    ("q_levene_bf", 1, 1),           // checkpointed z; 3-row group axis + bc total
+    ("q_stl_lite", 2, 2),            // day agg + dow agg; seasonal bc'd back
+    ("q_calinski_harabasz", 3, 3),   // explode ckpt; centroid aggs; 3 tiny bc
+    ("q_logit_step", 0, 0),          // both GD steps checkpointed one-rows
+    ("q_huber_mean", 0, 0),          // IRLS rounds checkpointed one-rows
+    ("q_ransac_line", 1, 2))         // pts ckpt; TakeOrdered seeds; cands bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
