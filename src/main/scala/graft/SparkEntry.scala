@@ -78,7 +78,8 @@ object Registry {
       queries.Round153Queries.defs ++ queries.Round154Queries.defs ++
       queries.Round155Queries.defs ++ queries.Round156Queries.defs ++
       queries.Round157Queries.defs ++ queries.Round158Queries.defs ++
-      queries.Round159Queries.defs ++ queries.Round160Queries.defs
+      queries.Round159Queries.defs ++ queries.Round160Queries.defs ++
+      queries.Round161Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -470,7 +470,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_calinski_harabasz", 3, 3),   // explode ckpt; centroid aggs; 3 tiny bc
     ("q_logit_step", 0, 0),          // both GD steps checkpointed one-rows
     ("q_huber_mean", 0, 0),          // IRLS rounds checkpointed one-rows
-    ("q_ransac_line", 1, 2))         // pts ckpt; TakeOrdered seeds; cands bc
+    ("q_ransac_line", 1, 2),         // pts ckpt; TakeOrdered seeds; cands bc
+    ("q_viterbi_maxplus", 0, 2),     // doubling rounds checkpointed; P + nd bc
+    ("q_agglo_merge", 1, 4),         // 25-row centroid axis; pairs/best all bc
+    ("q_dunn_index", 2, 3))          // explode ckpt; centroid agg; tiny bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
