@@ -24,6 +24,38 @@ object Viterbi {
 
   val NEG: Long = -1000000000000000L
 
+  /** Inclusive max-plus PREFIX products of `mats` (idx 0-based dense):
+    * row idx ends up holding M_0 ⊗ … ⊗ M_idx (or the SUFFIX product
+    * M_idx ⊗ … ⊗ M_{n−1} when `forward` is false). Hillis–Steele scan:
+    * ⌈log₂ n⌉ rounds, each ONE self-join of the axis against itself
+    * shifted by the round's offset — the distributed replacement for
+    * sequential Viterbi backtracking (per-position forward⊗backward
+    * scores fall out of the two scans). Each round checkpoints: the
+    * frame is the bounded time axis, not the data volume. */
+  def scanMaxPlus(mats: DataFrame, forward: Boolean = true): DataFrame = {
+    var m = mats.localCheckpoint(true)
+    val n = m.count()
+    var off = 1L
+    while (off < n) {
+      val shifted = m.selectExpr(
+        s"idx ${if (forward) "+" else "-"} ${off}L AS idx",
+        "m00 AS s00", "m01 AS s01", "m10 AS s10", "m11 AS s11")
+      // left operand is the EARLIER segment in chain order: for the
+      // forward scan that is the shifted row, for the suffix scan the
+      // unshifted row
+      val (a, bPfx) = if (forward) ("s", "m") else ("m", "s")
+      m = m.join(shifted, Seq("idx"), "left")
+        .selectExpr("idx",
+          s"CASE WHEN s00 IS NULL THEN m00 ELSE greatest(${a}00 + ${bPfx}00, ${a}01 + ${bPfx}10) END AS m00",
+          s"CASE WHEN s00 IS NULL THEN m01 ELSE greatest(${a}00 + ${bPfx}01, ${a}01 + ${bPfx}11) END AS m01",
+          s"CASE WHEN s00 IS NULL THEN m10 ELSE greatest(${a}10 + ${bPfx}00, ${a}11 + ${bPfx}10) END AS m10",
+          s"CASE WHEN s00 IS NULL THEN m11 ELSE greatest(${a}10 + ${bPfx}01, ${a}11 + ${bPfx}11) END AS m11")
+        .localCheckpoint(true)
+      off *= 2
+    }
+    m
+  }
+
   /** Reduce `mats` (idx, m00, m01, m10, m11; idx 0-based dense) to the
     * single max-plus product matrix, left-to-right order preserved.
     * Bounded driver loop: ⌈log₂ n⌉ rounds, each one keyed aggregate

@@ -476,7 +476,8 @@ class PlanShapeSpec extends SparkSpec {
     ("q_dunn_index", 2, 3),          // explode ckpt; centroid agg; tiny bc
     ("q_edit_blocked_join", 2, 2),   // names + pairs ckpt'd; profile agg
     ("q_cox_score", 1, 1),           // ONE duration agg; suffix walk on axis
-    ("q_meta_fixed", 0, 1))          // nation axis ckpt'd; pooled bc
+    ("q_meta_fixed", 0, 1),          // nation axis ckpt'd; pooled bc
+    ("q_viterbi_path", 0, 3))        // scans checkpointed; pfx/sfx/v0 bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {

@@ -35,6 +35,29 @@ class ViterbiSpec extends SparkSpec {
     }
   }
 
+  test("prefix and suffix scans equal the sequential running products at every position") {
+    def mats(n: Int) = (1 to n).map { i =>
+      (-(i * 7L % 13) * 1000L, -(i * 11L % 17) * 1000L,
+        -(i * 5L % 7) * 1000L, -(i * 3L % 19) * 1000L)
+    }
+    def combine(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)) =
+      (math.max(a._1 + b._1, a._2 + b._3),
+        math.max(a._1 + b._2, a._2 + b._4),
+        math.max(a._3 + b._1, a._4 + b._3),
+        math.max(a._3 + b._2, a._4 + b._4))
+    Seq(1, 2, 5, 30).foreach { n =>
+      val ms = mats(n)
+      val pfxExp = ms.tail.scanLeft(ms.head)((acc, m) => combine(acc, m))
+      val sfxExp = ms.init.scanRight(ms.last)((m, acc) => combine(m, acc))
+      def got(forward: Boolean) =
+        Viterbi.scanMaxPlus(dfOf(ms), forward)
+          .orderBy("idx").as[(Long, Long, Long, Long, Long)].collect()
+          .map(t => (t._2, t._3, t._4, t._5)).toSeq
+      assert(got(forward = true) === pfxExp, s"prefix scan length $n")
+      assert(got(forward = false) === sfxExp, s"suffix scan length $n")
+    }
+  }
+
   test("NEG sentinel survives combination without overflow") {
     val ms = Seq(
       (0L, Viterbi.NEG, Viterbi.NEG, 0L),      // diagonal (identity-ish)

@@ -243,4 +243,103 @@ class StreamEpochReplaySpec extends SparkSpec {
         Set(("a", 1L, 0L, 3L, 1L, 1000000L))))
     }
   }
+
+  test("StreamKmv: sketch deltas emit at arrival; duplicate-only epochs are silent") {
+    val batches = Seq(
+      Seq(("g", "a"), ("g", "b")), // sketch grows → ONE delta row
+      Seq(("g", "a")),             // nothing new → silent epoch
+      Seq(("g", "c")))             // grows again → one more delta
+    val got = epochRows(batches, "er_kmv", "update") { ds =>
+      StreamKmv.kmvStream(ds.toDF().toDF("g", "item"), "g", "item", k = 16)
+        .toDF()
+    }.map(_.map(r => r.getInt(1)))
+    assert(got.map(_.size) === Seq(1, 0, 1))
+    assert(got(0) === Seq(2) && got(2) === Seq(3)) // n_sketch per delta
+  }
+
+  test("StreamHll: every TOUCHED register re-emits in its arrival epoch (update-mode agg contract)") {
+    // registers per item derived once through the op's own batch form.
+    // Measured r10 contract: an update-mode streaming AGGREGATE re-emits
+    // every group that received input in the batch, even when the max
+    // did not change — a duplicate-only epoch re-emits the duplicate's
+    // register at its standing value (unlike the fMGWS delta operators,
+    // which stay silent; see the KMV test).
+    def bl(r: Row, i: Int): Long = r.getAs[Number](i).longValue
+    def regs(items: String*): Set[(Long, Long)] =
+      StreamHll.hllStream(items.toDF("item").withColumn("g", lit("g")),
+        "g", "item")
+        .collect().map(r => (bl(r, 1), bl(r, 2))).toSet
+    val ra = regs("a"); val rab = regs("a", "b"); val rabc = regs("a", "b", "c")
+    val cBuckets = regs("c").map(_._1)
+    val batches = Seq(Seq(("g", "a"), ("g", "b")), Seq(("g", "a")),
+      Seq(("g", "c")))
+    val got = epochRows(batches, "er_hll", "update") { ds =>
+      StreamHll.hllStream(ds.toDF().toDF("g", "item"), "g", "item")
+    }.map(_.map(r => (bl(r, 1), bl(r, 2))).toSet)
+    assert(got(0) === rab, "epoch 1 must emit exactly {a,b}'s registers")
+    assert(got(1) === ra, "duplicate epoch re-emits a's register, unchanged")
+    assert(got(2) === rabc.filter(r => cBuckets.contains(r._1)),
+      "epoch 3 must emit exactly c's touched register at the merged value")
+    assert(ra.subsetOf(rab)) // sanity on the register builder itself
+  }
+
+  test("StreamSketch count-min: counts GROW on duplicates, so every data epoch re-emits its cells") {
+    val batches = Seq(Seq("x"), Seq("x"), Seq("y"))
+    val got = epochRows(batches, "er_cms", "update") { ds =>
+      StreamSketch.cmsStream(ds.toDF().toDF("item"), "item", d = 3, w = 64)
+    }.map(_.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
+    // x touches 3 cells; its duplicate epoch re-emits the SAME cells at
+    // count 2 (unlike KMV/HLL's monotone-set silence)
+    assert(got(0).map(t => (t._1, t._2)).toSet ===
+      got(1).map(t => (t._1, t._2)).toSet)
+    assert(got(0).forall(_._3 == 1L) && got(1).forall(_._3 == 2L))
+    assert(got(0).size === 3 && got(1).size === 3)
+    assert(got(2).forall(_._3 >= 1L) && got(2).nonEmpty)
+  }
+
+  test("StreamDdsketch: one quantile row per requested p per data epoch, over cumulative state") {
+    import StreamDdsketch.Obs
+    // kE6 = 1e6 → bucket = msb: 8→3, 16→4; p50 targets: n=3→2 (lands
+    // b3), then n=5→3 (lands b4 after the second batch folds in)
+    val batches = Seq(
+      Seq(Obs("k", 8L), Obs("k", 8L), Obs("k", 16L)),
+      Seq(Obs("k", 16L), Obs("k", 16L)),
+      Seq(Obs("other", 8L))) // no data for k → no k row
+    withRocksDb {
+      val got = epochRows(batches, "er_dd", "append") { ds =>
+        StreamDdsketch.quantiles(ds, 1000000L, Seq(500000L)).toDF()
+      }.map(_.map(r => (r.getString(0), r.getLong(2), r.getLong(3))))
+      assert(got(0) === Seq(("k", 3L, 3L)))   // n=3, p50 bucket 3
+      assert(got(1) === Seq(("k", 5L, 4L)))   // n=5, p50 bucket 4
+      assert(got(2) === Seq(("other", 1L, 3L)))
+    }
+  }
+
+  test("StreamFunnelWindowed: advances/conversions emit at arrival, expiries at the deadline's watermark epoch or inline") {
+    val b = 1000000L // base seconds
+    def t(sec: Long) = new java.sql.Timestamp((b + sec) * 1000L)
+    val steps = Seq("view", "click")
+    val batches = Seq(
+      Seq((1L, t(0), "view")),            // advance(1) at arrival
+      // entity 9's no-op click advances the watermark past 1's deadline
+      // (b+60): the timer fires in THIS epoch → expired(1, b+60)
+      Seq((9L, t(300), "click")),
+      // entity 2 converts inside the window; entity 3's click lands
+      // past its deadline → inline expiry at the deadline timestamp
+      Seq((2L, t(400), "view"), (2L, t(420), "click"),
+        (3L, t(400), "view"), (3L, t(480), "click")))
+    withRocksDb {
+      val got = epochRows(batches, "er_fw", "append") { ds =>
+        StreamFunnelWindowed.attempts(
+          ds.toDF().toDF("entity", "ts", "et"), "entity", "ts", "et",
+          steps, windowMinutes = 1).toDF()
+      }.map(_.map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2) / 1000000L - b, r.getString(3))).toSet)
+      assert(got(0) === Set((1L, 1, 0L, "advance")))
+      assert(got(1) === Set((1L, 1, 60L, "expired")))
+      assert(got(2) === Set(
+        (2L, 1, 400L, "advance"), (2L, 2, 420L, "converted"),
+        (3L, 1, 400L, "advance"), (3L, 1, 460L, "expired")))
+    }
+  }
 }
