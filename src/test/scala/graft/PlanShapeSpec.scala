@@ -474,7 +474,7 @@ class PlanShapeSpec extends SparkSpec {
     ("q_viterbi_maxplus", 0, 2),     // doubling rounds checkpointed; P + nd bc
     ("q_agglo_merge", 1, 4),         // 25-row centroid axis; pairs/best all bc
     ("q_dunn_index", 2, 3),          // explode ckpt; centroid agg; tiny bc
-    ("q_edit_blocked_join", 2, 2),   // names + pairs ckpt'd; profile agg
+    ("q_edit_blocked_join", 0, 2),   // distinct-name axis ckpt'd; bc pairs
     ("q_cox_score", 1, 1),           // ONE duration agg; suffix walk on axis
     ("q_meta_fixed", 0, 1),          // nation axis ckpt'd; pooled bc
     ("q_viterbi_path", 0, 3))        // scans checkpointed; pfx/sfx/v0 bc
