@@ -477,7 +477,8 @@ class PlanShapeSpec extends SparkSpec {
     ("q_edit_blocked_join", 0, 2),   // distinct-name axis ckpt'd; bc pairs
     ("q_cox_score", 1, 1),           // ONE duration agg; suffix walk on axis
     ("q_meta_fixed", 0, 1),          // nation axis ckpt'd; pooled bc
-    ("q_viterbi_path", 0, 3))        // scans checkpointed; pfx/sfx/v0 bc
+    ("q_viterbi_path", 0, 3),        // scans checkpointed; pfx/sfx/v0 bc
+    ("q_ipw_att", 1, 1))             // one stratum agg; customer dim bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
