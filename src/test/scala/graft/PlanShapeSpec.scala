@@ -478,7 +478,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_cox_score", 1, 1),           // ONE duration agg; suffix walk on axis
     ("q_meta_fixed", 0, 1),          // nation axis ckpt'd; pooled bc
     ("q_viterbi_path", 0, 3),        // scans checkpointed; pfx/sfx/v0 bc
-    ("q_ipw_att", 1, 1))             // one stratum agg; customer dim bc
+    ("q_ipw_att", 1, 1),             // one stratum agg; customer dim bc
+    ("q_local_morans", 1, 2),        // band axis ckpt'd; ONE nb agg; tot+zz bc
+    ("q_gearys_c", 0, 2),            // band axis ckpt'd; adjacency on 34 rows
+    ("q_join_counts", 0, 2))         // band axis ckpt'd; rook pairs tiny
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
