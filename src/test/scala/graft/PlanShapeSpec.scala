@@ -481,7 +481,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_ipw_att", 1, 1),             // one stratum agg; customer dim bc
     ("q_local_morans", 1, 2),        // band axis ckpt'd; ONE nb agg; tot+zz bc
     ("q_gearys_c", 0, 2),            // band axis ckpt'd; adjacency on 34 rows
-    ("q_join_counts", 0, 2))         // band axis ckpt'd; rook pairs tiny
+    ("q_join_counts", 0, 2),         // band axis ckpt'd; rook pairs tiny
+    ("q_ridge_path", 0, 1),          // ONE moment pass; λ grid broadcast
+    ("q_bullwhip", 4, 1),            // 2 monthly rollups ×2 stages; yr bc join
+    ("q_p_chart", 0, 1))             // month axis ckpt'd; pooled p̄ bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
