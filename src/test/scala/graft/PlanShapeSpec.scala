@@ -484,7 +484,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_join_counts", 0, 2),         // band axis ckpt'd; rook pairs tiny
     ("q_ridge_path", 0, 1),          // ONE moment pass; λ grid broadcast
     ("q_bullwhip", 4, 1),            // 2 monthly rollups ×2 stages; yr bc join
-    ("q_p_chart", 0, 1))             // month axis ckpt'd; pooled p̄ bc
+    ("q_p_chart", 0, 1),             // month axis ckpt'd; pooled p̄ bc
+    ("q_ams_f2", 1, 1),              // sketch pass shuffle-free; exact F2 agg
+    ("q_fd_audit", 6, 1),            // 2 keyed aggs per FD ×3; part dim bc
+    ("q_hellinger_tv", 3, 0))        // src×lang axis ckpt'd; tiny pair join
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
