@@ -487,7 +487,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_p_chart", 0, 1),             // month axis ckpt'd; pooled p̄ bc
     ("q_ams_f2", 1, 1),              // sketch pass shuffle-free; exact F2 agg
     ("q_fd_audit", 6, 1),            // 2 keyed aggs per FD ×3; part dim bc
-    ("q_hellinger_tv", 3, 0))        // src×lang axis ckpt'd; tiny pair join
+    ("q_hellinger_tv", 3, 0),        // src×lang axis ckpt'd; tiny pair join
+    ("q_rank_distance", 0, 1),       // 25-brand rank axis ckpt'd; pair join bc
+    ("q_tost", 1, 0),                // ONE 2-group moment agg
+    ("q_engle_granger", 0, 1))       // month axis ckpt'd; coef bc to residuals
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {

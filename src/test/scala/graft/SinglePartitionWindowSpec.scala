@@ -55,7 +55,12 @@ class SinglePartitionWindowSpec extends SparkSpec {
     "q_abc_migration" -> ("both year legs rank the checkpointed " +
       "(part, year) revenue rollup — post-aggregate behind the " +
       "checkpoint; the same part axis q_abc_pareto sorts with its " +
-      "Aggregate visible"))
+      "Aggregate visible"),
+    "q_engle_granger" -> ("residual lag window runs on the checkpointed " +
+      "calendar-month revenue rollup (bounded by the date range, not " +
+      "data volume) — ONE orders scan feeds OLS moments, residuals, " +
+      "and the ADF lag; the Aggregate is truncated from the visible " +
+      "plan by the checkpoint"))
 
   test("unpartitioned windows only ever run on post-aggregate axes") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
