@@ -82,7 +82,8 @@ object Registry {
       queries.Round161Queries.defs ++ queries.Round162Queries.defs ++
       queries.Round163Queries.defs ++ queries.Round164Queries.defs ++
       queries.Round165Queries.defs ++ queries.Round166Queries.defs ++
-      queries.Round167Queries.defs ++ queries.Round168Queries.defs
+      queries.Round167Queries.defs ++ queries.Round168Queries.defs ++
+      queries.Round169Queries.defs ++ queries.Round170Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

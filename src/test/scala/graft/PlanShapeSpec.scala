@@ -490,7 +490,13 @@ class PlanShapeSpec extends SparkSpec {
     ("q_hellinger_tv", 3, 0),        // src×lang axis ckpt'd; tiny pair join
     ("q_rank_distance", 0, 1),       // 25-brand rank axis ckpt'd; pair join bc
     ("q_tost", 1, 0),                // ONE 2-group moment agg
-    ("q_engle_granger", 0, 1))       // month axis ckpt'd; coef bc to residuals
+    ("q_engle_granger", 0, 1),       // month axis ckpt'd; coef bc to residuals
+    ("q_aipw_att", 2, 2),            // base ckpt'd; prop + μ0 maps broadcast
+    ("q_poisson_irls", 2, 0),        // day agg + 2-class agg
+    ("q_atkinson", 1, 0),            // ONE custkey rollup; log ladder narrow
+    ("q_weibull_fit", 0, 0),         // ONE log-moment agg, ladder is narrow
+    ("q_growth_accounting", 3, 3),   // (u,m) keyed joins; firstM broadcast
+    ("q_tail_dependence", 1, 1))     // custkey rollup; rank axis post-agg
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
