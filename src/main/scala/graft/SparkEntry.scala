@@ -83,7 +83,8 @@ object Registry {
       queries.Round163Queries.defs ++ queries.Round164Queries.defs ++
       queries.Round165Queries.defs ++ queries.Round166Queries.defs ++
       queries.Round167Queries.defs ++ queries.Round168Queries.defs ++
-      queries.Round169Queries.defs ++ queries.Round170Queries.defs
+      queries.Round169Queries.defs ++ queries.Round170Queries.defs ++
+      queries.Round171Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -496,7 +496,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_atkinson", 1, 0),            // ONE custkey rollup; log ladder narrow
     ("q_weibull_fit", 0, 0),         // ONE log-moment agg, ladder is narrow
     ("q_growth_accounting", 3, 3),   // (u,m) keyed joins; firstM broadcast
-    ("q_tail_dependence", 1, 1))     // custkey rollup; rank axis post-agg
+    ("q_tail_dependence", 1, 1),     // custkey rollup; rank axis post-agg
+    ("q_qini_uplift", 1, 1),         // ONE band agg; cum window on band axis
+    ("q_two_part_spend", 0, 1),      // seg rollup ckpt'd; decomp row tiny
+    ("q_mice_step", 1, 1))           // base ckpt'd; per-seg fit broadcast
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
