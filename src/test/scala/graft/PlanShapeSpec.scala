@@ -499,7 +499,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_tail_dependence", 1, 1),     // custkey rollup; rank axis post-agg
     ("q_qini_uplift", 1, 1),         // ONE band agg; cum window on band axis
     ("q_two_part_spend", 0, 1),      // seg rollup ckpt'd; decomp row tiny
-    ("q_mice_step", 1, 1))           // base ckpt'd; per-seg fit broadcast
+    ("q_mice_step", 1, 1),           // base ckpt'd; per-seg fit broadcast
+    ("q_ess_weights", 0, 0),         // stratum axis ckpt'd; tiny rollup
+    ("q_smd_balance", 1, 1),         // base ckpt'd; stratum weights bc
+    ("q_topsis_suppliers", 0, 1))    // supplier axis ckpt'd; bounds bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
