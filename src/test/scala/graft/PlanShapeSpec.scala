@@ -502,7 +502,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_mice_step", 1, 1),           // base ckpt'd; per-seg fit broadcast
     ("q_ess_weights", 0, 0),         // stratum axis ckpt'd; tiny rollup
     ("q_smd_balance", 1, 1),         // base ckpt'd; stratum weights bc
-    ("q_topsis_suppliers", 0, 1))    // supplier axis ckpt'd; bounds bc
+    ("q_topsis_suppliers", 0, 1),    // supplier axis ckpt'd; bounds bc
+    ("q_xi_correlation", 2, 1),      // custkey rollup; BOTH windows one seg key
+    ("q_distance_corr", 3, 4),       // month axis ckpt'd; m² pairs bounded
+    ("q_geometric_retention", 2, 1)) // distinct (u,m) + lifetime agg; hz bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
