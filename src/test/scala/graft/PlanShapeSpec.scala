@@ -505,7 +505,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_topsis_suppliers", 0, 1),    // supplier axis ckpt'd; bounds bc
     ("q_xi_correlation", 2, 1),      // custkey rollup; BOTH windows one seg key
     ("q_distance_corr", 3, 4),       // month axis ckpt'd; m² pairs bounded
-    ("q_geometric_retention", 2, 1)) // distinct (u,m) + lifetime agg; hz bc
+    ("q_geometric_retention", 2, 1), // distinct (u,m) + lifetime agg; hz bc
+    ("q_harrell_c", 3, 1),           // grid agg + band sfx + t-slice windows
+    ("q_borda_brands", 6, 1),        // rank axis ckpt'd; duels on 25 brands
+    ("q_sharpe_sortino", 1, 0))      // ONE month agg; lag on visible axis
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
