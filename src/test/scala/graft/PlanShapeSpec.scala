@@ -508,7 +508,13 @@ class PlanShapeSpec extends SparkSpec {
     ("q_geometric_retention", 2, 1), // distinct (u,m) + lifetime agg; hz bc
     ("q_harrell_c", 3, 1),           // grid agg + band sfx + t-slice windows
     ("q_borda_brands", 6, 1),        // rank axis ckpt'd; duels on 25 brands
-    ("q_sharpe_sortino", 1, 0))      // ONE month agg; lag on visible axis
+    ("q_sharpe_sortino", 1, 0),      // ONE month agg; lag on visible axis
+    ("q_lot_sizing", 0, 5),          // month DAG ckpt'd; 7 squarings tiny
+    ("q_gpd_fit", 1, 1),             // cents axis ckpt'd; threshold bc
+    ("q_taguchi_loss", 1, 1),        // ONE brand agg; part dim bc
+    ("q_sinkhorn_plan", 2, 2),       // marginal aggs; 25-cell scaling tiny
+    ("q_cochrane_orcutt", 0, 3),     // month axis ckpt'd; ols/ρ bc chain
+    ("q_handshake_matching", 0, 3))  // edge frame + rounds all ckpt'd
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {

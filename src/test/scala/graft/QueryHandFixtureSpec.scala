@@ -181,6 +181,54 @@ class QueryHandFixtureSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("qini_cum") === 1.0)
   }
 
+  // ── GPD: a uniform tail must fit ξ≈−1, β≈tail width. This test
+  //    exists because the first cut shipped m²/s² with a stray factor
+  //    n (ξ read −5583) — the oracle twin shared the bug; only the
+  //    known-distribution read caught it.
+  test("q_gpd_fit recovers xi=-1, beta=width on a uniform grid") {
+    val d = dir()
+    // totalprice uniform grid 1..500 dollars → mean 250.5, u = 375
+    // (3·mean/2 in cents, integer-div), excesses uniform on (0, ~125$]
+    writeOrders(d, (1 to 500).map { i =>
+      (i.toLong, i.toLong, "F", i.toDouble, "1996-01-01 00:00:00",
+        "3-MEDIUM")
+    })
+    val r = run("q_gpd_fit", d).collect()(0)
+    val xi = r.getAs[Double]("xi")
+    val beta = r.getAs[Double]("beta_cents")
+    assert(xi > -1.1 && xi < -0.9, s"xi=$xi not near -1 (uniform tail)")
+    assert(beta > 10000 && beta < 15000,
+      s"beta=$beta cents not near the ~12500-cent tail width")
+  }
+
+  // ── Lot sizing: hand DP on a 3-month demand vector.
+  test("q_lot_sizing equals the hand Wagner-Whitin DP") {
+    val d = dir()
+    import spark.implicits._
+    // months (30-day buckets from epoch): demands 100, 10, 10 units.
+    // K = 1e7 cents, h = 1 cent/unit/month.
+    //   setups {0}: K + 0·100 + 1·10 + 2·10 = K+30
+    //   setups {0,1}: 2K + 10  ; {0,2}: 2K + 10 ; {0,1,2}: 3K
+    //   → optimal = K + 30 = 10000030
+    val rows = Seq((0, 100), (1, 10), (2, 10)).flatMap { case (m, k) =>
+      (1 to k).map(i => (m, i))
+    }
+    rows.zipWithIndex.map { case ((m, _), i) =>
+        // day inside month m of 30-day buckets
+        val ts = java.time.Instant.ofEpochSecond(m * 2592000L + 1000L)
+        (i.toLong, i.toLong, 1L, 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.from(ts))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = run("q_lot_sizing", d).collect()(0)
+    assert(r.getAs[Long]("n_months") === 3L)
+    assert(r.getAs[Long]("opt_cost_cents") === 10000030L)
+    assert(r.getAs[Long]("single_setup_cents") === 10000030L)
+    assert(r.getAs[Long]("monthly_setup_cents") === 30000000L)
+  }
+
   // ── Rank distance: a designed 4-element reversal hits the maxima.
   test("q_rank_distance on a revenue reversal hits exact maxima") {
     val d = dir()

@@ -56,6 +56,9 @@ class SinglePartitionWindowSpec extends SparkSpec {
       "(part, year) revenue rollup — post-aggregate behind the " +
       "checkpoint; the same part axis q_abc_pareto sorts with its " +
       "Aggregate visible"),
+    "q_cochrane_orcutt" -> ("residual/x/y lag windows run on the " +
+      "checkpointed calendar-month rollup (bounded by the date range) — " +
+      "same pattern and rationale as q_engle_granger below"),
     "q_engle_granger" -> ("residual lag window runs on the checkpointed " +
       "calendar-month revenue rollup (bounded by the date range, not " +
       "data volume) — ONE orders scan feeds OLS moments, residuals, " +
