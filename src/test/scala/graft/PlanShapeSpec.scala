@@ -514,7 +514,11 @@ class PlanShapeSpec extends SparkSpec {
     ("q_taguchi_loss", 1, 1),        // ONE brand agg; part dim bc
     ("q_sinkhorn_plan", 2, 2),       // marginal aggs; 25-cell scaling tiny
     ("q_cochrane_orcutt", 0, 3),     // month axis ckpt'd; ols/ρ bc chain
-    ("q_handshake_matching", 0, 3))  // edge frame + rounds all ckpt'd
+    ("q_handshake_matching", 0, 3),  // edge frame + rounds all ckpt'd
+    ("q_duane_growth", 1, 0),        // ONE month agg; ladder regression
+    ("q_zero_inflation", 2, 1),      // distinct cells + marginals agg
+    ("q_lins_ccc", 0, 1),            // ONE moment agg; part dim bc
+    ("q_bland_altman", 0, 1))        // diff axis ckpt'd; limits bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
