@@ -518,7 +518,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_duane_growth", 1, 0),        // ONE month agg; ladder regression
     ("q_zero_inflation", 2, 1),      // distinct cells + marginals agg
     ("q_lins_ccc", 0, 1),            // ONE moment agg; part dim bc
-    ("q_bland_altman", 0, 1))        // diff axis ckpt'd; limits bc
+    ("q_bland_altman", 0, 1),        // diff axis ckpt'd; limits bc
+    ("q_h_index", 2, 0),             // (supp,part) agg + supp rank window
+    ("q_centralization", 3, 0),      // distinct edges + degree + rollup
+    ("q_price_points", 1, 1))        // cents axis ckpt'd; total bc
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
