@@ -521,7 +521,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_bland_altman", 0, 1),        // diff axis ckpt'd; limits bc
     ("q_h_index", 2, 0),             // (supp,part) agg + supp rank window
     ("q_centralization", 3, 0),      // distinct edges + degree + rollup
-    ("q_price_points", 1, 1))        // cents axis ckpt'd; total bc
+    ("q_price_points", 1, 1),        // cents axis ckpt'd; total bc
+    ("q_harrell_band_sweep", 4, 2),  // 3-width grid agg + band/t windows
+    ("q_sinkhorn_gibbs", 2, 2),      // marginal aggs; ladder kernel tiny
+    ("q_kemeny_objective", 5, 0))    // duels ckpt'd; 3 order windows tiny
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
