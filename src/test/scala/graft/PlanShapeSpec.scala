@@ -524,7 +524,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_price_points", 1, 1),        // cents axis ckpt'd; total bc
     ("q_harrell_band_sweep", 4, 2),  // 3-width grid agg + band/t windows
     ("q_sinkhorn_gibbs", 2, 2),      // marginal aggs; ladder kernel tiny
-    ("q_kemeny_objective", 5, 0))    // duels ckpt'd; 3 order windows tiny
+    ("q_kemeny_objective", 5, 0),    // duels ckpt'd; 3 order windows tiny
+    ("q_tarone_z", 2, 1),            // part agg + score agg; totals bc
+    ("q_press_loocv", 0, 1),         // base ckpt'd; ONE moment pass bc back
+    ("q_mincer_zarnowitz", 1, 0))    // ONE month agg; lag on visible axis
 
   expected.foreach { case (q, maxEx, minBc) =>
     test(s"$q plan shape: ≤$maxEx exchanges, ≥$minBc broadcasts") {
