@@ -1,19 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.collection.mutable
 
 /** Benchmark main. Runs every registered query at SPARK_GRAFT_SF_DIR and
   * emits a machine-readable JSON summary.
   *
   * Output contract: the harness that invokes this captures only the LAST
-  * ~2000 characters of stdout, so the final printed line must be a
-  * complete, compact JSON document. With 75+ queries a full per-query dump
-  * exceeds that budget, so:
-  *   - the FULL per-query timing map is written to bench_full.json in the
-  *     working directory (committed history lives in BASELINE.md), and
-  *   - the last stdout line is a compact summary: total seconds, the
-  *     slowest 20 queries (3 dp), error list, query count.
-  * The compact line is printed after spark.stop() so no shutdown logging
-  * can land between it and process exit. */
+  * ~2000 characters of combined output, and may KILL the process at an
+  * undisclosed wall-clock cap (r10 lesson: rc=124 with repeats=3 over 709
+  * queries left NO artifact at all). Three defenses, in order:
+  *
+  *   1. Budget-aware pacing. `SPARK_GRAFT_BENCH_BUDGET_SECS` (default
+  *      1800) is a wall-clock budget measured from main() entry. The
+  *      warmup pass aborts per-query warming once it has spent 35% of the
+  *      budget, and after each timed pass the runner only starts another
+  *      pass if the projection (elapsed + 1.15 x last pass) still fits.
+  *      Repeats therefore degrade 3 -> 2 -> 1 automatically as the
+  *      registry grows instead of blowing through the cap.
+  *   2. Incremental evidence. Every completed (query, pass) sample is
+  *      appended + flushed to bench_progress.jsonl immediately, so even a
+  *      SIGKILL leaves a per-query record on disk.
+  *   3. Shutdown-hook summary. SIGTERM (what `timeout` sends) runs JVM
+  *      shutdown hooks: ours silences all logging (so no WARN spam can
+  *      land after the JSON in the tail capture), writes the partial
+  *      per-query medians to bench_full_failed.json, and prints the same
+  *      compact summary line the normal path prints, flagged
+  *      "partial":true — a killed run now still yields a parseable number
+  *      for whatever completed.
+  *
+  * WindowExec/CacheManager WARN categories are forced to ERROR for the
+  * whole run: the r10 tail capture was 100% WindowExec single-partition
+  * warnings (all from the 14 allowlisted bounded-axis queries gated in
+  * SinglePartitionWindowSpec), which crowded out the summary line.
+  *
+  * The FULL per-query timing map goes to bench_full.json (error-free
+  * complete runs only; errored or partial runs go to
+  * bench_full_failed.json so a broken run can never masquerade as a
+  * baseline — the r7 lesson). The compact line prints after spark.stop()
+  * on the normal path so no shutdown logging lands between it and exit. */
 object Bench {
   private def fmt(v: Double): String = f"$v%.3f"
 
@@ -43,7 +68,39 @@ object Bench {
     } catch { case _: Throwable => "unknown" }
   }
 
+  /** Force noisy-at-scale log categories down so the 2000-char tail
+    * capture holds the summary JSON, not WARN spam. Uses log4j2's
+    * Configurator (the logging backend shipped in /opt/spark/jars). */
+  private def silenceNoisyCategories(): Unit = {
+    try {
+      import org.apache.logging.log4j.Level
+      import org.apache.logging.log4j.core.config.Configurator
+      Seq(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        "org.apache.spark.sql.execution.CacheManager",
+        "org.apache.spark.sql.execution.datasources.SharedInMemoryCache",
+        "org.apache.spark.scheduler.TaskSetManager"
+      ).foreach(Configurator.setLevel(_, Level.ERROR))
+    } catch { case _: Throwable => () }
+  }
+
+  /** Root logger -> OFF. Called from the shutdown hook so Spark's own
+    * shutdown hooks (which run concurrently with ours) cannot append log
+    * lines after our summary JSON in the tail capture. */
+  private def silenceAllLogging(): Unit = {
+    try {
+      import org.apache.logging.log4j.Level
+      import org.apache.logging.log4j.core.config.Configurator
+      Configurator.setRootLevel(Level.OFF)
+    } catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .filter(_ > 0).getOrElse(1800.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -53,90 +110,168 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (parquet footers/page cache, codegen, JIT): load every
-    // table, then run each query once untimed. The timed pass below then
-    // measures steady-state execution rather than one-time JVM/compiler cost —
-    // the number that actually predicts sustained throughput on a long-lived
-    // cluster. Disable with SPARK_GRAFT_WARMUP=0.
+    silenceNoisyCategories()
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_REPEATS=N (default 3) is the MAX number of
+    // interleaved timed passes; the budget check below may stop earlier.
+    // Per-query MEDIAN over completed passes is the headline (the r4/r5
+    // contention lesson); passes interleave whole-set sweeps so a
+    // transient contention window hits each query at most once.
+    val maxRepeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(3)
+
+    // ---- shared mutable state, visible to the shutdown hook ----
+    val samples = mutable.LinkedHashMap[String, mutable.ArrayBuffer[Double]]()
+    ordered.foreach { case (n, _) => samples(n) = mutable.ArrayBuffer.empty }
+    // Warmup (cold-cache) durations: used by render() ONLY for queries
+    // that have no timed sample yet — maximizes evidence if the harness
+    // kills the run mid-pass-1.
+    val warmSamples = mutable.HashMap[String, Double]()
+    val failed = mutable.LinkedHashSet[String]()
+    val finishedNormally = new AtomicBoolean(false)
+    val completedPasses = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def quantile(sorted: IndexedSeq[Double], q: Double): Double =
+      sorted(math.min((q * (sorted.size - 1)).round.toInt, sorted.size - 1))
+
+    val meta = {
+      val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
+        .getOrElse("\"" + cpus.replace("\"", "") + "\"")
+      s""""commit":"${gitHead()}","ts_ms":${System.currentTimeMillis()},"cpus":$cpusJson,"spark":"${spark.version}","java":"${sys.props.getOrElse("java.version", "?")}""""
+    }
+
+    /** Build (fullJson, compactJson) from whatever samples exist now. */
+    def render(partial: Boolean): (String, String) = {
+      val results = samples.toSeq.flatMap {
+        case (name, ts) if ts.nonEmpty =>
+          val s = ts.sorted.toIndexedSeq
+          Some((name, quantile(s, 0.5), quantile(s, 0.75) - quantile(s, 0.25),
+            !failed.contains(name), ts.size))
+        case (name, _) =>
+          // no timed sample — cold warmup duration is better than nothing
+          warmSamples.get(name).map(w =>
+            (name, w, 0.0, !failed.contains(name), 0))
+      }
+      val total = results.map(_._2).sum
+      val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val anyErr = failed.nonEmpty
+      val fullQs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val spreadJson =
+        "," + "\"spread\":" + results.map { case (k, med, iqr, _, n) =>
+          "\"" + k + "\":{\"med\":" + fmt(med) + ",\"iqr\":" + fmt(iqr) +
+            s",\"n\":$n}"
+        }.mkString("{", ",", "}")
+      val common =
+        s""""failed":$anyErr,"partial":$partial,"n_queries":${results.size},"n_registry":${ordered.size},"passes":${completedPasses.get()},$meta,"budget_secs":${fmt(budget)},"elapsed_secs":${fmt(elapsed)}"""
+      val full =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$common,"queries":$fullQs$spreadJson,"errors":$errs,"sf":"$sfDir"}"""
+      val slowest = results.sortBy(-_._2).take(20)
+        .map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val compact =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$common,"queries":$slowest,"errors":$errs,"sf":"$sfDir"}"""
+      (full, compact)
+    }
+
+    def writeFile(path: String, body: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(path)
+        try w.println(body) finally w.close()
+      } catch { case _: Throwable => () }
+
+    // Shutdown hook: a killed run still emits evidence. Does NOT touch
+    // spark (Spark's own hooks race with this one); pure in-memory render.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finishedNormally.get()) {
+        silenceAllLogging()
+        val (full, compact) = render(partial = true)
+        writeFile("bench_full_failed.json", full)
+        println(compact)
+        System.out.flush()
+      }
+    }, "graft-bench-partial-summary"))
+
+    val progress = new java.io.PrintWriter(
+      new java.io.FileWriter("bench_progress.jsonl", false))
+    def record(name: String, pass: Int, secs: Double, ok: Boolean): Unit = {
+      try {
+        progress.println(
+          s"""{"q":"$name","pass":$pass,"secs":${fmt(secs)},"ok":$ok}""")
+        progress.flush()
+      } catch { case _: Throwable => () }
+    }
+
+    // Warm the session (parquet footers/page cache, codegen, JIT): load
+    // every table, then run each query once untimed — the timed passes
+    // then measure steady-state throughput, the number that predicts a
+    // long-lived cluster. Budget guard: stop per-query warming once 35%
+    // of the budget is spent (remaining queries run their first timed
+    // pass cold — mild noise beats a killed run). SPARK_GRAFT_WARMUP=0
+    // disables entirely.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       try Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
       catch { case _: Throwable => () }
-      ordered.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      val warmCap = 0.35 * budget
+      var i = 0
+      while (i < ordered.size && elapsed < warmCap) {
+        val w0 = System.nanoTime()
+        try ordered(i)._2(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        warmSamples(ordered(i)._1) = (System.nanoTime() - w0) / 1e9
+        i += 1
       }
     }
-    // SPARK_GRAFT_BENCH_REPEATS=N (default 3) runs N interleaved timed
-    // passes over the whole query set and reports the per-query MEDIAN as
-    // the headline number, with IQR spread in bench_full.json — so one
-    // host-contention spike (the r4/r5 lesson: disjoint "slow" sets for
-    // identical code) cannot poison a round-to-round comparison. Passes
-    // interleave whole-set sweeps rather than repeating each query
-    // back-to-back, so a transient contention window hits each query at
-    // most once. Default is 3: the driver invokes Bench exactly once per
-    // round, so the default itself must be the contention-immune median
-    // (r6 lesson: a single contended pass recorded 255 s where every
-    // committed run of the same code measured ~100 s).
-    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
-      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-      .filter(_ >= 1).getOrElse(3)
-    val passes = (1 to repeats).map { _ =>
-      ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+
+    // Timed interleaved passes, budget-gated between passes (and, as a
+    // backstop, mid-pass at 97% spend — a partial pass still contributes
+    // per-query samples to the median of whatever it covered).
+    var pass = 0
+    var lastPassSecs = 0.0
+    var continuePasses = true
+    while (continuePasses && pass < maxRepeats) {
+      val passStart = elapsed
+      var i = 0
+      var aborted = false
+      while (i < ordered.size && !aborted) {
+        val (name, fn) = ordered(i)
+        val q0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val secs = (System.nanoTime() - q0) / 1e9
+        samples(name) += secs
+        if (!ok) failed += name
+        record(name, pass, secs, ok)
+        if (elapsed > 0.97 * budget) aborted = true
+        i += 1
       }
+      lastPassSecs = elapsed - passStart
+      if (!aborted) completedPasses.incrementAndGet()
+      pass += 1
+      // Start another pass only if the projection fits comfortably.
+      continuePasses = !aborted &&
+        (elapsed + 1.15 * lastPassSecs) < budget
     }
-    def quantile(sorted: IndexedSeq[Double], q: Double): Double =
-      sorted(math.min((q * (sorted.size - 1)).round.toInt, sorted.size - 1))
-    // (name, median, iqr, ok-in-every-pass)
-    val results = ordered.indices.map { i =>
-      val name = ordered(i)._1
-      val ts = passes.map(_(i)._2).sorted.toIndexedSeq
-      (name, quantile(ts, 0.5), quantile(ts, 0.75) - quantile(ts, 0.25),
-        passes.forall(_(i)._3))
-    }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val errs = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    // Full per-query record → file (unbounded size; not parsed by the driver).
-    val fullQs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val spreadJson =
-      if (repeats > 1)
-        "," + "\"spread\":" + results.map { case (k, med, iqr, _) =>
-          s"\"" + k + "\":{\"med\":" + fmt(med) + ",\"iqr\":" + fmt(iqr) +
-            s",\"n\":$repeats}"
-        }.mkString("{", ",", "}")
-      else ""
-    // SPARK_GRAFT_CPUS may be non-numeric (e.g. "*" for local[*]) — emit it
-    // as a JSON number only when it parses, else as a quoted string.
-    val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
-      .getOrElse("\"" + cpus.replace("\"", "") + "\"")
-    val meta =
-      s""""commit":"${gitHead()}","ts_ms":${System.currentTimeMillis()},"cpus":$cpusJson,"repeats":$repeats,"spark":"${spark.version}","java":"${sys.props.getOrElse("java.version", "?")}""""
-    val anyErr = results.exists(!_._4)
-    val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$anyErr,"n_queries":${results.size},$meta,"queries":$fullQs$spreadJson,"errors":$errs,"sf":"$sfDir"}"""
-    // Baseline protection (r7 lesson: a run with 120 fail-fast errors
-    // overwrote the clean snapshot and its 162 s headline masqueraded as a
-    // speedup). A run with ANY errored query is never a baseline: it goes
-    // to bench_full_failed.json; bench_full.json only ever holds error-free
-    // snapshots.
-    try {
-      val w = new java.io.PrintWriter(
-        if (anyErr) "bench_full_failed.json" else "bench_full.json")
-      try w.println(fullJson) finally w.close()
-    } catch { case _: Throwable => () }
+    progress.close()
+
+    val complete = completedPasses.get() >= 1 &&
+      samples.values.forall(_.nonEmpty)
+    val (fullJson, compactJson) = render(partial = !complete)
+    // Baseline protection (r7 lesson): a run with ANY errored query — or
+    // an incomplete sweep — is never a baseline; it goes to
+    // bench_full_failed.json. bench_full.json only holds clean snapshots.
+    val anyErr = failed.nonEmpty
+    writeFile(if (anyErr || !complete) "bench_full_failed.json"
+              else "bench_full.json", fullJson)
     println(fullJson)
-    // Compact summary → stdout LAST (driver-parsed; must fit a 2000-char tail).
-    val slowest = results.sortBy(-_._2).take(20)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$anyErr,"n_queries":${results.size},$meta,"queries":$slowest,"errors":$errs,"sf":"$sfDir"}"""
     spark.stop()
-    println(compact)
+    // Compact summary LAST on the normal path (driver-parsed 2000-char tail).
+    println(compactJson)
+    // Flag set only after the summary is out: a kill landing during
+    // spark.stop() still gets a hook-emitted summary line.
+    finishedNormally.set(true)
     // A round whose bench has ANY errored query is a broken round, not a
     // slow one — exit nonzero so no harness can record it as a success.
     if (anyErr) sys.exit(2)

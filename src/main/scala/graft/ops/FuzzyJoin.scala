@@ -86,7 +86,17 @@ object FuzzyJoin {
     *
     * Scale: the caller owns blocking (candidate set, never a cross
     * join); this aggregate is one pattern-keyed count plus broadcast
-    * scalar totals — 8 pattern rows. */
+    * scalar totals — 8 pattern rows.
+    *
+    * Codegen shape: the naive wide form inlines 12 [[Bm25.log2E6]] calls
+    * (each carrying two 47-branch msb ladders) into ONE projection, which
+    * blows Janino's 64 KB method limit and silently drops the whole stage
+    * to interpreted eval. Instead the pattern table is reshaped LONG —
+    * one row per (pattern, field) carrying just the two log arguments
+    * that field contributes — so each generated projection holds exactly
+    * two log2E6 trees, then a second ≤8-group aggregate sums the
+    * per-field weights back per pattern. The extra exchange moves ≤24
+    * rows at any corpus size. */
   def fellegiSunter(pairs: DataFrame): DataFrame = {
     val pat = pairs.groupBy(col("f1"), col("f2"), col("f3"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -103,14 +113,26 @@ object FuzzyJoin {
     val joined = fieldTotals.foldLeft(pat.crossJoin(broadcast(tot))) {
       (acc, ft) => acc.crossJoin(broadcast(ft))
     }
-    def term(k: Int): Column =
-      when(col(s"f$k"),
-        Bm25.log2E6(greatest(col(s"a$k") * col("u"), lit(1L))) -
-          Bm25.log2E6(greatest(col(s"b$k") * col("m"), lit(1L))))
-        .otherwise(
-          Bm25.log2E6(greatest((col("m") - col(s"a$k")) * col("u"), lit(1L))) -
-            Bm25.log2E6(greatest((col("u") - col(s"b$k")) * col("m"), lit(1L))))
-    joined.select(col("f1"), col("f2"), col("f3"), col("n_pairs"),
-      col("n_match"), (term(1) + term(2) + term(3)).as("weight_e6"))
+    // Per field k: agreement contributes log₂(a_k·U) − log₂(b_k·M),
+    // disagreement log₂((M−a_k)·U) − log₂((U−b_k)·M). Select the (x, y)
+    // log-argument pair per field with cheap integer whens, explode to
+    // long form, take logs once, sum back.
+    def fieldArgs(k: Int): Column = struct(
+      when(col(s"f$k"), greatest(col(s"a$k") * col("u"), lit(1L)))
+        .otherwise(greatest((col("m") - col(s"a$k")) * col("u"), lit(1L)))
+        .as("x"),
+      when(col(s"f$k"), greatest(col(s"b$k") * col("m"), lit(1L)))
+        .otherwise(greatest((col("u") - col(s"b$k")) * col("m"), lit(1L)))
+        .as("y"))
+    joined
+      .select(col("f1"), col("f2"), col("f3"), col("n_pairs"),
+        col("n_match"),
+        explode(array(fieldArgs(1), fieldArgs(2), fieldArgs(3))).as("fa"))
+      .select(col("f1"), col("f2"), col("f3"), col("n_pairs"),
+        col("n_match"),
+        (Bm25.log2E6(col("fa.x")) - Bm25.log2E6(col("fa.y"))).as("w"))
+      .groupBy(col("f1"), col("f2"), col("f3"), col("n_pairs"),
+        col("n_match"))
+      .agg(sum(col("w")).as("weight_e6"))
   }
 }

@@ -14,6 +14,15 @@ import org.apache.spark.sql.streaming.OutputMode
   * sorted by event time before folding; cross-batch order is the
   * replayer's contract (same as the upsert sink's monotonic guard).
   */
+/** Token-bucket state row. TOP-LEVEL on purpose: as a nested class its
+  * binary name (`StreamRateLimit$Bucket`) breaks Janino's method
+  * resolution inside the generated ValueState encoder code ("No
+  * applicable constructor/method found … candidates are: tokens_e6()"),
+  * silently dropping every state (de)serialization to interpreted eval —
+  * a per-row perf cliff in exactly the hot stateful path. A `$`-free
+  * binary name codegens cleanly. */
+case class RateBucket(tokens_e6: Long, last_us: Long, adm: Long, rej: Long)
+
 object StreamRateLimit {
 
   case class Ev(key: String, ts_us: Long)
@@ -23,22 +32,19 @@ object StreamRateLimit {
                      total_admitted: Long, total_rejected: Long,
                      tokens_e6: Long)
 
-  private case class Bucket(tokens_e6: Long, last_us: Long,
-                            adm: Long, rej: Long)
-
   class RateLimitProcessor(capE6: Long, ratePerSecE6: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Ev, RateRow] {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
-    @transient private var st: ValueState[Bucket] = _
+    @transient private var st: ValueState[RateBucket] = _
 
     override def init(outputMode: OM, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[Bucket]("bucket",
-        org.apache.spark.sql.Encoders.product[Bucket], TTLConfig.NONE)
+      st = getHandle.getValueState[RateBucket]("bucket",
+        org.apache.spark.sql.Encoders.product[RateBucket], TTLConfig.NONE)
 
     override def handleInputRows(key: String, rows: Iterator[Ev],
                                  timerValues: TimerValues): Iterator[RateRow] = {
       var b = if (st.exists()) st.get()
-              else Bucket(capE6, Long.MinValue, 0L, 0L) // bucket starts full
+              else RateBucket(capE6, Long.MinValue, 0L, 0L) // bucket starts full
       var ba = 0L
       var br = 0L
       rows.toSeq.sortBy(_.ts_us).foreach { e =>
@@ -47,10 +53,10 @@ object StreamRateLimit {
           else math.max(0L, e.ts_us - b.last_us) * ratePerSecE6 / 1000000L
         val avail = math.min(capE6, b.tokens_e6 + refill)
         if (avail >= 1000000L) {
-          b = Bucket(avail - 1000000L, e.ts_us, b.adm + 1L, b.rej)
+          b = RateBucket(avail - 1000000L, e.ts_us, b.adm + 1L, b.rej)
           ba += 1L
         } else {
-          b = Bucket(avail, e.ts_us, b.adm, b.rej + 1L)
+          b = RateBucket(avail, e.ts_us, b.adm, b.rej + 1L)
           br += 1L
         }
       }

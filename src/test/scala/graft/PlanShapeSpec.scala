@@ -228,7 +228,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_rich_club", 2, 3),         // degree axis + k-grid rollups
     ("q_transitivity", 2, 2),      // wedge joins + degree closed form
     ("q_path_drift", 2, 0),        // (u,day) fold + u-keyed lag/rollup
-    ("q_fellegi_sunter", 0, 4),    // pattern axis checkpointed; totals bc
+    // pattern axis checkpointed; totals bc; the 1 exchange is the ≤24-row
+    // per-field weight re-sum (long-form reshape that keeps every
+    // projection under Janino's 64 KB method limit — codegen stays on)
+    ("q_fellegi_sunter", 1, 4),
     ("q_rle_compression", 1, 0),   // lag + run aggs share the entity key
     ("q_centroid_matrix", 9, 2),   // label-axis joins post-checkpoint
     // round-8 batches (54..66); q_graph_robustness ungated like the
