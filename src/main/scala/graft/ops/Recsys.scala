@@ -22,12 +22,27 @@ object Recsys {
     * so fan-out is bounded by basket size squared (baskets are small
     * by nature), never by catalog size; item totals ride in from a
     * pre-aggregate; the per-item top-k is one keyed window over the
-    * ≥ minSupport survivors. */
+    * ≥ minSupport survivors.
+    *
+    * Skew guard: fan-out is basket-size SQUARED, so one adversarial
+    * mega-basket (a crawler account, a shared kiosk login) would square
+    * — 10⁶ items → 10¹² pairs in a single task. `maxBasketSize` caps
+    * every basket to its smallest `maxBasketSize` item ids BEFORE the
+    * self-join (deterministic rank, so an oracle can apply the
+    * identical rule), and the item totals are computed from the capped
+    * frame so cosine denominators stay consistent with the pair
+    * counts. The cap bounds any task at maxBasketSize² pairs; baskets
+    * under the cap are untouched. */
   def itemCf(baskets: DataFrame, basketCol: String, itemCol: String,
-             minSupport: Long, k: Int): DataFrame = {
-    require(minSupport >= 1L && k >= 1)
+             minSupport: Long, k: Int,
+             maxBasketSize: Int = 256): DataFrame = {
+    require(minSupport >= 1L && k >= 1 && maxBasketSize >= 2)
     val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .withColumn("brk", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("i"))))
+      .filter(col("brk") <= maxBasketSize).drop("brk")
+      .localCheckpoint(true)
     val itot = bi.groupBy(col("i")).agg(count(lit(1)).as("ci"))
     val co = bi.as("x").join(bi.as("y"),
         col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))

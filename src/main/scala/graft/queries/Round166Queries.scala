@@ -51,8 +51,8 @@ object Round166Queries {
             sum(expr("x1 * x2")).as("q12"),
             sum(expr(s"CAST(x1 AS $dec) * y")).as("p1"),
             sum(expr(s"CAST(x2 AS $dec) * y")).as("p2"))
-        val ks = s.range(0, 4).select(
-          expr("element_at(array(0L, 10L, 100L, 1000L), CAST(id + 1 AS INT))")
+        val ks = s.range(0, 5).select(
+          expr("element_at(array(0L, 1L, 10L, 100L, 1000L), CAST(id + 1 AS INT))")
             .as("k"))
         m.crossJoin(broadcast(ks))
           .selectExpr("k", "CAST(n AS BIGINT) AS n", "sy", "s1", "s2",
@@ -102,8 +102,8 @@ object Round166Queries {
              |        CAST(n AS HUGEINT) * p2 - CAST(s2 AS HUGEINT) * sy
              |          AS cy2
              |      FROM m CROSS JOIN (VALUES (CAST(0 AS BIGINT)),
-             |        (CAST(10 AS BIGINT)), (CAST(100 AS BIGINT)),
-             |        (CAST(1000 AS BIGINT))) t(k)),
+             |        (CAST(1 AS BIGINT)), (CAST(10 AS BIGINT)),
+             |        (CAST(100 AS BIGINT)), (CAST(1000 AS BIGINT))) t(k)),
              |a AS (SELECT k, n, sy, s1, s2,
              |        c11 * (1000 + k) AS a11, c22 * (1000 + k) AS a22,
              |        c12 * 1000 AS a12, cy1 * 1000 AS w1,

@@ -102,18 +102,27 @@ object Round177Queries {
           countDistinct(col("day")).as("dd"),
           count(lit(1)).as("tot"))
         val nz = cells.distinct().agg(count(lit(1)).as("nonzero"))
+        // All wide products go through decimal(38,0) (HUGEINT on the
+        // oracle side): uu*dd*p0_e6 overflows BIGINT once uu*dd exceeds
+        // ~9.2e12 cells — below the 100 TB scale this file reasons
+        // about, and Spark non-ANSI would wrap silently where DuckDB
+        // errors, breaking oracle parity. `div` lands back in BIGINT.
         m.crossJoin(broadcast(nz))
           .selectExpr("uu", "dd", "tot", "nonzero",
-            "uu * dd - nonzero AS zeros_obs",
-            "tot * 1000000 div (uu * dd) AS lambda_e6")
+            "CAST(CAST(uu AS decimal(38,0)) * dd - nonzero AS BIGINT)" +
+              " AS zeros_obs",
+            "CAST(tot AS decimal(38,0)) * 1000000" +
+              " div (CAST(uu AS decimal(38,0)) * dd) AS lambda_e6")
           .withColumn("y",
-            expr("lambda_e6 * 1442695 div 1000000"))
+            expr("CAST(lambda_e6 AS decimal(38,0)) * 1442695 div 1000000"))
           .withColumn("p0_e6", Sketches.pow2NegE6Expr("y"))
           .selectExpr("uu", "dd", "zeros_obs", "lambda_e6",
-            "uu * dd * p0_e6 div 1000000 AS zeros_expected",
-            """CASE WHEN uu * dd * p0_e6 div 1000000 = 0 THEN NULL
-              |ELSE zeros_obs * 1000000
-              |  div (uu * dd * p0_e6 div 1000000)
+            "CAST(uu AS decimal(38,0)) * dd * p0_e6 div 1000000" +
+              " AS zeros_expected",
+            """CASE WHEN CAST(uu AS decimal(38,0)) * dd * p0_e6
+              |  div 1000000 = 0 THEN NULL
+              |ELSE CAST(zeros_obs AS decimal(38,0)) * 1000000
+              |  div (CAST(uu AS decimal(38,0)) * dd * p0_e6 div 1000000)
               |END AS excess_ratio_e6""".stripMargin)
       },
       Some {
@@ -128,16 +137,21 @@ object Round177Queries {
            |nz AS (SELECT CAST(count(*) AS BIGINT) AS nonzero
            |       FROM (SELECT DISTINCT u, day FROM cells)),
            |b AS (SELECT uu, dd, tot, nonzero,
-           |        uu * dd - nonzero AS zeros_obs,
-           |        tot * 1000000 // (uu * dd) AS lambda_e6
+           |        CAST(CAST(uu AS HUGEINT) * dd - nonzero AS BIGINT)
+           |          AS zeros_obs,
+           |        CAST(CAST(tot AS HUGEINT) * 1000000
+           |          // (CAST(uu AS HUGEINT) * dd) AS BIGINT) AS lambda_e6
            |      FROM m CROSS JOIN nz),
-           |c AS (SELECT *, lambda_e6 * 1442695 // 1000000 AS y FROM b),
+           |c AS (SELECT *, CAST(CAST(lambda_e6 AS HUGEINT) * 1442695
+           |        // 1000000 AS BIGINT) AS y FROM b),
            |e AS (SELECT uu, dd, zeros_obs, lambda_e6,
-           |        uu * dd * $p0 // 1000000 AS zeros_expected
+           |        CAST(CAST(uu AS HUGEINT) * dd * $p0 // 1000000 AS BIGINT)
+           |          AS zeros_expected
            |      FROM c)
            |SELECT uu, dd, zeros_obs, lambda_e6, zeros_expected,
            |       CASE WHEN zeros_expected = 0 THEN NULL
-           |       ELSE zeros_obs * 1000000 // zeros_expected
+           |       ELSE CAST(CAST(zeros_obs AS HUGEINT) * 1000000
+           |         // zeros_expected AS BIGINT)
            |       END AS excess_ratio_e6
            |FROM e""".stripMargin
       }),

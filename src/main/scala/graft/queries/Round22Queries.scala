@@ -164,10 +164,17 @@ object Round22Queries {
   )
 
   /** Oracle twin of Recsys.itemCf over lineitem baskets — shared with
-    * q_rec_coverage (Round45). */
+    * q_rec_coverage (Round45). Mirrors the engine's deterministic
+    * mega-basket skew cap (smallest 256 item ids per basket; a no-op on
+    * lineitem's ≤7-item baskets but part of the operator contract). */
   private[queries] val itemCfSql: String =
     """WITH bi AS MATERIALIZED (
-      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |  SELECT b, i FROM (
+      |    SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i)
+      |             AS brk
+      |    FROM (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      |          FROM lineitem))
+      |  WHERE brk <= 256),
       |itot AS (SELECT i, count(*) AS ci FROM bi GROUP BY i),
       |co AS (SELECT x.i AS item, y.i AS rec, count(*) AS n_co
       |       FROM bi x JOIN bi y ON x.b = y.b AND x.i <> y.i

@@ -28,6 +28,30 @@ class Round22OpsSpec extends SparkSpec {
     assert(r(1L) === 3L)
   }
 
+  test("itemCf: mega-basket skew cap bounds pair fan-out deterministically") {
+    // One adversarial 40-item basket. Cap 5 → only the 5 smallest item
+    // ids survive, so the pair space is 5·4 (both directions), never
+    // 40·39 — the bounded-fan-out guarantee under basket skew. A second
+    // normal basket overlaps the kept prefix and must be unaffected.
+    val mega = (1L to 40L).map(i => (99L, i))
+    val small = Seq((7L, 1L), (7L, 2L))
+    val b = (mega ++ small).toDF("b", "i")
+    val capped = Recsys.itemCf(b, "b", "i", 1L, 50, maxBasketSize = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // every surviving item id is within the kept prefix
+    assert(capped.forall(r => r._1 <= 5L && r._2 <= 5L))
+    // pair space exactly 5·4 directed pairs
+    assert(capped.map(r => (r._1, r._2)).distinct.length === 20)
+    // the overlapping small basket still contributes: (1,2) has support 2
+    assert(capped.find(r => r._1 == 1L && r._2 == 2L).get._3 === 2L)
+    // baskets under the cap are untouched: capped run == uncapped run
+    val smallOnly = small.toDF("b", "i")
+    val x = Recsys.itemCf(smallOnly, "b", "i", 1L, 5, maxBasketSize = 5)
+      .collect().toSet
+    val y = Recsys.itemCf(smallOnly, "b", "i", 1L, 5).collect().toSet
+    assert(x === y)
+  }
+
   test("bcubed: perfect clustering scores 1e6 across the board") {
     val a = Seq((1L, 10L, 0L), (2L, 10L, 0L), (3L, 20L, 1L), (4L, 20L, 1L))
       .toDF("id", "cluster", "truth")
