@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *    (#(x>y) − #(x<y))/(m·n) between returned and kept line
   *    quantities. Pair counts come from the ≤50-value quantity axis
   *    (Σ ca·cum_b), never row pairs — the value-axis trick every rank
-  *    test here uses. Sign-safe e6 division (Spark `div` truncates
-  *    toward zero, DuckDB `//` floors — the CASE split makes both
-  *    truncate).
+  *    test here uses. The e6 division goes through an explicit
+  *    sign-split CASE so negative-numerator rounding is pinned by
+  *    construction (both engines truncate toward zero today; the CASE
+  *    makes that an invariant of the query, not of the engines).
   *  - Kuiper V (`q_kuiper`): D⁺ + D⁻ between the urgent/relaxed order
   *    value CDFs on the thousand-dollar bucket axis — the
   *    rotation-invariant cousin of q_ks_test, sensitive to tails.

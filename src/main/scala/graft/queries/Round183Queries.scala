@@ -235,8 +235,8 @@ object Round183Queries {
                 (Bm25.log2E6(expr("2L * cb * na")) -
                   Bm25.log2E6(col("mnum")))).otherwise(lit(0L)))
         // each KL is ≥ 0 exactly; the 5-bit mantissa can dip a hair
-        // below zero near 0 — clamp so the truncating div stays
-        // engine-portable (Spark trunc vs DuckDB floor on negatives)
+        // below zero near 0 — clamp so the output can never read as a
+        // (nonsensical) negative divergence
         t.agg(count(lit(1)).as("n_buckets"), max(col("na")).as("na"),
             max(col("nb")).as("nb"),
             greatest(sum(col("ta")), lit(0L)).as("sa"),
