@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    sign-split CASE so negative-numerator rounding is pinned by
   *    construction (both engines truncate toward zero today; the CASE
   *    makes that an invariant of the query, not of the engines).
-  *  - Kuiper V (`q_kuiper`): D⁺ + D⁻ between the urgent/relaxed order
+  *  - Kuiper V (`q_kuiper_orders`): D⁺ + D⁻ between the urgent/relaxed order
   *    value CDFs on the thousand-dollar bucket axis — the
   *    rotation-invariant cousin of q_ks_test, sensitive to tails.
   *  - Brunner–Munzel (`q_brunner_munzel`): the heteroscedastic rank
@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   *    sum is an integer sum — no double accumulation anywhere.
   *  - Cox–Stuart (`q_cox_stuart`): sign trend test pairing month t
   *    with t+n/2 on the monthly revenue axis.
-  *  - Pettitt (`q_pettitt`): nonparametric changepoint via
+  *  - Pettitt (`q_pettitt_revenue`): nonparametric changepoint via
   *    U_t = Σ_{s≤t} V_s, V_t = Σ_j sgn(x_t − x_j) — the month×month
   *    pair join is bounded by the calendar axis, and the recursion
   *    turns the quadratic-per-t definition into one cumsum.
@@ -133,7 +133,7 @@ object Round182Queries {
               |FROM agg""".stripMargin)),
 
     // ── Kuiper V between urgent and relaxed order-value CDFs.
-    QueryDef("q_kuiper",
+    QueryDef("q_kuiper_orders",
       (s, d) => {
         val g = Tables.orders(s, d)
           .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)" +
@@ -396,7 +396,7 @@ object Round182Queries {
               |FROM p""".stripMargin)),
 
     // ── Pettitt changepoint on monthly revenue: U_t = Σ_{s≤t} V_s.
-    QueryDef("q_pettitt",
+    QueryDef("q_pettitt_revenue",
       (s, d) => {
         val m = monthAxis(s, d).localCheckpoint(true)
         val v = m.crossJoin(broadcast(m.select(col("x").as("xb"))))
