@@ -12,9 +12,16 @@ import scala.collection.mutable
   * queries left NO artifact at all). Three defenses, in order:
   *
   *   1. Budget-aware pacing. `SPARK_GRAFT_BENCH_BUDGET_SECS` (default
-  *      1800) is a wall-clock budget measured from main() entry. The
-  *      warmup pass aborts per-query warming once it has spent 35% of the
-  *      budget, and after each timed pass the runner only starts another
+  *      1800) is a wall-clock budget measured from main() entry. BEFORE
+  *      warming, the runner projects (one warmup sweep + one timed pass)
+  *      against the budget using a per-query cold estimate
+  *      (`SPARK_GRAFT_EST_SECS_PER_QUERY`, default 1.7 — the committed
+  *      registry-wide cold mean): when the projection does not fit, the
+  *      per-query warmup is SKIPPED entirely (table-load warming only)
+  *      so the budget buys one FULL cold timed pass instead of a warmed
+  *      partial one (the r11 lesson: 661/735 with `partial:true`).
+  *      When warming does run it additionally aborts at 35% budget
+  *      spend, and after each timed pass the runner only starts another
   *      pass if the projection (elapsed + 1.15 x last pass) still fits.
   *      Repeats therefore degrade 3 -> 2 -> 1 automatically as the
   *      registry grows instead of blowing through the cap.
@@ -123,6 +130,11 @@ object Bench {
       .filter(_ >= 1).getOrElse(3)
 
     // ---- shared mutable state, visible to the shutdown hook ----
+    // All reads/writes go through `stateLock`: the hook fires on SIGTERM
+    // while the main thread may be mid-append, and an unguarded
+    // iteration over a HashMap being rehashed would swallow the partial
+    // summary the hook exists to emit.
+    val stateLock = new Object
     val samples = mutable.LinkedHashMap[String, mutable.ArrayBuffer[Double]]()
     ordered.foreach { case (n, _) => samples(n) = mutable.ArrayBuffer.empty }
     // Warmup (cold-cache) durations: used by render() ONLY for queries
@@ -142,8 +154,10 @@ object Bench {
       s""""commit":"${gitHead()}","ts_ms":${System.currentTimeMillis()},"cpus":$cpusJson,"spark":"${spark.version}","java":"${sys.props.getOrElse("java.version", "?")}""""
     }
 
-    /** Build (fullJson, compactJson) from whatever samples exist now. */
-    def render(partial: Boolean): (String, String) = {
+    /** Build (fullJson, compactJson) from whatever samples exist now.
+      * Holds `stateLock` for the whole render so a concurrent append
+      * (main thread vs shutdown hook) can never corrupt the snapshot. */
+    def render(partial: Boolean): (String, String) = stateLock.synchronized {
       val results = samples.toSeq.flatMap {
         case (name, ts) if ts.nonEmpty =>
           val s = ts.sorted.toIndexedSeq
@@ -207,21 +221,41 @@ object Bench {
     // Warm the session (parquet footers/page cache, codegen, JIT): load
     // every table, then run each query once untimed — the timed passes
     // then measure steady-state throughput, the number that predicts a
-    // long-lived cluster. Budget guard: stop per-query warming once 35%
-    // of the budget is spent (remaining queries run their first timed
-    // pass cold — mild noise beats a killed run). SPARK_GRAFT_WARMUP=0
-    // disables entirely.
+    // long-lived cluster. Two budget guards:
+    //   (a) UP-FRONT projection (the r11 fix): a warmup sweep costs about
+    //       one cold pass, so if (2 x estimated cold pass) doesn't fit
+    //       the budget, skip per-query warming entirely — one FULL cold
+    //       timed pass beats a warmed partial one (r11: 661/735,
+    //       partial:true, because warmup ate 35% of an 1800 s budget
+    //       that a ~1250 s cold pass would have fit).
+    //   (b) while warming, stop once 35% of the budget is spent.
+    // SPARK_GRAFT_WARMUP=0 disables entirely.
+    val estPerQuery = sys.env.get("SPARK_GRAFT_EST_SECS_PER_QUERY")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .filter(_ > 0).getOrElse(1.7)
+    val estColdPass = ordered.size * estPerQuery
+    val warmupFits = 2.0 * estColdPass <= 0.95 * budget
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      // Table-load warming is always cheap enough (parquet footers +
+      // page cache) and helps every query; run it regardless.
       try Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
       catch { case _: Throwable => () }
-      val warmCap = 0.35 * budget
-      var i = 0
-      while (i < ordered.size && elapsed < warmCap) {
-        val w0 = System.nanoTime()
-        try ordered(i)._2(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        warmSamples(ordered(i)._1) = (System.nanoTime() - w0) / 1e9
-        i += 1
+      if (warmupFits) {
+        val warmCap = 0.35 * budget
+        var i = 0
+        while (i < ordered.size && elapsed < warmCap) {
+          val w0 = System.nanoTime()
+          try ordered(i)._2(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          val w = (System.nanoTime() - w0) / 1e9
+          stateLock.synchronized { warmSamples(ordered(i)._1) = w }
+          i += 1
+        }
+      } else {
+        System.err.println(
+          f"[graft.Bench] skipping per-query warmup: 2 x est cold pass " +
+            f"(${2 * estColdPass}%.0f s at ${ordered.size} queries x " +
+            f"$estPerQuery%.2f s) exceeds 95%% of budget ($budget%.0f s)")
       }
     }
 
@@ -241,8 +275,10 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val secs = (System.nanoTime() - q0) / 1e9
-        samples(name) += secs
-        if (!ok) failed += name
+        stateLock.synchronized {
+          samples(name) += secs
+          if (!ok) failed += name
+        }
         record(name, pass, secs, ok)
         if (elapsed > 0.97 * budget) aborted = true
         i += 1

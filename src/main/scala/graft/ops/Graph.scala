@@ -1467,7 +1467,10 @@ object Graph {
     * max(fwd, bwd) instead of fwd + bwd (halves the per-round driver
     * synchronization that dominates an iterative query's wall clock).
     * Plus two membership joins and one 4-row rollup. Requires
-    * non-negative node ids < 2⁶² (the parity encoding). */
+    * non-negative node ids < 2⁶² (the parity encoding) — ENFORCED: node
+    * ids are cast to long like the edge endpoints, and a row-level
+    * `assert_true` fails the job on a negative id instead of silently
+    * corrupting the parity classification. */
   def bowtie(nodes: DataFrame, edges: DataFrame, seedCol: String,
              maxDepth: Int): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
@@ -1475,9 +1478,11 @@ object Graph {
     val doubled = e.select((col("src") * 2).as("src"), (col("dst") * 2).as("dst"))
       .unionByName(
         e.select((col("dst") * 2 + 1).as("src"), (col("src") * 2 + 1).as("dst")))
-    val dn = nodes.select((col("id") * 2).as("id"), col(seedCol).as("s"))
-      .unionByName(
-        nodes.select((col("id") * 2 + 1).as("id"), col(seedCol).as("s")))
+    val n = nodes.select(col("id").cast("long").as("id"), col(seedCol).as("s"))
+      .filter(assert_true(col("id") >= 0,
+        lit("bowtie requires non-negative node ids (parity encoding)")).isNull)
+    val dn = n.select((col("id") * 2).as("id"), col("s"))
+      .unionByName(n.select((col("id") * 2 + 1).as("id"), col("s")))
     val reach = bfsLevels(dn, doubled, "s", maxDepth).localCheckpoint(true)
     val fwd = reach.filter(col("id") % 2 === 0)
       .select(expr("id div 2").as("id"), lit(1L).as("f"))

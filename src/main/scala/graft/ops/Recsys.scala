@@ -11,7 +11,14 @@ import org.apache.spark.sql.functions._
 object Recsys {
 
   /** Item-item cosine similarity over co-occurrence baskets, top `k`
-    * recommendations per item: for items i, j sharing ≥ `minSupport`
+    * recommendations per item. NOTE: baskets larger than
+    * `maxBasketSize` (default 256) are truncated to their smallest
+    * `maxBasketSize` item ids BEFORE pairing — results over mega-baskets
+    * therefore differ from an uncapped implementation by design; pass
+    * `maxBasketSize = Int.MaxValue` for uncapped semantics (see the
+    * skew-guard paragraph for why the cap defaults ON).
+    *
+    * For items i, j sharing ≥ `minSupport`
     * baskets, score by cos²(i,j) = c_ij² / (c_i·c_j) — the SQUARED
     * cosine is an exact e12 integer (c_ij²·10¹² div c_i·c_j), and
     * squaring preserves the ranking cosine gives on non-negative

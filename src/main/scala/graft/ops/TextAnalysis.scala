@@ -428,7 +428,7 @@ object TextAnalysis {
       .localCheckpoint(true)
     val uni = tok.groupBy(col("w").as("wu")).agg(count(lit(1)).as("cw"))
     val tots = pc.agg(sum(col("cab")).cast("long").as("pp"))
-      .crossJoin(uni.agg(sum(col("cw")).cast("long").as("tt")))
+      .crossJoin(broadcast(uni.agg(sum(col("cw")).cast("long").as("tt"))))
     pc.filter(col("cab") >= minCount)
       .join(uni.select(col("wu").as("w1"), col("cw").as("ca")), "w1")
       .join(uni.select(col("wu").as("w2"), col("cw").as("cb")), "w2")
