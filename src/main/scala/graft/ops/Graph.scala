@@ -201,6 +201,32 @@ object Graph {
                 maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    bfsLevelsPre(nodes, e, sourceCol, maxDepth)
+  }
+
+  /** [[bfsLevels]] over an edge frame the CALLER already deduped and
+    * checkpointed — lets multi-sweep callers (double-sweep diameter,
+    * bowtie) pay the edge scan once instead of per sweep.
+    *
+    * Round shape — MEASURED optimal; three r12 alternatives all LOST,
+    * recorded here so they are not re-chased:
+    *   - Fusing the expansion into the visited-union checkpoint (one
+    *     materialization job per round instead of two): ~2x the tasks —
+    *     the fused job rescans the visited set three times.
+    *   - Size-gated `broadcast()` of edges + visited (kills both
+    *     per-round exchanges): 1.6-1.9x SLOWER at min-of-6 — each
+    *     BroadcastExchange build/ship costs more than the AQE-coalesced
+    *     local shuffles it replaces, every round.
+    *   - Pinning small edges as a driver LocalRelation + lazy-union
+    *     visited with periodic folds: 25% fewer scheduler jobs but
+    *     still ~1.6x slower wall (q_diameter_sweep 6.6 s vs 3.5 s,
+    *     q_bowtie 10.6 s vs 6.7 s min-of-6 at sf0.1).
+    * Re-checkpointing the visited set each round keeps the anti-join
+    * plan a single flat leaf; a lazy union of frontiers was measured
+    * SLOWER (analyzer cost grows with the round count, and the
+    * per-round materialization is tiny). */
+  private[graft] def bfsLevelsPre(nodes: DataFrame, e: DataFrame,
+                                  sourceCol: String, maxDepth: Int): DataFrame = {
     var dist = nodes.filter(col(sourceCol))
       .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
     var frontier = dist.select(col("id"))
@@ -214,10 +240,6 @@ object Graph {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        // Re-checkpointing the visited set each round keeps the
-        // anti-join plan a single flat leaf; a lazy union of frontiers
-        // was measured SLOWER (analyzer cost grows with the round
-        // count, and the per-round materialization is tiny).
         dist = dist.unionByName(next.withColumn("dist", lit(depth.toLong)))
           .localCheckpoint(true)
         frontier = next
@@ -843,6 +865,8 @@ object Graph {
                      maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    // Same measured-optimal round shape as [[bfsLevelsPre]] (see the
+    // negative results recorded there), keyed (seed, id).
     var dist = nodes.filter(col(seedCol))
       .select(col("id").as("seed"), col("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -941,14 +965,17 @@ object Graph {
     * n_reached) with n_reached counting u's BFS cover. */
   def doubleSweepDiameter(nodes: DataFrame, edges: DataFrame,
                           rootCol: String, maxDepth: Int): DataFrame = {
-    val d0 = bfsLevels(nodes, edges, rootCol, maxDepth)
+    require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
+    // Dedup + checkpoint the edges ONCE — both sweeps reuse the frame.
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val d0 = bfsLevelsPre(nodes, e, rootCol, maxDepth)
     val far = d0
       .agg(max(struct(col("dist"), (-col("id")).as("ni"))).as("f"))
       .select((-col("f.ni")).as("u"), col("f.dist").as("ecc_root"))
       .localCheckpoint(true)
     val seeded = nodes.crossJoin(broadcast(far))
       .withColumn("is_far", col("id") === col("u"))
-    bfsLevels(seeded, edges, "is_far", maxDepth)
+    bfsLevelsPre(seeded, e, "is_far", maxDepth)
       .agg(max(col("dist")).as("diameter_lb"), count(lit(1)).as("n_reached"))
       .crossJoin(broadcast(far))
       .select(col("u"), col("ecc_root"), col("diameter_lb"), col("n_reached"))
