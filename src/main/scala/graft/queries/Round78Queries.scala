@@ -24,21 +24,32 @@ object Round78Queries {
         val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
           .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
             .as("spend"))
+        // Checkpoint u once — the threshold, the totals, and the cell
+        // rollup all reuse it (previously the orders aggregate + join
+        // ran twice and the threshold was a GLOBAL single-partition
+        // row_number window; the stage fan-out made this query the
+        // registry's worst contention amplifier, 0.83 s quiet -> 7.6 s
+        // loaded).
         val u = Tables.customer(s, d)
           .join(spend, col("c_custkey") === col("o_custkey"), "left")
           .select(col("c_mktsegment").as("seg"),
             col("c_nationkey").cast("long").as("nk"),
             col("c_custkey").as("ck"),
             coalesce(col("spend"), lit(0L)).as("y"))
-        val thr = u
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("y").desc, col("ck"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-          .where(col("rn") === expr("(n + 3) div 4"))
-          .select(col("y").as("thr"))
+          .localCheckpoint(true)
+        // Top-quartile threshold = y of the rank-k row under
+        // (y desc, ck asc), k = (n+3) div 4 — found by per-partition
+        // top-k (TakeOrderedAndProject) + a one-row argmin over the k
+        // survivors instead of sorting every row through one partition.
+        val k = ((u.count() + 3) / 4).toInt
+        val thr = u.select(col("y"), col("ck"))
+          .orderBy(col("y").desc, col("ck")).limit(k)
+          .agg(min(struct(col("y"), (-col("ck")).as("nck"))).as("m"))
+          .select(col("m.y").as("thr"))
+          .where(col("thr").isNotNull) // empty input -> empty, like rank
+
         val lab = u.crossJoin(broadcast(thr))
           .withColumn("pos", when(col("y") >= col("thr"), 1L).otherwise(0L))
-          .localCheckpoint(true) // reused: global totals + cell rollup
         val tot = lab.agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
         lab.groupBy(col("seg"), col("nk"))
           .agg(count(lit(1)).as("n_sg"), sum(col("pos")).as("pos_sg"))
