@@ -63,7 +63,11 @@ class SinglePartitionWindowSpec extends SparkSpec {
       "calendar-month revenue rollup (bounded by the date range, not " +
       "data volume) — ONE orders scan feeds OLS moments, residuals, " +
       "and the ADF lag; the Aggregate is truncated from the visible " +
-      "plan by the checkpoint"))
+      "plan by the checkpoint"),
+    "q_sen_slope" -> ("median-rank window input is the self-join of the " +
+      "checkpointed calendar-month axis — ≤ n_months² pairs, bounded by " +
+      "the date range, not data volume; the month Aggregate is " +
+      "truncated from the visible plan by the checkpoint"))
 
   test("unpartitioned windows only ever run on post-aggregate axes") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
