@@ -91,7 +91,8 @@ object Registry {
       queries.Round179Queries.defs ++ queries.Round180Queries.defs ++
       queries.Round181Queries.defs ++ queries.Round182Queries.defs ++
       queries.Round183Queries.defs ++ queries.Round184Queries.defs ++
-      queries.Round185Queries.defs ++ queries.Round186Queries.defs
+      queries.Round185Queries.defs ++ queries.Round186Queries.defs ++
+      queries.Round187Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
