@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *    per-dimension bounding box vs 16 real probes; H = Σu/(Σu+Σw)
   *    over nearest-neighbor squared distances (e3-quantized dims keep
   *    every sum in BIGINT). H → 1 clustered, → 0.5 uniform.
-  *  - Expected calibration error (`q_ece`): per-discount-band return
-  *    rates fit on EVEN order keys, scored on ODD — ECE = Σ n_b·|acc_b
+  *  - Split expected calibration error (`q_ece_split`): per-discount-band return
+  *    rates fit on EVEN order keys, scored on ODD (q_ece bins one
+  *    frame by confidence decile; this is the leakage-honest split
+  *    twin) — ECE = Σ n_b·|acc_b
   *    − conf_b| div n plus the max-gap MCE, the q_log_loss companion
   *    every reliability audit pairs with.
   *
@@ -277,7 +279,7 @@ object Round187Queries {
               |FROM uu CROSS JOIN ww""".stripMargin)),
 
     // ── Expected + maximum calibration error, train-even score-odd.
-    QueryDef("q_ece",
+    QueryDef("q_ece_split",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(
           expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("band"),
