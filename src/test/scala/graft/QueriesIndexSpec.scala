@@ -34,6 +34,14 @@ class QueriesIndexSpec extends AnyFunSuite {
         stale.mkString(", "))
   }
 
+  test("no two QueryDefs share a name (the registry map keeps only one)") {
+    val dupes = Registry.all.groupBy(_.name).filter(_._2.size > 1).keys
+      .toSeq.sorted
+    assert(dupes.isEmpty,
+      s"duplicate query names silently shadow earlier definitions: " +
+        dupes.mkString(", "))
+  }
+
   test("the headline count in QUERIES.md matches the registry size") {
     val n = SparkEntry.queries.size
     assert(indexText.contains(s"$n oracle-checked queries"),
