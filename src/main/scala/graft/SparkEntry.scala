@@ -92,7 +92,7 @@ object Registry {
       queries.Round181Queries.defs ++ queries.Round182Queries.defs ++
       queries.Round183Queries.defs ++ queries.Round184Queries.defs ++
       queries.Round185Queries.defs ++ queries.Round186Queries.defs ++
-      queries.Round187Queries.defs
+      queries.Round187Queries.defs ++ queries.Round188Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
