@@ -92,7 +92,10 @@ object Registry {
       queries.Round181Queries.defs ++ queries.Round182Queries.defs ++
       queries.Round183Queries.defs ++ queries.Round184Queries.defs ++
       queries.Round185Queries.defs ++ queries.Round186Queries.defs ++
-      queries.Round187Queries.defs ++ queries.Round188Queries.defs
+      queries.Round187Queries.defs ++ queries.Round188Queries.defs ++
+      queries.Round189Queries.defs ++ queries.Round190Queries.defs ++
+      queries.Round191Queries.defs ++ queries.Round192Queries.defs ++
+      queries.Round193Queries.defs ++ queries.Round194Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
