@@ -95,7 +95,8 @@ object Registry {
       queries.Round187Queries.defs ++ queries.Round188Queries.defs ++
       queries.Round189Queries.defs ++ queries.Round190Queries.defs ++
       queries.Round191Queries.defs ++ queries.Round192Queries.defs ++
-      queries.Round193Queries.defs ++ queries.Round194Queries.defs
+      queries.Round193Queries.defs ++ queries.Round194Queries.defs ++
+      queries.Round195Queries.defs ++ queries.Round196Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
