@@ -96,7 +96,8 @@ object Registry {
       queries.Round189Queries.defs ++ queries.Round190Queries.defs ++
       queries.Round191Queries.defs ++ queries.Round192Queries.defs ++
       queries.Round193Queries.defs ++ queries.Round194Queries.defs ++
-      queries.Round195Queries.defs ++ queries.Round196Queries.defs
+      queries.Round195Queries.defs ++ queries.Round196Queries.defs ++
+      queries.Round197Queries.defs ++ queries.Round198Queries.defs
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
