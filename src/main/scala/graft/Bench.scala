@@ -110,9 +110,18 @@ object Bench {
       .filter(_ > 0).getOrElse(1800.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Whole-stage-codegen class cache (STATIC conf, default 100 entries).
+    // A registry-wide sweep compiles ~5 codegen units per query x 794
+    // queries, so at the default size every interleaved pass evicts and
+    // RECOMPILES the entire registry — the bench then measures Janino
+    // compile time, not steady-state throughput (guide §1: a long-lived
+    // cluster serving a repeated query mix keeps its generated classes).
+    // Sized to hold one registry sweep; parameterised for other mixes.
+    val codegenCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", codegenCache)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

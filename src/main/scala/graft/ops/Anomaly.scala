@@ -152,7 +152,7 @@ object Anomaly {
                          tieCol: String, centsCol: String): DataFrame = {
     val base = df.select(col(keyCol).as("key"), col(tsCol).as("t"),
       col(tieCol).as("tie"), col(centsCol).as("c"))
-    val l1 = cpBest(base, Seq("key")).localCheckpoint(true)
+    val l1 = cpBest(base, Seq("key")).localCheckpoint(false)
     val tagged = base
       .join(l1.select(col("key"), col("split_t").as("s_t"),
         col("split_tie").as("s_tie")), "key")

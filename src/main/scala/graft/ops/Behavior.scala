@@ -343,10 +343,10 @@ object Behavior {
                        typeCol: String, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
     val tr = transitions(events, entityCol, tsCol, typeCol)
-      .select(col("src"), col("dst"), col("prob_e6")).localCheckpoint(true)
+      .select(col("src"), col("dst"), col("prob_e6")).localCheckpoint(false)
     val states = tr.select(col("src").as("state"))
       .unionByName(tr.select(col("dst").as("state")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var pi = states.select(col("state"), lit(1000000L).as("pi_e6"))
     for (_ <- 1 to iters) {
       val mass = tr.join(pi, tr("src") === pi("state"))
@@ -354,7 +354,7 @@ object Behavior {
         .groupBy(col("dst")).agg(sum(col("m")).as("mass"))
       pi = states.join(mass, states("state") === mass("dst"), "left")
         .select(col("state"), coalesce(col("mass"), lit(0L)).as("pi_e6"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     pi
   }
@@ -466,7 +466,7 @@ object Behavior {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
       .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("src"))))
       .selectExpr("src", "dst", "cnt * 1000000 div tot AS prob_e6")
-      .localCheckpoint(true) // states axis: ≤ (channels + 2)²
+      .localCheckpoint(false) // states axis: ≤ (channels + 2)²
     val spark = events.sparkSession
     import spark.implicits._
     // The matrix is ≤ (channels + 2)² rows: collect ONCE and run the
@@ -544,7 +544,7 @@ object Behavior {
     val vtab = users.groupBy(col("mask"))
       .agg(count(lit(1)).as("users"), sum(col("cv")).as("convs"))
       .selectExpr("mask", "convs * 1000000 div users AS v_e6")
-      .localCheckpoint(true) // coalition axis: ≤ 2^n rows
+      .localCheckpoint(false) // coalition axis: ≤ 2^n rows
     val spark = events.sparkSession
     import spark.implicits._
     val lattice = (0 until (1 << n)).toDF("s")
@@ -591,7 +591,7 @@ object Behavior {
       .filter(col("src").isNotNull)
       .groupBy(col("src"), col("et").as("dst"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // states axis
+      .localCheckpoint(false) // states axis
     trans
       .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("src"))))
       .withColumn("t1", col("c") * (Bm25.log2E6(col("tot")) -

@@ -37,7 +37,7 @@ object Classify {
     val trainTok = tok.filter(col("fold") =!= testFold)
     val model = trainTok.groupBy(col("tok"), col("label").as("c"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // vocab x classes: the broadcastable model
+      .localCheckpoint(false) // vocab x classes: the broadcastable model
     val classTot = model.groupBy(col("c"))
       .agg(sum(col("cnt")).as("tot_c"))
     val prior = base.filter(col("id") % 5 =!= testFold)
@@ -47,7 +47,7 @@ object Classify {
       .crossJoin(broadcast(vocab))
       .select(col("c"), Bm25.log2E6(col("n_c")).as("prior_e6"),
         Bm25.log2E6(col("tot_c") + col("v")).as("denom_e6"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val testTok = tok.filter(col("fold") === testFold)
       .groupBy(col("id"), col("label"), col("tok"))
       .agg(count(lit(1)).as("m"))

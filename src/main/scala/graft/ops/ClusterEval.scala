@@ -35,7 +35,7 @@ object ClusterEval {
     // (vec, own label, component index, value); dim·n rows, one scan.
     val comp = q.select(col("vec_id"), col("label"),
         posexplode(col("qv")).as(Seq("i", "v")))
-      .localCheckpoint(true) // feeds centroids AND the distance join
+      .localCheckpoint(false) // feeds centroids AND the distance join
     // Centroid component = floor(sum/count) over doubles: sums are ≤
     // n·1e6 ≈ 2e9 ≪ 2^53 so the division is correctly rounded, and the
     // true rational is ≥ 1/n away from any other integer — floor is
@@ -86,7 +86,7 @@ object ClusterEval {
             |          x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"""
             .stripMargin)).as(Seq("i", "v")))
       .withColumn("probe", (col("vec_id") % 5 === probeFold).cast("int"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def cent(df: DataFrame) = df.groupBy(col("label"), col("i"))
       .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
         .cast("long").as("c"),
@@ -124,7 +124,7 @@ object ClusterEval {
       .groupBy(col("label"), col("i"))
       .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
         .cast("long").as("c"))
-      .localCheckpoint(true) // label×dim axis: tiny; ONE vector scan
+      .localCheckpoint(false) // label×dim axis: tiny; ONE vector scan
     val a = cent.select(col("label").as("la"), col("i"), col("c").as("ca"))
     val b = cent.select(col("label").as("lb"), col("i"), col("c").as("cb"))
     val d2 = a.join(b, "i").filter(col("la") < col("lb"))

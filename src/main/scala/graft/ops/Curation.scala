@@ -123,7 +123,7 @@ object Curation {
     require(nBuckets >= 2)
     val dec = "decimal(38,0)"
     val buckets = df.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // bucket axis: ≤ nBuckets rows; ONE scan
+      .localCheckpoint(false) // bucket axis: ≤ nBuckets rows; ONE scan
     val tot = buckets.agg(sum(col("c")).as("n"))
     val weighted = buckets.crossJoin(broadcast(tot))
       .withColumn("weight_e6",

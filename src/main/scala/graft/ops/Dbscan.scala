@@ -32,7 +32,7 @@ object Dbscan {
     val p = pts.select(col("id"), col("grp"), col("x"), col("y"),
         expr(s"x div ${eps}L").as("cx"), expr(s"y div ${eps}L").as("cy"))
       .repartition(width)
-      .localCheckpoint(true) // one raw scan; feeds both join sides
+      .localCheckpoint(false) // one raw scan; feeds both join sides
     // Candidate pairs: left side scatters to its 3×3 ε-cell neighborhood,
     // right side sits in its home cell — equi-join on the cell key only.
     val scat = p.select(col("id").as("ida"), col("x").as("xa"),
@@ -47,10 +47,10 @@ object Dbscan {
       .filter(greatest(abs(col("xa") - col("xb")),
         abs(col("ya") - col("yb"))) <= eps)
       .select(col("ida"), col("idb"))
-      .localCheckpoint(true) // reused for the core-neighbour pass
+      .localCheckpoint(false) // reused for the core-neighbour pass
     val ncount = pairs.groupBy(col("ida")).agg(count(lit(1)).as("n"))
     val core = ncount.filter(col("n") >= minPts)
-      .select(col("ida").as("idc")).localCheckpoint(true)
+      .select(col("ida").as("idc")).localCheckpoint(false)
     // Border = non-core with ≥1 core neighbour: semi-join the pair list
     // against the core set (pairs include self, so cores trivially pass —
     // filtered to non-core below).

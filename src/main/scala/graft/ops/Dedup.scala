@@ -163,7 +163,7 @@ object Dedup {
     val bi = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(false)
     // Convergence via the label-sum invariant: labels only ever shrink, so
     // Σlabel strictly decreases until the fixpoint — a single tiny aggregate
     // per round instead of a join-and-compare against the previous frame.
@@ -177,7 +177,7 @@ object Dedup {
         .select(col("e.b").as("id"), col("l.label").as("label"))
       labels = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -270,7 +270,7 @@ object Dedup {
         when(col("is_exact").isNotNull, lit("exact_dup"))
           .when(col("is_near").isNotNull, lit("near_dup"))
           .otherwise(lit("novel")).as("status"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     inSig.unpersist(); corpSig.unpersist()
     out
   }
@@ -297,7 +297,7 @@ object Dedup {
   def jaccardPrefixJoin(docs: DataFrame, tauE6: Long): DataFrame = {
     require(tauE6 > 0L && tauE6 <= 1000000L, "tauE6 must be in (0, 1e6]")
     val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "").distinct().localCheckpoint(true)
+      .filter(col("word") =!= "").distinct().localCheckpoint(false)
     val freq = w.groupBy(col("word")).agg(count(lit(1)).as("df"))
     // rarest-first global order; doc-local rank + size drive the prefix cut
     val ranked = w.join(freq, "word")
@@ -344,7 +344,7 @@ object Dedup {
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("tot"))
     val shared = tf.as("a").join(tf.as("b"),
         col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
@@ -394,7 +394,7 @@ object Dedup {
       case _ => ()
     }
     val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "").distinct().localCheckpoint(true)
+      .filter(col("word") =!= "").distinct().localCheckpoint(false)
     val freq = w.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val ranked = w.join(freq, "word")
       .withColumn("rk", row_number().over(
@@ -468,7 +468,7 @@ object Dedup {
         Seq(col("lang"), col("n_chars"), col("doc_id")), "r", parts)
       .select(col("doc_id"), col("r"))
       .withColumn("blk", expr(s"(r - 1) div $w")) // integer div: `/` is double
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val probes = ranked.select(col("doc_id"), col("r"),
       explode(array(col("blk"), col("blk") + 1L)).as("blk"))
     val cands = probes.as("a")
@@ -479,7 +479,7 @@ object Dedup {
       .distinct()
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "").distinct().localCheckpoint(true)
+      .filter(col("word") =!= "").distinct().localCheckpoint(false)
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     cands
       .join(tok.select(col("doc_id").as("doc_a"), col("word")), "doc_a")
@@ -512,7 +512,7 @@ object Dedup {
   def containmentPrefixJoin(docs: DataFrame, tauE6: Long): DataFrame = {
     require(tauE6 > 0L && tauE6 <= 1000000L, "tauE6 must be in (0, 1e6]")
     val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "").distinct().localCheckpoint(true)
+      .filter(col("word") =!= "").distinct().localCheckpoint(false)
     val freq = w.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val ranked = w.join(freq, "word")
       .withColumn("rk", row_number().over(

@@ -28,13 +28,13 @@ object Diversify {
     * Output: (pick, id, rel, mmr2) for picks 1..k. */
   def mmr(cands: DataFrame, sims: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 16, "k must be in [1, 16]")
-    val c = cands.select(col("id"), col("rel")).localCheckpoint(true)
-    val sm = sims.select(col("a"), col("b"), col("sim")).localCheckpoint(true)
+    val c = cands.select(col("id"), col("rel")).localCheckpoint(false)
+    val sm = sims.select(col("a"), col("b"), col("sim")).localCheckpoint(false)
     var selected = c
       .agg(max(struct(col("rel"), (-col("id")).as("ni"))).as("f"))
       .select((-col("f.ni")).as("id"), col("f.rel").as("rel"),
         col("f.rel").as("mmr2"), lit(1L).as("pick"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var r = 1
     while (r < k) {
       r += 1
@@ -49,7 +49,7 @@ object Diversify {
           col("rel"))).as("f"))
         .select((-col("f.ni")).as("id"), col("f.rel").as("rel"),
           col("f.sc").as("mmr2"), lit(r.toLong).as("pick"))
-      selected = selected.unionByName(pick).localCheckpoint(true)
+      selected = selected.unionByName(pick).localCheckpoint(false)
     }
     selected.select(col("pick"), col("id"), col("rel"), col("mmr2"))
   }

@@ -23,7 +23,7 @@ object Engagement {
     val ud = events.select(col(userCol).as("u"),
         expr(s"unix_micros($tsCol) div 86400000000").as("day"))
       .distinct()
-      .localCheckpoint(true) // one dedup feeds DAU and the scatter
+      .localCheckpoint(false) // one dedup feeds DAU and the scatter
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = ud
       .withColumn("k", explode(expr("sequence(0L, 6L)")))

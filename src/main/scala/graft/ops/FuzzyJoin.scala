@@ -101,7 +101,7 @@ object FuzzyJoin {
     val pat = pairs.groupBy(col("f1"), col("f2"), col("f3"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"))
-      .localCheckpoint(true) // ≤ 8 pattern rows; ONE pair scan
+      .localCheckpoint(false) // ≤ 8 pattern rows; ONE pair scan
     val fieldTotals = (1 to 3).map { k =>
       pat.agg(sum(when(col(s"f$k"), col("n_match")).otherwise(0L)).as("a"),
         sum(when(col(s"f$k"), col("n_pairs") - col("n_match")).otherwise(0L))

@@ -56,7 +56,7 @@ object Graph {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
     val e = edges.select(col("src"), col("dst"), col("w"))
     val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
-    val ew = e.join(sw, "src").localCheckpoint(true)
+    val ew = e.join(sw, "src").localCheckpoint(false)
     var pr = nodes.select(col("id"), lit(1000000L).as("pr_e6"))
     for (_ <- 1 to iters) {
       val mass = ew.join(pr, ew("src") === pr("id"))
@@ -65,7 +65,7 @@ object Graph {
       pr = nodes.join(mass, nodes("id") === mass("dst"), "left")
         .select(nodes("id"),
           expr("150000L + (85 * coalesce(in_mass, 0L)) div 100").as("pr_e6"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     pr
   }
@@ -86,10 +86,10 @@ object Graph {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").localCheckpoint(true)
+    val ed = e.join(deg, "src").localCheckpoint(false)
     val n = nodes.select(col("id"),
       when(col(sourceCol), lit(150000L)).otherwise(lit(0L)).as("base"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var pr = n.select(col("id"),
       when(col("base") > 0L, lit(1000000L)).otherwise(lit(0L)).as("pr_e6"))
     for (_ <- 1 to iters) {
@@ -99,7 +99,7 @@ object Graph {
       pr = n.join(mass, n("id") === mass("dst"), "left")
         .select(n("id"),
           expr("base + (85 * coalesce(in_mass, 0L)) div 100").as("pr_e6"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     pr
   }
@@ -123,12 +123,12 @@ object Graph {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").localCheckpoint(true)
+    val ed = e.join(deg, "src").localCheckpoint(false)
     val base = nodes.select(col("id"))
       .crossJoin(broadcast(seeds.select(col("seed"))))
       .withColumn("base",
         when(col("id") === col("seed"), lit(150000L)).otherwise(lit(0L)))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var pr = base.select(col("id"), col("seed"),
       when(col("base") > 0L, lit(1000000L)).otherwise(lit(0L)).as("pr_e6"))
     for (_ <- 1 to iters) {
@@ -140,7 +140,7 @@ object Graph {
           base("id") === mass("dst") && base("seed") === mass("m_seed"), "left")
         .select(base("id"), base("seed"),
           expr("base + (85 * coalesce(in_mass, 0L)) div 100").as("pr_e6"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     pr
   }
@@ -162,13 +162,13 @@ object Graph {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").localCheckpoint(true)
+    val ed = e.join(deg, "src").localCheckpoint(false)
     val n = nodes.select(col("id"))
       .join(broadcast(seeds.select(col("seed"), col("w_e6"))),
         col("id") === col("seed"), "left")
       .select(col("id"), coalesce(col("w_e6"), lit(0L)).as("v"))
       .withColumn("base", expr("(15 * v) div 100"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var pr = n.select(col("id"), col("v").as("pr_e6"))
     for (_ <- 1 to iters) {
       val mass = ed.join(pr, ed("src") === pr("id"))
@@ -177,7 +177,7 @@ object Graph {
       pr = n.join(mass, n("id") === mass("dst"), "left")
         .select(n("id"),
           expr("base + (85 * coalesce(in_mass, 0L)) div 100").as("pr_e6"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     pr
   }
@@ -200,7 +200,7 @@ object Graph {
   def bfsLevels(nodes: DataFrame, edges: DataFrame, sourceCol: String,
                 maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     bfsLevelsPre(nodes, e, sourceCol, maxDepth)
   }
 
@@ -221,14 +221,24 @@ object Graph {
     *     visited with periodic folds: 25% fewer scheduler jobs but
     *     still ~1.6x slower wall (q_diameter_sweep 6.6 s vs 3.5 s,
     *     q_bowtie 10.6 s vs 6.7 s min-of-6 at sf0.1).
-    * Re-checkpointing the visited set each round keeps the anti-join
-    * plan a single flat leaf; a lazy union of frontiers was measured
-    * SLOWER (analyzer cost grows with the round count, and the
-    * per-round materialization is tiny). */
+    * Checkpointing the visited set each round keeps the anti-join plan a
+    * single flat leaf; a lazy union of frontiers WITHOUT the checkpoint
+    * was measured SLOWER (analyzer cost grows with the round count).
+    *
+    * r12 optimization-round refinement (guide §1/§7.3 — the per-round
+    * driver sync IS the cost at the small end): the checkpoints are now
+    * LAZY (`localCheckpoint(false)` still swaps the logical plan for a
+    * flat LogicalRDD leaf immediately, so the analyzer sees exactly the
+    * same flat shape), and the one per-round `count()` gate is the
+    * materializing action for the round's frontier — 3 driver-blocking
+    * jobs per round (eager frontier cp, isEmpty, eager visited-union cp)
+    * collapse into 1; the visited union materializes inside the NEXT
+    * round's anti-join job. Before/after numbers: OPTIMIZATION_r12.md
+    * (plan shape and oracle hashes unchanged). */
   private[graft] def bfsLevelsPre(nodes: DataFrame, e: DataFrame,
                                   sourceCol: String, maxDepth: Int): DataFrame = {
     var dist = nodes.filter(col(sourceCol))
-      .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint(false)
     var frontier = dist.select(col("id"))
     var depth = 0
     var done = false
@@ -237,11 +247,11 @@ object Graph {
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(e("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(false)
+      if (next.count() == 0L) done = true
       else {
         dist = dist.unionByName(next.withColumn("dist", lit(depth.toLong)))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         frontier = next
       }
     }
@@ -260,7 +270,7 @@ object Graph {
     * anti-join against the edge list. All equi-joins on node ids.
     */
   def commonNeighbors(edges: DataFrame, minCommon: Long): DataFrame = {
-    val und = canonical(edges).localCheckpoint(true)
+    val und = canonical(edges).localCheckpoint(false)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
     val wedge = adj.as("l").join(adj.as("r"),
@@ -290,10 +300,10 @@ object Graph {
     require(epsE6 >= 0L, "epsE6 must be non-negative")
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").localCheckpoint(true)
-    val n = nodes.select(col("id")).localCheckpoint(true)
+    val ed = e.join(deg, "src").localCheckpoint(false)
+    val n = nodes.select(col("id")).localCheckpoint(false)
     var pr = n.select(col("id"), lit(1000000L).as("pr_e6"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var rounds = 0
     var converged = false
     while (rounds < maxIters && !converged) {
@@ -303,7 +313,7 @@ object Graph {
       val next = n.join(mass, n("id") === mass("dst"), "left")
         .select(n("id"),
           expr("150000L + (85 * coalesce(in_mass, 0L)) div 100").as("pr_e6"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       rounds += 1
       val delta = next.as("b").join(pr.as("a"), col("a.id") === col("b.id"))
         .agg(sum(abs(col("b.pr_e6") - col("a.pr_e6"))).as("d"))
@@ -326,7 +336,7 @@ object Graph {
     * post-aggregation join).
     */
   def resourceAllocation(edges: DataFrame, minCommon: Long): DataFrame = {
-    val und = canonical(edges).localCheckpoint(true)
+    val und = canonical(edges).localCheckpoint(false)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
     val deg = adj.groupBy(col("u").as("z")).agg(count(lit(1)).as("degz"))
@@ -358,9 +368,9 @@ object Graph {
     require(maxHops >= 1 && maxHops <= 64, "maxHops must be in [1, 64]")
     val e = edges.select(col("src"), col("dst"), col("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var dist = nodes.filter(col(sourceCol))
-      .select(col("id"), lit(0L).as("cost")).localCheckpoint(true)
+      .select(col("id"), lit(0L).as("cost")).localCheckpoint(false)
     var hops = 0
     var done = false
     while (hops < maxHops && !done) {
@@ -369,7 +379,7 @@ object Graph {
         .select(e("dst").as("id"), (col("cost") + col("w")).as("cost"))
         .unionByName(dist)
         .groupBy(col("id")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val improved = relaxed.as("n").join(dist.as("o"),
           col("n.id") === col("o.id"), "left")
         .filter(col("o.cost").isNull || col("n.cost") < col("o.cost"))
@@ -397,7 +407,7 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 1 && maxRounds >= 1 && maxRounds <= 64,
       "need k >= 1 and maxRounds in [1, 64]")
-    var e = canonical(edges).localCheckpoint(true)
+    var e = canonical(edges).localCheckpoint(false)
     var n = e.count()
     var rounds = 0
     var done = n == 0L
@@ -406,12 +416,12 @@ object Graph {
       val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val e2 = e
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val n2 = e2.count()
       done = n2 == n
       e = e2
@@ -437,7 +447,7 @@ object Graph {
     * isolated triads" ask with an exact oracle.
     */
   def maximalTriangles(edges: DataFrame): DataFrame = {
-    val e = canonical(edges).localCheckpoint(true)
+    val e = canonical(edges).localCheckpoint(false)
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .unionByName(e.select(col("b").as("u"), col("a").as("v")))
     val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
@@ -445,7 +455,7 @@ object Graph {
       .join(e.as("e3"),
         col("x") === col("e3.a") && col("z") === col("e3.b"))
       .select(col("x"), col("y"), col("z"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // a triangle extends iff some w is adjacent to x, y AND z
     val ext = tri
       .join(adj.as("wx"), col("x") === col("wx.u"))
@@ -471,9 +481,9 @@ object Graph {
     require(maxHops >= 1 && maxHops <= 64, "maxHops must be in [1, 64]")
     val e = edges.select(col("src"), col("dst"), col("w"))
       .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var cap = nodes.filter(col(sourceCol))
-      .select(col("id"), lit(Long.MaxValue).as("cap")).localCheckpoint(true)
+      .select(col("id"), lit(Long.MaxValue).as("cap")).localCheckpoint(false)
     var hops = 0
     var done = false
     while (hops < maxHops && !done) {
@@ -482,7 +492,7 @@ object Graph {
         .select(e("dst").as("id"), least(col("cap"), col("w")).as("cap"))
         .unionByName(cap)
         .groupBy(col("id")).agg(max(col("cap")).as("cap"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val improved = relaxed.as("n").join(cap.as("o"),
           col("n.id") === col("o.id"), "left")
         .filter(col("o.cap").isNull || col("n.cap") > col("o.cap"))
@@ -517,14 +527,14 @@ object Graph {
           col("b") === col("nb.u") && col("na.v") === col("nb.v"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
     }
-    var e = canonical(edges).localCheckpoint(true)
+    var e = canonical(edges).localCheckpoint(false)
     var n = e.count()
     var rounds = 0
     var done = n == 0L
     while (rounds < maxRounds && !done) {
       rounds += 1
       val e2 = support(e).filter(col("support") >= k - 2)
-        .select(col("a"), col("b")).localCheckpoint(true)
+        .select(col("a"), col("b")).localCheckpoint(false)
       val n2 = e2.count()
       done = n2 == n
       e = e2
@@ -545,7 +555,7 @@ object Graph {
     * out-degree ≤ √E); id-orientation is used here because the test graphs
     * are degree-uniform, and the join shape is identical. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val e = canonical(edges).localCheckpoint(true)
+    val e = canonical(edges).localCheckpoint(false)
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     wedges.join(e.as("e3"),
@@ -571,7 +581,7 @@ object Graph {
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def normalize(raw: DataFrame, c: String): DataFrame = {
       val mx = raw.agg(max(col(c)).as("mx"))
       raw.crossJoin(broadcast(mx))
@@ -583,11 +593,11 @@ object Graph {
       auth = normalize(
         e.join(hub, e("src") === hub("id"))
           .groupBy(e("dst").as("id")).agg(sum(col("h")).as("a")), "a")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       hub = normalize(
         e.join(auth, e("dst") === auth("id"))
           .groupBy(e("src").as("id")).agg(sum(col("a")).as("h")), "h")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     nodes.select(col("id"))
       .join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
@@ -611,10 +621,21 @@ object Graph {
     * relaxation.
     *
     * Scale per round: two label joins + one per-component min (all
-    * keyed shuffles on node/component ids) + star CC over ≤ n−1 forest
-    * edges; lineage is checkpoint-truncated. The per-round driver
-    * action (selected-edge count) is the synchronous-superstep check
-    * every distributed Borůvka performs. Output: (a, b, w). */
+    * keyed shuffles on node/component ids) + star CC over the
+    * CONTRACTED cluster graph — the selected edges collapsed to their
+    * endpoints' current cluster roots
+    * ([[StarComponents.incrementalConnectedComponents]]), a frame that
+    * shrinks with the component count instead of growing with the
+    * forest, so the per-round CC cost falls geometrically (r12: the
+    * original form re-ran full star CC over the ACCUMULATED forest
+    * every round — O(V) CC input per round and ~2x the star rounds;
+    * labels are identical because merging clusters through new edges is
+    * exactly connectivity on the cluster graph, and min-of-mins is the
+    * global component min). Lineage is checkpoint-truncated (lazily —
+    * the selected-edge count gate is each round's one driver action,
+    * the synchronous-superstep check every distributed Borůvka
+    * performs); the forest itself accumulates as a lazy union read only
+    * by the caller. Output: (a, b, w). */
   def minimumSpanningForest(nodes: DataFrame, edges: DataFrame,
                             maxRounds: Int): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 30, "maxRounds must be in [1, 30]")
@@ -622,10 +643,10 @@ object Graph {
         greatest(col("a"), col("b")).as("b"), col("w"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
-      .localCheckpoint(true)
-    val n = nodes.select(col("id")).distinct().localCheckpoint(true)
+      .localCheckpoint(false)
+    val n = nodes.select(col("id")).distinct().localCheckpoint(false)
     var comp = n.select(col("id"), col("id").as("cluster_id"))
-    var forest = e.filter(lit(false)).localCheckpoint(true)
+    val forestParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var done = false
     var round = 0
     while (!done && round < maxRounds) {
@@ -639,17 +660,17 @@ object Graph {
       val sel = cand.groupBy(col("c")).agg(min(col("edge")).as("edge"))
         .select(col("edge.a").as("a"), col("edge.b").as("b"),
           col("edge.w").as("w"))
-        .distinct().localCheckpoint(true)
+        .distinct().localCheckpoint(false)
       if (sel.count() == 0L) done = true
       else {
-        forest = forest.unionByName(sel).localCheckpoint(true)
+        forestParts += sel
         comp = StarComponents
-          .connectedComponents(n, forest.select(col("a"), col("b")))
-          .localCheckpoint(true)
+          .incrementalConnectedComponents(comp, sel)
+          .localCheckpoint(false)
       }
       round += 1
     }
-    forest
+    forestParts.foldLeft(e.filter(lit(false)))(_ unionByName _)
   }
 
   /** Adamic–Adar link prediction: distance-2 pairs scored
@@ -664,7 +685,7 @@ object Graph {
     * Same wedge join as [[commonNeighbors]] with the degree table
     * pre-joined onto the pivot side. */
   def adamicAdar(edges: DataFrame, minCommon: Long): DataFrame = {
-    val und = canonical(edges).localCheckpoint(true)
+    val und = canonical(edges).localCheckpoint(false)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
     val deg = adj.groupBy(col("u").as("z")).agg(count(lit(1)).as("degz"))
@@ -691,7 +712,7 @@ object Graph {
     * (adjacency self-join on the pivot, closure semi-join against the
     * canonical edge list) — all keyed shuffles, no all-pairs. */
   def localClustering(edges: DataFrame): DataFrame = {
-    val und = canonical(edges).localCheckpoint(true)
+    val und = canonical(edges).localCheckpoint(false)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
     val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
@@ -716,7 +737,7 @@ object Graph {
     * final IEEE ratio rounded to 6 (the [[TimeSeries.autocorr]]
     * determinism recipe). Output one row: (n_dir, r). */
   def assortativity(edges: DataFrame): DataFrame = {
-    val und = canonical(edges).localCheckpoint(true)
+    val und = canonical(edges).localCheckpoint(false)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -757,8 +778,8 @@ object Graph {
     val und = canonical(edges)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
-    val n = nodes.select(col("id")).distinct().localCheckpoint(true)
+      .localCheckpoint(false)
+    val n = nodes.select(col("id")).distinct().localCheckpoint(false)
     var lbl = n.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       val win = adj.join(lbl.select(col("id").as("u"), col("label")), "u")
@@ -769,7 +790,7 @@ object Graph {
         .select(col("id"), col("best.l").as("nl"))
       lbl = lbl.join(win, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     lbl
   }
@@ -808,7 +829,7 @@ object Graph {
     require(maxRounds >= 1 && maxRounds <= 60, "maxRounds must be in [1, 60]")
     val und = edges.select(col("a"), col("b"), col("w"))
     val forest = minimumSpanningForest(nodes, und, maxRounds)
-      .select(col("a"), col("b")).localCheckpoint(true)
+      .select(col("a"), col("b")).localCheckpoint(false)
     val nonForest = und.select(col("a"), col("b"))
       .join(forest, Seq("a", "b"), "left_anti")
       .withColumn("lbl", xxhash64(col("a"), col("b")))
@@ -818,10 +839,15 @@ object Graph {
     var acc = nodes.select(col("id")).distinct()
       .join(acc0, Seq("id"), "left")
       .select(col("id"), coalesce(col("acc"), lit(0L)).as("acc"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var rem = forest
-    var verdict = forest.filter(lit(false))
-      .withColumn("cut_xor", lit(0L)).localCheckpoint(true)
+    // r12: verdict rows are only READ after the loop, so they accumulate
+    // as a lazy union of the (cached) per-round pruned frames instead of
+    // re-materializing a growing verdict frame every round; the one
+    // rem.count() gate is the round's single driver-blocking action
+    // (pruned/acc/rem are lazy checkpoints materialized by it or by the
+    // next round's consumer job — guide §1/§7.3, see OPTIMIZATION_r12.md).
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     while (round < maxRounds && rem.count() > 0L) {
       val adj = rem.select(col("a").as("u"), col("b").as("v"))
@@ -834,25 +860,26 @@ object Graph {
         .filter(col("dv") > 1L || col("u") < col("v"))
         .select(col("u").as("leaf"), col("v").as("parent"))
         .join(acc.select(col("id").as("leaf"), col("acc")), "leaf")
-        .localCheckpoint(true)
-      verdict = verdict.unionByName(
-          pruned.select(least(col("leaf"), col("parent")).as("a"),
-            greatest(col("leaf"), col("parent")).as("b"),
-            col("acc").as("cut_xor")))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      verdicts += pruned.select(least(col("leaf"), col("parent")).as("a"),
+        greatest(col("leaf"), col("parent")).as("b"),
+        col("acc").as("cut_xor"))
       val fold = pruned.groupBy(col("parent").as("id"))
         .agg(expr("bit_xor(acc)").as("dx"))
       acc = acc.join(fold, Seq("id"), "left")
         .select(col("id"),
           coalesce(expr("acc ^ dx"), col("acc")).as("acc"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       rem = rem.join(pruned
           .select(least(col("leaf"), col("parent")).as("a"),
             greatest(col("leaf"), col("parent")).as("b")),
           Seq("a", "b"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       round += 1
     }
+    val verdict = verdicts.foldLeft(
+      forest.filter(lit(false)).withColumn("cut_xor", lit(0L)))(
+      _ unionByName _)
     verdict.select(col("a"), col("b"), (col("cut_xor") === 0L).as("is_bridge"))
   }
 
@@ -864,12 +891,14 @@ object Graph {
   def multiSourceBfs(nodes: DataFrame, edges: DataFrame, seedCol: String,
                      maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     // Same measured-optimal round shape as [[bfsLevelsPre]] (see the
-    // negative results recorded there), keyed (seed, id).
+    // negative results AND the r12 lazy-checkpoint refinement recorded
+    // there: one count() gate per round is the only driver sync), keyed
+    // (seed, id).
     var dist = nodes.filter(col(seedCol))
       .select(col("id").as("seed"), col("id"), lit(0L).as("dist"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var frontier = dist.select(col("seed"), col("id"))
     var depth = 0
     var done = false
@@ -878,11 +907,11 @@ object Graph {
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(col("seed"), e("dst").as("id")).distinct()
         .join(dist, Seq("seed", "id"), "left_anti")
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(false)
+      if (next.count() == 0L) done = true
       else {
         dist = dist.unionByName(next.withColumn("dist", lit(depth.toLong)))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         frontier = next
       }
     }
@@ -925,10 +954,10 @@ object Graph {
     * standard degree-ordered orientation. Output:
     * (a, b, deg_a, deg_b, common, j_e6). */
   def neighborJaccard(edges: DataFrame): DataFrame = {
-    val und = canonical(edges).localCheckpoint(true)
+    val und = canonical(edges).localCheckpoint(false)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val common = und
       .join(adj.select(col("u").as("a"), col("v").as("w")), Seq("a"))
@@ -967,12 +996,12 @@ object Graph {
                           rootCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
     // Dedup + checkpoint the edges ONCE — both sweeps reuse the frame.
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     val d0 = bfsLevelsPre(nodes, e, rootCol, maxDepth)
     val far = d0
       .agg(max(struct(col("dist"), (-col("id")).as("ni"))).as("f"))
       .select((-col("f.ni")).as("u"), col("f.dist").as("ecc_root"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val seeded = nodes.crossJoin(broadcast(far))
       .withColumn("is_far", col("id") === col("u"))
     bfsLevelsPre(seeded, e, "is_far", maxDepth)
@@ -1012,10 +1041,11 @@ object Graph {
     val seeded = seedCol.fold(nodes.withColumn("every_node", lit(true)))(
       c => nodes.withColumn("every_node", col(c)))
     val dist = multiSourceBfs(seeded, edges, "every_node", maxDepth)
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+      .localCheckpoint(false) // reused by every layer filter below
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     var front = dist.filter(col("dist") === 0L)
       .select(col("seed"), col("id"), lit(1L).as("sig"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var sig = front.withColumn("d", lit(0L))
     var d = 0
     var done = false
@@ -1027,11 +1057,11 @@ object Graph {
         .select(col("seed"), e("dst").as("id"), col("sig"))
         .join(layer, Seq("seed", "id")) // keeps only min-dist-d nodes
         .groupBy(col("seed"), col("id")).agg(sum(col("sig")).as("sig"))
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(false)
+      if (next.count() == 0L) done = true
       else {
         sig = sig.unionByName(next.withColumn("d", lit(d.toLong)))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         front = next
       }
     }
@@ -1067,7 +1097,7 @@ object Graph {
                   rounds: Int): DataFrame = {
     var r = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var n = r.count()
     var i = 0
     var grown = true
@@ -1075,7 +1105,7 @@ object Graph {
       i += 1
       r = r.as("a").join(r.as("b"), col("a.v") === col("b.u"))
         .select(col("a.u").as("u"), col("b.v").as("v"))
-        .unionByName(r).distinct().localCheckpoint(true)
+        .unionByName(r).distinct().localCheckpoint(false)
       val n2 = r.count()
       grown = n2 > n
       n = n2
@@ -1099,8 +1129,8 @@ object Graph {
     * localCheckpoint truncates the growing lineage. */
   def dagLongestPath(nodes: DataFrame, edges: DataFrame,
                      maxDepth: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
-    var best = nodes.select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(false)
+    var best = nodes.select(col("id"), lit(0L).as("dist")).localCheckpoint(false)
     var front = best
     var d = 0
     var done = false
@@ -1113,14 +1143,14 @@ object Graph {
         .join(best.as("b"), Seq("id"))
         .filter(col("c.dist") > col("b.dist"))
         .select(col("id"), col("c.dist").as("dist"))
-        .localCheckpoint(true)
-      if (improved.isEmpty) done = true
+        .localCheckpoint(false)
+      if (improved.count() == 0L) done = true
       else {
         best = best.as("b").join(improved.as("i"), Seq("id"), "left")
           .select(col("id"),
             greatest(col("b.dist"), coalesce(col("i.dist"), col("b.dist")))
               .as("dist"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         front = improved
       }
     }
@@ -1137,7 +1167,7 @@ object Graph {
     val adj = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
     val color = bfsLevels(nodes, adj, rootCol, maxDepth)
-      .select(col("id"), (col("dist") % 2).as("c")).localCheckpoint(true)
+      .select(col("id"), (col("dist") % 2).as("c")).localCheckpoint(false)
     edges
       .join(color.select(col("id").as("a"), col("c").as("ca")), Seq("a"))
       .join(color.select(col("id").as("b"), col("c").as("cb")), Seq("b"))
@@ -1156,7 +1186,7 @@ object Graph {
     * self-join bound as [[triangleCount]] (Σ deg²).
     * Output: (a, b, n_common, jac_e6). */
   def edgeJaccard(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val und = edges.select(col("a"), col("b")).distinct().localCheckpoint(false)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -1196,7 +1226,7 @@ object Graph {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("u")).orderBy(col("v"))))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("u"))))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var frontier = adj.select(col("u")).distinct()
       .select(col("u").as("start"), col("u").as("cur"))
     val hops = (1 to steps).map { s =>
@@ -1206,7 +1236,7 @@ object Graph {
       frontier = frontier.join(ranked, col("cur") === col("u"))
         .filter(col("rk") === choice + 1L)
         .select(col("start"), col("v").as("cur"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       frontier.select(col("start"), lit(s.toLong).as("step"),
         col("cur").as("node"))
     }
@@ -1228,12 +1258,12 @@ object Graph {
     val und = canonical(edges)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val h1 = adj.join(feats.select(col("id").as("v"), col("x")), "v")
       .groupBy(col("u").as("id"))
       .agg(count(lit(1)).as("deg"), sum(col("x")).as("sx"))
       .selectExpr("id", "deg", "sx * 1000000 div deg AS h1_e6")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     adj.join(h1.select(col("id").as("v"), col("h1_e6").as("hn")), "v")
       .groupBy(col("u").as("id"))
       .agg(count(lit(1)).as("deg"), sum(col("hn")).as("sh"))
@@ -1262,8 +1292,8 @@ object Graph {
     val cedges = canonical(edges)
     val adj = cedges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(cedges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
-    var und = und0.localCheckpoint(true)
+      .localCheckpoint(false)
+    var und = und0.localCheckpoint(false)
     var decided = und0.sparkSession.emptyDataFrame
     var haveDecided = false
     (1 to rounds).foreach { r =>
@@ -1277,17 +1307,17 @@ object Graph {
       val winners = pri.join(nbrBest, col("id") === col("u"), "left")
         .filter(col("best").isNull ||
           struct(col("p"), col("id")) > col("best"))
-        .select(col("id")).localCheckpoint(true)
+        .select(col("id")).localCheckpoint(false)
       val dropped = adj.join(winners.select(col("id").as("u")), "u")
         .select(col("v").as("id")).distinct()
         .join(und, Seq("id"), "left_semi") // only still-undecided drop
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val newDecided = winners.select(col("id"), lit(1L).as("state"))
         .unionByName(dropped.select(col("id"), lit(0L).as("state")))
       decided = if (haveDecided) decided.unionByName(newDecided) else newDecided
       haveDecided = true
       und = und.join(winners, Seq("id"), "left_anti")
-        .join(dropped, Seq("id"), "left_anti").localCheckpoint(true)
+        .join(dropped, Seq("id"), "left_anti").localCheckpoint(false)
     }
     decided.unionByName(und.select(col("id"), lit(-1L).as("state")))
   }
@@ -1316,10 +1346,10 @@ object Graph {
     val cedges = canonical(edges)
     val adj = cedges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(cedges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val pri0 = nodes.select(col("id")).distinct()
       .withColumn("p", Dedup.hash48(col("id").cast("string"), lit("jp")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var und = pri0
     var colored = und.sparkSession.emptyDataFrame
     var haveColored = false
@@ -1331,7 +1361,7 @@ object Graph {
       val winners = und.join(nbrBest, col("id") === col("u"), "left")
         .filter(col("best").isNull ||
           struct(col("p"), col("id")) > col("best"))
-        .select(col("id")).localCheckpoint(true)
+        .select(col("id")).localCheckpoint(false)
       val masks =
         if (!haveColored) winners.withColumn("mask", lit(0L))
         else adj.join(winners.select(col("id").as("u")), "u")
@@ -1343,11 +1373,11 @@ object Graph {
           .select(col("id"), coalesce(col("m"), lit(0L)).as("mask"))
       val newColored = masks
         .select(col("id"), mex.as("color"), lit(r.toLong).as("round_colored"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       colored = if (haveColored) colored.unionByName(newColored)
         else newColored
       haveColored = true
-      und = und.join(winners, Seq("id"), "left_anti").localCheckpoint(true)
+      und = und.join(winners, Seq("id"), "left_anti").localCheckpoint(false)
     }
     colored.unionByName(und.select(col("id"), lit(-1L).as("color"),
       lit(-1L).as("round_colored")))
@@ -1377,7 +1407,7 @@ object Graph {
       .agg(count(lit(1)).cast(dec).as("deg_c"),
         sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).cast(dec)
           .as("in2_c"))
-      .localCheckpoint(true) // community axis: tiny
+      .localCheckpoint(false) // community axis: tiny
     val tot = perC.agg(sum(col("deg_c")).as("aa"))
     perC.crossJoin(broadcast(tot))
       .agg(count(lit(1)).as("n_comms"),
@@ -1405,8 +1435,8 @@ object Graph {
   def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = canonical(edges).localCheckpoint(true)
-    val deg = degrees(e).localCheckpoint(true)
+    val e = canonical(edges).localCheckpoint(false)
+    val deg = degrees(e).localCheckpoint(false)
     val kdf = ks.map(_.toLong).toDF("k")
     val nk = deg.crossJoin(broadcast(kdf)).filter(col("degree") > col("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
@@ -1433,7 +1463,7 @@ object Graph {
     * aggregate — wedges come from degrees in closed form, not from
     * materializing the wedge set twice. */
   def transitivity(edges: DataFrame): DataFrame = {
-    val e = canonical(edges).localCheckpoint(true)
+    val e = canonical(edges).localCheckpoint(false)
     val wed = degrees(e).agg(sum(expr("degree * (degree - 1)")).as("w2"))
     triangleCount(e).crossJoin(broadcast(wed))
       .selectExpr("n_triangles", "w2 div 2 AS n_wedges",
@@ -1459,7 +1489,7 @@ object Graph {
     * never a co-citation pair join (which squares on hub degree). */
   def salsa(edges: DataFrame): DataFrame = {
     val ed = edges.select(col("hub"), col("auth")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val enc = ed.select((col("hub") * 2).as("a"), (col("auth") * 2 + 1).as("b"))
     val nodes = enc.select(col("a").as("id"))
       .unionByName(enc.select(col("b").as("id"))).distinct()
@@ -1510,7 +1540,7 @@ object Graph {
         lit("bowtie requires non-negative node ids (parity encoding)")).isNull)
     val dn = n.select((col("id") * 2).as("id"), col("s"))
       .unionByName(n.select((col("id") * 2 + 1).as("id"), col("s")))
-    val reach = bfsLevels(dn, doubled, "s", maxDepth).localCheckpoint(true)
+    val reach = bfsLevels(dn, doubled, "s", maxDepth).localCheckpoint(false)
     val fwd = reach.filter(col("id") % 2 === 0)
       .select(expr("id div 2").as("id"), lit(1L).as("f"))
     val bwd = reach.filter(col("id") % 2 === 1)
@@ -1540,7 +1570,7 @@ object Graph {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true) // reused by pairs/nodes/count: ONE raw scan
+      .localCheckpoint(false) // reused by pairs/nodes/count: ONE raw scan
     val pairs = e.select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("dirs"))

@@ -29,13 +29,13 @@ object GridCluster {
                         cyCol: String): DataFrame = {
     val cells = pts.groupBy(col(cxCol).as("cx"), col(cyCol).as("cy"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // occupied-cell axis: small; ONE raw scan
+      .localCheckpoint(false) // occupied-cell axis: small; ONE raw scan
     val tot = cells.agg(sum(col("n")).as("pts_all"), count(lit(1)).as("nc"))
     val dense = cells.crossJoin(broadcast(tot))
       .filter(col("n") >= expr("(2 * pts_all) div nc"))
       .select(col("cx"), col("cy"), col("n"),
         (col("cx") * 1000L + col("cy")).as("k"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val neigh = dense.select(col("k").as("ka"), col("cx"), col("cy"))
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))

@@ -24,10 +24,10 @@ object Hierarchy {
                         maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 32, "maxDepth must be in [1, 32]")
     val e = edges.select(col("src"), col("dst"), col("qty"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var acc = nodes.filter(col(rootCol))
       .select(col("id"), lit(0L).as("depth"), lit(1L).as("eff_qty"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var frontier = acc
     var depth = 0
     var done = false
@@ -39,10 +39,10 @@ object Hierarchy {
         .join(acc.select(col("id")), Seq("id"), "left_anti")
         .withColumn("depth", lit(depth.toLong))
         .select(col("id"), col("depth"), col("eff_qty"))
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(false)
+      if (next.count() == 0L) done = true
       else {
-        acc = acc.unionByName(next).localCheckpoint(true)
+        acc = acc.unionByName(next).localCheckpoint(false)
         frontier = next
       }
     }

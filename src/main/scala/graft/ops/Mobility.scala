@@ -58,7 +58,7 @@ object Mobility {
       .select(col("cell"), col("cnt"),
         expr("CAST(parts[1] AS BIGINT)").as("q"),
         expr("CAST(parts[2] AS BIGINT)").as("r"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val scatter = cnts.select(col("cnt"), col("q"), col("r"),
         explode(array(((0, 0) +: dirs).map { case (dq, dr) =>
           struct(lit(dq.toLong).as("dq"), lit(dr.toLong).as("dr"))
@@ -87,7 +87,7 @@ object Mobility {
     val pts = pos.select(col("vehicleId").as("veh"),
         floor(col("lat") * 100 + 0.5).cast(dec).as("x"),
         floor(col("lon") * 100 + 0.5).cast(dec).as("y"))
-      .localCheckpoint(true) // ONE raw scan feeds both passes
+      .localCheckpoint(false) // ONE raw scan feeds both passes
     val m = pts.groupBy(col("veh"))
       .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"))

@@ -39,22 +39,34 @@ object Outlier {
       col("label").cast("long").as("label"),
       expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
         "x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))").as("qv"))
-    val b = q.select(col("label"), col("vec_id").as("ib"),
-      col("qv").as("bv"))
-    // The label join lands on |labels| partitions; round-robin the raw
+    // The label join lands on |labels| partitions; round-robin the
     // pairs across the session's shuffle width BEFORE the 64-wide
     // distance fold so it runs on every core (the knnClassify lesson —
     // fusing the fold into the skewed join stage measured ~3× slower).
+    // r12 (guide §2.3/§8): the pair frame that crosses that exchange
+    // carries ONLY ids — the two 64-long vectors attach AFTER the
+    // repartition via equi-joins against the (tiny, broadcastable)
+    // vector table, so the shuffle moves O(pairs·24B) instead of
+    // O(pairs·1KB) of duplicated array payload. At 100 TB the same plan
+    // degrades gracefully: the attach joins become shuffles of the
+    // vector table (O(n) array movement), never O(n·k) duplication
+    // through the exchange.
+    val qv = q.select(col("vec_id"), col("qv")).localCheckpoint(false)
+    val idsOnly = q.select(col("label"), col("vec_id"))
     val width = emb.sparkSession.sessionState.conf.numShufflePartitions
-    val knn = q.join(b, "label").where(col("vec_id") =!= col("ib"))
+    val knn = idsOnly
+      .join(idsOnly.select(col("label"), col("vec_id").as("ib")), "label")
+      .where(col("vec_id") =!= col("ib"))
       .repartition(width)
+      .join(qv, "vec_id")
+      .join(qv.select(col("vec_id").as("ib"), col("qv").as("bv")), "ib")
       .select(col("label"), col("vec_id").as("ia"), col("ib"),
         expr("""aggregate(zip_with(qv, bv, (x, y) -> (x - y) * (x - y)),
                |0L, (acc, v) -> acc + v)""".stripMargin).as("d2"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("ia")).orderBy(col("d2"), col("ib"))))
       .filter(col("rk") <= k)
-      .localCheckpoint(true) // O(k·n) rows; reused by 3 aggregates below
+      .localCheckpoint(false) // O(k·n) rows; reused by 3 aggregates below
     val kdist = knn.groupBy(col("ia"))
       .agg(max(col("d2")).as("kdist"))
     val sreach = knn

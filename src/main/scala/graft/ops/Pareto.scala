@@ -32,7 +32,7 @@ object Pareto {
     val it = items.select(col(idCol).as("id"),
         col(centsCol).cast("long").as("v"))
       .withColumn("band", length(bin(col("v"))).cast("long"))
-      .localCheckpoint(true) // one pass feeds bands AND the item walk
+      .localCheckpoint(false) // one pass feeds bands AND the item walk
     val bands = it.groupBy(col("band"))
       .agg(sum(col("v")).as("bv"), count(lit(1)).as("bn"))
     // ≤ 64 rows: the cross-band cumulative runs on a bounded tiny frame.

@@ -29,7 +29,7 @@ object Privacy {
     val gs = groupCols.map(col)
     val cnt = df.groupBy(gs :+ col(bucketCol).as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // groups × buckets cells: tiny; ONE raw scan
+      .localCheckpoint(false) // groups × buckets cells: tiny; ONE raw scan
     val globalBuckets = cnt.select(col("bucket")).distinct()
     val global = cnt.groupBy(col("bucket")).agg(sum(col("n")).as("gn"))
       .crossJoin(broadcast(cnt.agg(sum(col("n")).as("gtot"))))

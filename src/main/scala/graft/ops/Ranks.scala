@@ -85,7 +85,7 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lr",
         (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))) + 1L)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val offs = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
       .withColumn("__off", sum(col("__c")).over(
         Window.orderBy(col("__pid"))

@@ -49,7 +49,7 @@ object Recsys {
       .withColumn("brk", row_number().over(
         Window.partitionBy(col("b")).orderBy(col("i"))))
       .filter(col("brk") <= maxBasketSize).drop("brk")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val itot = bi.groupBy(col("i")).agg(count(lit(1)).as("ci"))
     val co = bi.as("x").join(bi.as("y"),
         col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
@@ -83,7 +83,7 @@ object Recsys {
     val recs = itemCf(train, basketCol, itemCol, minSupport, k)
       .select(col("item"), col("rec"))
     val ti = test.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val pairs = ti.as("x").join(ti.as("y"),
         col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
       .select(col("x.b").as("b"), col("x.i").as("item"),

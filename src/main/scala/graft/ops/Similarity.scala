@@ -212,13 +212,13 @@ object Similarity {
   def powerIteration(gram: DataFrame, dims: Int, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 8, "iters in [1, 8]")
     val spark = gram.sparkSession
-    val g0 = gram.localCheckpoint(true)
+    val g0 = gram.localCheckpoint(false)
     val sym = g0.select(col("i"), col("j"), col("g_e12"), col("n_rows"))
       .unionByName(g0.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("g_e12"), col("n_rows")))
     val gsc = sym.select(col("i"), col("j"),
         expr(sdiv("g_e12", "n_rows")).as("g"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var x = spark.range(dims).select(col("id").as("j"), lit(10000L).as("x"))
     for (_ <- 1 to iters) {
       val y = gsc.join(x, Seq("j"))
@@ -229,7 +229,7 @@ object Similarity {
       x = y.crossJoin(broadcast(my))
         .select(col("i").as("j"),
           expr(sdiv("y", "greatest(1L, my div 10000L)")).as("x"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     x.select(col("j").as("i"), col("x").as("x_e4"))
   }
@@ -251,16 +251,16 @@ object Similarity {
   def powerIterationDeflated(gram: DataFrame, dims: Int,
                              iters: Int): DataFrame = {
     val dec = "decimal(38,0)"
-    val x1 = powerIteration(gram, dims, iters).localCheckpoint(true)
+    val x1 = powerIteration(gram, dims, iters).localCheckpoint(false)
     // same scaled symmetric covariance powerIteration builds internally
-    val g0 = gram.localCheckpoint(true)
+    val g0 = gram.localCheckpoint(false)
     val sym = g0.select(col("i"), col("j"), col("g_e12"), col("n_rows"))
       .unionByName(g0.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("g_e12"),
           col("n_rows")))
     val gsc = sym.select(col("i"), col("j"),
         expr(sdiv("g_e12", "n_rows")).as("g"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val xx = x1.agg(sum(col("x_e4") * col("x_e4")).as("xx"))
     val gx = gsc.join(x1.select(col("i").as("j"), col("x_e4").as("xj")), "j")
       .groupBy(col("i")).agg(sum(col("g") * col("xj")).as("gx"))

@@ -246,8 +246,8 @@ object Sketches {
       .select(Dedup.hash48(df.columns.head match { case c => col(c).cast("string") },
         lit("theta")).as("h"))
       .distinct().orderBy(col("h")).limit(k)
-    val a = kmv(dfA).localCheckpoint(true)
-    val b = kmv(dfB).localCheckpoint(true)
+    val a = kmv(dfA).localCheckpoint(false)
+    val b = kmv(dfB).localCheckpoint(false)
     val theta = a.union(b).distinct().orderBy(col("h")).limit(k)
       .agg(max(col("h")).as("theta"))
     val stats = a.select(col("h"), lit(1).as("in_a"))

@@ -106,7 +106,7 @@ object Skyline {
       .withColumn("_sk_better", min(col("_sk_dims")(k - 1)).over(perFirst))
       .filter(col("_sk_better").isNull || col("_sk_dims")(k - 1) < col("_sk_better"))
       .drop("_sk_better")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val dominated = expr(
       """forall(zip_with(_sk_q, _sk_p, (q, p) -> q <= p), x -> x)
         | AND exists(zip_with(_sk_q, _sk_p, (q, p) -> q < p), x -> x)""".stripMargin)
@@ -135,7 +135,7 @@ object Skyline {
       .withColumn("_sk_better", min(col("_sk_z")).over(perX))
       .filter(col("_sk_better").isNull || col("_sk_z") < col("_sk_better"))
       .drop("_sk_better")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val surviving = pre.as("l1").join(broadcast(pre.as("l2")),
         col("l2._sk_x") >= col("l1._sk_x") && col("l2._sk_y") <= col("l1._sk_y") &&
           col("l2._sk_z") <= col("l1._sk_z") &&

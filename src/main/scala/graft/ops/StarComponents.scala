@@ -166,7 +166,7 @@ object StarComponents {
     val probe = Dedup.connectedComponentsProbe(nodes, edges, probeRounds)
     if (probe.converged) probe.labels.withColumnRenamed("label", "cluster_id")
     else {
-      val l = probe.labels.localCheckpoint(true)
+      val l = probe.labels.localCheckpoint(false)
       // collapse: original edges mapped through partial labels
       val collapsed = edges
         .join(l.select(col("id").as("a"), col("label").as("la")), Seq("a"))

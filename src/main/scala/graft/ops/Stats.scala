@@ -33,7 +33,7 @@ object Stats {
       .groupBy(col("v"))
       .agg(sum(when(col("s") === 0L, 1L).otherwise(0L)).as("c1"),
         sum(when(col("s") === 1L, 1L).otherwise(0L)).as("c2"))
-      .localCheckpoint(true) // distinct-value axis: tiny; ONE raw scan
+      .localCheckpoint(false) // distinct-value axis: tiny; ONE raw scan
     val tot = cells.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     cells
       .withColumn("cum1", sum(col("c1")).over(ord))
@@ -60,7 +60,7 @@ object Stats {
   def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df.select(col(xCol).as("x"), col(yCol).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("o"))
-      .localCheckpoint(true) // |X|x|Y| cells: tiny; ONE raw scan
+      .localCheckpoint(false) // |X|x|Y| cells: tiny; ONE raw scan
     val rm = cells.groupBy(col("x")).agg(sum(col("o")).as("r"))
     val cm = cells.groupBy(col("y")).agg(sum(col("o")).as("c"))
     val tot = cells.agg(sum(col("o")).as("n"),
@@ -96,7 +96,7 @@ object Stats {
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df.select(col(xCol).as("x"), col(yCol).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
-      .localCheckpoint(true) // |X|x|Y| cells: tiny; ONE raw scan
+      .localCheckpoint(false) // |X|x|Y| cells: tiny; ONE raw scan
     val rm = cells.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
     val cm = cells.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
     val tot = cells.agg(sum(col("cxy")).as("n"))
@@ -132,7 +132,7 @@ object Stats {
     val grp = df.select(col(durationCol).as("t"), col(eventCol).as("ev"))
       .groupBy(col("t"))
       .agg(sum(col("ev")).as("d"), count(lit(1)).as("leave"))
-      .localCheckpoint(true) // distinct-time axis: tiny; ONE raw scan
+      .localCheckpoint(false) // distinct-time axis: tiny; ONE raw scan
     val tot = grp.agg(sum(col("leave")).as("n_all"))
     grp.crossJoin(broadcast(tot))
       .withColumn("n_risk",
@@ -166,7 +166,7 @@ object Stats {
     val grp = df.select(col(durationCol).as("t"), col(eventCol).as("ev"))
       .groupBy(col("t"))
       .agg(sum(col("ev")).as("d"), count(lit(1)).as("leave"))
-      .localCheckpoint(true) // distinct-time axis: tiny; ONE raw scan
+      .localCheckpoint(false) // distinct-time axis: tiny; ONE raw scan
     val tot = grp.agg(sum(col("leave")).as("n_all"))
     grp.crossJoin(broadcast(tot))
       .withColumn("n_risk",
@@ -205,7 +205,7 @@ object Stats {
       .agg(sum(when(col("cz") === 1L, 1L).otherwise(0L)).as("d1"),
         sum(when(col("cz") === 2L, 1L).otherwise(0L)).as("d2"),
         count(lit(1)).as("leave"))
-      .localCheckpoint(true) // distinct-time axis: tiny; ONE raw scan
+      .localCheckpoint(false) // distinct-time axis: tiny; ONE raw scan
     val tot = grp.agg(sum(col("leave")).as("n_all"))
     grp.crossJoin(broadcast(tot))
       .withColumn("n_risk",
@@ -314,7 +314,7 @@ object Stats {
       .groupBy(col("v"))
       .agg(sum(when(col("s") === 0L, 1L).otherwise(0L)).as("c1"),
         sum(when(col("s") === 1L, 1L).otherwise(0L)).as("c2"))
-      .localCheckpoint(true) // distinct-value axis: tiny; ONE raw scan
+      .localCheckpoint(false) // distinct-value axis: tiny; ONE raw scan
       .withColumn("before",
         sum(col("c1") + col("c2")).over(ord) - (col("c1") + col("c2")))
       .withColumn("r2", lit(2L) * col("before") + col("c1") + col("c2") + 1L)
@@ -465,7 +465,7 @@ object Stats {
       .select(col(featureCol).as("f"), col(targetCol).cast(dec).as("t"))
       .groupBy(col("f"))
       .agg(count(lit(1)).cast(dec).as("nv"), sum(col("t")).as("sv"))
-      .localCheckpoint(true) // distinct-feature axis: tiny; ONE raw scan
+      .localCheckpoint(false) // distinct-feature axis: tiny; ONE raw scan
     val tot = cells.agg(sum(col("nv")).as("n"), sum(col("sv")).as("s"))
     cells
       .withColumn("nl", sum(col("nv")).over(ord))
@@ -505,7 +505,7 @@ object Stats {
       .select(col(bucketCol).as("b"), col(valueCol).cast(dec).as("v"))
       .groupBy(col("b"))
       .agg(count(lit(1)).cast(dec).as("nv"), sum(col("v")).as("sv"))
-      .localCheckpoint(true) // bucket axis: tiny; ONE raw scan
+      .localCheckpoint(false) // bucket axis: tiny; ONE raw scan
       .withColumn("ps", sum(col("sv")).over(ord))
       .withColumn("pn", sum(col("nv")).over(ord))
     val grid = ax.as("j").join(ax.as("k"), col("j.b") <= col("k.b"))
@@ -588,7 +588,7 @@ object Stats {
   def bcubed(assign: DataFrame): DataFrame = {
     val cells = assign.groupBy(col("cluster"), col("truth"))
       .agg(count(lit(1)).as("sct"))
-      .localCheckpoint(true) // cell axis: |clusters|·|classes| bounded
+      .localCheckpoint(false) // cell axis: |clusters|·|classes| bounded
     val csz = cells.groupBy(col("cluster")).agg(sum(col("sct")).as("sc"))
     val tsz = cells.groupBy(col("truth")).agg(sum(col("sct")).as("st"))
     cells.join(csz, "cluster").join(tsz, "truth")
@@ -629,7 +629,7 @@ object Stats {
         sum(col("ev") * col("g")).as("d1"),
         count(lit(1)).as("leave"),
         sum(col("g")).as("leave1"))
-      .localCheckpoint(true) // distinct-time axis: tiny; ONE raw scan
+      .localCheckpoint(false) // distinct-time axis: tiny; ONE raw scan
     val tot = grp.agg(sum(col("leave")).as("n_all"),
       sum(col("leave1")).as("n1_all"))
     grp.crossJoin(broadcast(tot))
@@ -664,7 +664,7 @@ object Stats {
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // |A|x|B| cells: tiny; ONE raw scan
+      .localCheckpoint(false) // |A|x|B| cells: tiny; ONE raw scan
     val ra = cells.groupBy(col("a")).agg(sum(col("c")).as("na"))
     val rb = cells.groupBy(col("b")).agg(sum(col("c")).as("nb"))
     val tot = cells.agg(sum(col("c")).as("n"))
@@ -700,7 +700,7 @@ object Stats {
   def theilsU(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df.select(col(xCol).as("x"), col(yCol).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
-      .localCheckpoint(true) // |X|x|Y| cells: tiny; ONE raw scan
+      .localCheckpoint(false) // |X|x|Y| cells: tiny; ONE raw scan
     val rm = cells.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
     val cm = cells.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
     val tot = cells.agg(sum(col("cxy")).as("n"))

@@ -163,7 +163,7 @@ object TextAnalysis {
       // Materialize the (tiny, topK-row) result so the intermediate cache can
       // be released NOW instead of at ContextCleaner GC time — repeated calls
       // in a long-lived session must not accumulate cached corpus blocks.
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     w.unpersist()
     out
   }
@@ -194,7 +194,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score"))
       // Eager materialization (k rows/doc) so tf's cache is released here,
       // not at ContextCleaner GC — see coocLift.
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     tf.unpersist()
     out
   }
@@ -375,7 +375,7 @@ object TextAnalysis {
     val tok = docs
       .select(col("doc_id"), col(srcCol).as("src"),
         explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "").localCheckpoint(true)
+      .filter(col("word") =!= "").localCheckpoint(false)
     val perDoc = tok.groupBy(col("src"), col("doc_id"))
       .agg(count(lit(1)).as("toks"))
     val newWords = tok.groupBy(col("src"), col("word"))
@@ -416,7 +416,7 @@ object TextAnalysis {
     require(window >= 1 && k >= 1)
     val tok = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
-      .filter(col("w") =!= "").localCheckpoint(true)
+      .filter(col("w") =!= "").localCheckpoint(false)
     val probes = tok.select(col("doc_id"), col("w").as("wl"),
       explode(array((1 to window).map(d => col("p") + d): _*)).as("tp"))
     val pc = probes
@@ -425,7 +425,7 @@ object TextAnalysis {
       .select(least(col("wl"), col("wr")).as("w1"),
         greatest(col("wl"), col("wr")).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val uni = tok.groupBy(col("w").as("wu")).agg(count(lit(1)).as("cw"))
     val tots = pc.agg(sum(col("cab")).cast("long").as("pp"))
       .crossJoin(broadcast(uni.agg(sum(col("cw")).cast("long").as("tt"))))
@@ -461,7 +461,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
         .as("sh"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("fdoc"))
     sh.join(first, "sh")
       .groupBy(col("doc_id"))
@@ -491,7 +491,7 @@ object TextAnalysis {
     val counts = df.groupBy(col("word"))
       .agg(sum(when(col("split") === 0L, 1L).otherwise(0L)).as("ca"),
         sum(when(col("split") === 1L, 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint(true) // vocab axis; ONE token scan
+      .localCheckpoint(false) // vocab axis; ONE token scan
     val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
       count(lit(1)).as("v"))
     counts.crossJoin(broadcast(tot))
@@ -530,7 +530,7 @@ object TextAnalysis {
       .where(col("word") =!= "")
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // reused: index pairing + both norm sides
+      .localCheckpoint(false) // reused: index pairing + both norm sides
     val norms = counts.groupBy(col("doc_id"))
       .agg(sum(col("c") * col("c")).as("nrm"))
     val b = counts.select(col("word"), col("doc_id").as("doc_b"),
@@ -580,12 +580,12 @@ object TextAnalysis {
                |  ELSE slice(ws, 1, 0) END""".stripMargin)).as("word"))
     val counts = species
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // reused: total N + the freq-of-freq axis
+      .localCheckpoint(false) // reused: total N + the freq-of-freq axis
     val total = counts.agg(sum(col("c")).as("n_tokens"))
     val ff = counts.groupBy(col("c").as("r"))
       .agg(count(lit(1)).as("n_r"))
       .filter(col("r") <= maxR + 1)
-      .localCheckpoint(true) // tiny; reused on both sides of the shift join
+      .localCheckpoint(false) // tiny; reused on both sides of the shift join
     val shifted = ff.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
     val smoothed = ff.filter(col("r") <= maxR)
       .join(shifted, Seq("r"), "left")

@@ -471,7 +471,7 @@ object TimeSeries {
     val dec = "decimal(38,0)"
     val ax = df.groupBy(col(keyCol).as("key"), col(dayCol).as("day"))
       .agg(count(lit(1)).cast(dec).as("x"))
-      .localCheckpoint(true) // day axis: bounded; ONE raw scan
+      .localCheckpoint(false) // day axis: bounded; ONE raw scan
     val tot = ax.groupBy(col("key"))
       .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("s"))
     val cen = ax.join(tot, "key")
@@ -511,7 +511,7 @@ object TimeSeries {
     val ax = df.groupBy(col(keyCol).as("key"), col(dayCol).as("day"))
       .agg(count(lit(1)).as("c"))
       .withColumn("dow", pmod(col("day"), lit(7L)))
-      .localCheckpoint(true) // day axis: bounded; ONE raw scan
+      .localCheckpoint(false) // day axis: bounded; ONE raw scan
     val maxDay = ax.groupBy(col("key")).agg(max(col("day")).as("md"))
     val test = ax.join(maxDay, "key")
       .filter(col("day") > col("md") - horizon.toLong)
@@ -638,8 +638,8 @@ object TimeSeries {
     * (lag)-keyed moment aggregate — no self-join of the series. */
   def crossCorr(x: DataFrame, y: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 0 && maxLag <= 64, "maxLag must be in [0, 64]")
-    val xc = x.localCheckpoint(true) // bucket axis: tiny; ONE pass per input
-    val yc = y.localCheckpoint(true)
+    val xc = x.localCheckpoint(false) // bucket axis: tiny; ONE pass per input
+    val yc = y.localCheckpoint(false)
     val bounds = xc.select(col("h")).unionByName(yc.select(col("h")))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val spine = broadcast(bounds)
@@ -782,7 +782,7 @@ object TimeSeries {
     * slope_e6). */
   def theilSen(series: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s0 = series.localCheckpoint(true) // series axis: tiny; ONE raw scan
+    val s0 = series.localCheckpoint(false) // series axis: tiny; ONE raw scan
     val a = s0.select(col(key), col("t").as("ti"), col("v").as("vi"))
     val b = s0.select(col(key), col("t").as("tj"), col("v").as("vj"))
     val pairs = a.join(b, Seq(key)).filter(col("ti") < col("tj"))
@@ -948,7 +948,7 @@ object TimeSeries {
     import df.sparkSession.implicits._
     val hours = df.select(expr(s"$tsMicrosCol div 3600000000").as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("o_h"))
-      .localCheckpoint(true) // hour axis: calendar-bounded; ONE raw scan
+      .localCheckpoint(false) // hour axis: calendar-bounded; ONE raw scan
     val bounds = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val spine = bounds.select(explode(expr("sequence(h0, h1)")).as("h"))
     val pdf = periods.toDF("p")

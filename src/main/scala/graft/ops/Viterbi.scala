@@ -33,7 +33,7 @@ object Viterbi {
     * scores fall out of the two scans). Each round checkpoints: the
     * frame is the bounded time axis, not the data volume. */
   def scanMaxPlus(mats: DataFrame, forward: Boolean = true): DataFrame = {
-    var m = mats.localCheckpoint(true)
+    var m = mats.localCheckpoint(false)
     val n = m.count()
     var off = 1L
     while (off < n) {
@@ -50,7 +50,7 @@ object Viterbi {
           s"CASE WHEN s00 IS NULL THEN m01 ELSE greatest(${a}00 + ${bPfx}01, ${a}01 + ${bPfx}11) END AS m01",
           s"CASE WHEN s00 IS NULL THEN m10 ELSE greatest(${a}10 + ${bPfx}00, ${a}11 + ${bPfx}10) END AS m10",
           s"CASE WHEN s00 IS NULL THEN m11 ELSE greatest(${a}10 + ${bPfx}01, ${a}11 + ${bPfx}11) END AS m11")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       off *= 2
     }
     m
@@ -62,7 +62,7 @@ object Viterbi {
     * over a frame that HALVES; every round's result is eagerly
     * checkpointed (lineage would double per round otherwise). */
   def reduceMaxPlus(mats: DataFrame): DataFrame = {
-    var m = mats.localCheckpoint(true)
+    var m = mats.localCheckpoint(false)
     var n = m.count()
     while (n > 1) {
       val paired = m.groupBy(expr("idx div 2").as("idx"))
@@ -81,7 +81,7 @@ object Viterbi {
           "CASE WHEN b00 IS NULL THEN a01 ELSE greatest(a00 + b01, a01 + b11) END AS m01",
           "CASE WHEN b00 IS NULL THEN a10 ELSE greatest(a10 + b00, a11 + b10) END AS m10",
           "CASE WHEN b00 IS NULL THEN a11 ELSE greatest(a10 + b01, a11 + b11) END AS m11")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       n = (n + 1) / 2
     }
     m.select(col("m00"), col("m01"), col("m10"), col("m11"))

@@ -65,7 +65,7 @@ object Round101Queries {
         val firsts = Tables.events(s, d)
           .groupBy(col("user_id"), col("event_type"))
           .agg(min(expr("unix_micros(ts)")).as("f_us"))
-          .localCheckpoint(true) // both sides of the in-user pair join
+          .localCheckpoint(false) // both sides of the in-user pair join
         val tot = firsts.agg(countDistinct(col("user_id")).as("n_users"))
         val b = firsts.select(col("user_id"),
           col("event_type").as("cons"), col("f_us").as("f_b"))
@@ -108,7 +108,7 @@ object Round101Queries {
           .agg(sum(col("cents")).as("sc"), count(lit(1)).as("cnt"))
           .withColumn("y", expr("sc div cnt"))
           .withColumn("t", expr("day - min(day) OVER ()"))
-          .localCheckpoint(true) // moments + the per-day pass reuse it
+          .localCheckpoint(false) // moments + the per-day pass reuse it
         val m = daily.agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
           sum(col("y")).as("sy"), sum(expr("t * y")).as("sty"),
           sum(expr("t * t")).as("stt"))

@@ -62,7 +62,7 @@ object Round102Queries {
         val cells = TextAnalysis.langId(Tables.documents(s, d))
           .groupBy(col("lang"), col("pred_lang"))
           .agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true) // margins + diagonal reuse the cells
+          .localCheckpoint(false) // margins + diagonal reuse the cells
         val margins = cells.groupBy(col("lang")).agg(sum(col("cnt")).as("rw"))
           .join(cells.groupBy(col("pred_lang")).agg(sum(col("cnt")).as("cl")),
             col("lang") === col("pred_lang"), "full")

@@ -41,7 +41,7 @@ object Round103Queries {
       (s, d) => {
         val u = users(s, d)
           .withColumn("bucket", expr("least(activity div 3, 9L)"))
-          .localCheckpoint(true) // train rates + test scoring reuse it
+          .localCheckpoint(false) // train rates + test scoring reuse it
         val train = u.where(expr("user_id % 5 < 4"))
         val rates = train.groupBy(col("bucket"))
           .agg(expr("sum(y) * 1000000 div count(*)").as("p_e6"))
@@ -90,7 +90,7 @@ object Round103Queries {
         val byScore = u.groupBy(col("clicks"))
           .agg(sum(col("y")).as("pos"),
             sum(lit(1L) - col("y")).as("neg"))
-          .localCheckpoint(true) // axis + totals
+          .localCheckpoint(false) // axis + totals
         val tot = byScore.agg(sum(col("pos")).as("tp_all"),
           sum(col("neg")).as("fp_all"))
         val ord = Window.orderBy(col("clicks").desc)
@@ -145,7 +145,7 @@ object Round103Queries {
       (s, d) => {
         val u = users(s, d)
           .withColumn("bucket", expr("least(activity div 3, 9L)"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val train = u.where(expr("user_id % 5 < 4"))
         val rates = train.groupBy(col("bucket"))
           .agg(expr("sum(y) * 1000000 div count(*)").as("p_e6"))

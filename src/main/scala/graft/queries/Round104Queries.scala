@@ -35,7 +35,7 @@ object Round104Queries {
           .select(col("source"), explode(split(col("text"), " ")).as("word"))
           .filter(col("word") =!= "")
           .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // margins + the grid reuse it
+          .localCheckpoint(false) // margins + the grid reuse it
         val wt = sc.groupBy(col("word")).agg(sum(col("c")).as("ct"))
         val st = sc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
         val nt = st.agg(sum(col("ns")).as("n_tot"))
@@ -117,7 +117,7 @@ object Round104Queries {
               |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
               |  / CAST(n_h AS DOUBLE) / CAST(n_h - 1 AS DOUBLE)))
               |  AS BIGINT)""".stripMargin))
-          .localCheckpoint(true) // stratum frame + the ΣN·S total
+          .localCheckpoint(false) // stratum frame + the ΣN·S total
         val tot = cells.agg(sum(expr("n_h * s_dollars")).as("w_tot"),
           sum(col("n_h")).as("n_tot"))
         cells.crossJoin(broadcast(tot))

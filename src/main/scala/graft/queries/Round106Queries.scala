@@ -27,7 +27,7 @@ object Round106Queries {
         val bands = Tables.events(s, d)
           .select(expr("(user_id * 37 % 17000) div 500").as("band"))
           .groupBy(col("band")).agg(count(lit(1)).as("x"))
-          .localCheckpoint(true) // band axis: window + global moments
+          .localCheckpoint(false) // band axis: window + global moments
         val tot = bands.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(expr("x * x")).as("sxx"))
         val nb = Window.orderBy(col("band")).rangeBetween(-1, 1)
@@ -82,7 +82,7 @@ object Round106Queries {
         val e = Graph.canonical(Tables.events(s, d)
             .select((col("user_id") % 500).as("a"),
               (col("event_id") % 500).as("b")))
-          .localCheckpoint(true) // degrees + triangles + node set
+          .localCheckpoint(false) // degrees + triangles + node set
         val nodes = e.select(col("a").as("id"))
           .unionByName(e.select(col("b").as("id"))).distinct()
         val deg = e.select(col("a").as("id"))

@@ -33,7 +33,7 @@ object Round107Queries {
           .select(col("event_type").as("et"),
             expr("unix_micros(ts) div 86400000000").as("day"))
           .groupBy(col("et"), col("day")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // both sides of the 30×30 pair grid
+          .localCheckpoint(false) // both sides of the 30×30 pair grid
         val x = daily.filter(col("et") === "click")
           .select(col("c").as("cx"))
         val y = daily.filter(col("et") === "view")
@@ -74,7 +74,7 @@ object Round107Queries {
           .select(col("event_type").as("et"),
             expr("unix_micros(ts) div 86400000000").as("day"))
           .groupBy(col("et"), col("day")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // median walk + the 2×2 rollup
+          .localCheckpoint(false) // median walk + the 2×2 rollup
         val n = daily.agg(count(lit(1)).as("n_all"))
         val med = daily.crossJoin(broadcast(n))
           .withColumn("rk", row_number().over(Window.orderBy(col("c"))))

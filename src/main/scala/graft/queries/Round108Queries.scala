@@ -23,7 +23,7 @@ object Round108Queries {
         val cells = Tables.customer(s, d)
           .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
           .agg(count(lit(1)).as("o"))
-          .localCheckpoint(true) // margins + the cell walk
+          .localCheckpoint(false) // margins + the cell walk
         val rows = cells.groupBy(col("nk")).agg(sum(col("o")).as("r"))
         val cols = cells.groupBy(col("seg")).agg(sum(col("o")).as("c"))
         val tot = cells.agg(sum(col("o")).as("n"),

@@ -27,7 +27,7 @@ object Round109Queries {
         val bands = Tables.events(s, d)
           .select(expr("(user_id * 37 % 17000) div 500").as("band"))
           .groupBy(col("band")).agg(count(lit(1)).as("x"))
-          .localCheckpoint(true) // three radii share the axis
+          .localCheckpoint(false) // three radii share the axis
         def nb(r: Int) = Window.orderBy(col("band")).rangeBetween(-r, r)
         val m = bands
           .withColumn("s1", sum(col("x")).over(nb(1)))
@@ -36,7 +36,7 @@ object Round109Queries {
           .agg(sum(col("x")).as("n"),
             sum(expr("x * s1")).as("p1"), sum(expr("x * s2")).as("p2"),
             sum(expr("x * s4")).as("p4"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         def row(r: Int, p: String) = m.selectExpr(
           s"CAST($r AS BIGINT) AS r",
           s"CAST($p - n AS BIGINT) AS n_pairs",
@@ -84,7 +84,7 @@ object Round109Queries {
           .select(col("event_type").as("et"),
             expr("unix_micros(ts) div 86400000000").as("day"))
           .groupBy(col("et"), col("day")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // rank walk + group sizes
+          .localCheckpoint(false) // rank walk + group sizes
         val n = daily.agg(count(lit(1)).as("n_all"))
         daily.crossJoin(broadcast(n))
           .withColumn("rk", row_number().over(

@@ -82,7 +82,7 @@ object Round110Queries {
       (s, d) => {
         val cells = Tables.customer(s, d)
           .groupBy(col("c_nationkey")).agg(count(lit(1)).as("x"))
-          .localCheckpoint(true) // one sorted walk, four order stats
+          .localCheckpoint(false) // one sorted walk, four order stats
         val n = cells.agg(count(lit(1)).as("n"))
         cells.crossJoin(broadcast(n))
           .withColumn("rk", row_number().over(
@@ -128,7 +128,7 @@ object Round110Queries {
         val daily = Tables.events(s, d)
           .select(expr("unix_micros(ts) div 86400000000").as("day"))
           .groupBy(col("day")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // both sides of the pair grid
+          .localCheckpoint(false) // both sides of the pair grid
         val pairs = daily.as("a")
           .crossJoin(daily.as("b"))
           .filter(col("a.day") =!= col("b.day"))

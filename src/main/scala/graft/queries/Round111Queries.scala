@@ -27,7 +27,7 @@ object Round111Queries {
           .groupBy(year(col("o_orderdate")).as("y"),
             month(col("o_orderdate")).as("m"))
           .agg(count(lit(1)).as("x"))
-          .localCheckpoint(true) // both pair sides + the n_g rollup
+          .localCheckpoint(false) // both pair sides + the n_g rollup
         val pairs = ym.as("a").join(ym.as("b"),
             col("a.m") === col("b.m") && col("a.y") < col("b.y"))
           .select(col("a.m").as("m"),
@@ -91,7 +91,7 @@ object Round111Queries {
           .withColumn("n1", count(lit(1)).over(w2))
           .filter(col("n1") === 5L)
           .select(col("day"), col("s1"))
-          .localCheckpoint(true) // second pass re-windows the first
+          .localCheckpoint(false) // second pass re-windows the first
         p1.withColumn("s2", sum(col("s1")).over(w2))
           .withColumn("n2", count(lit(1)).over(w2))
           .filter(col("n2") === 5L)
@@ -129,12 +129,12 @@ object Round111Queries {
         val words = Tables.documents(s, d)
           .select(col("source"), explode(split(col("text"), " ")).as("w"))
           .filter(col("w") =!= "")
-          .localCheckpoint(true) // top-word pick + per-source counts
+          .localCheckpoint(false) // top-word pick + per-source counts
         val top = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
           .withColumn("rk", row_number().over(
             Window.orderBy(col("cw").desc, col("w"))))
           .filter(col("rk") <= 30).select(col("w"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val totals = words.groupBy(col("source"))
           .agg(count(lit(1)).as("tot"))
         val cnt = words.join(broadcast(top), "w")
@@ -144,7 +144,7 @@ object Round111Queries {
           .join(cnt, Seq("source", "w"), "left")
           .select(col("source"), col("w"),
             expr("coalesce(csw, 0L) * 1000000 div tot").as("f"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val mom = grid.groupBy(col("w"))
           .agg(count(lit(1)).as("j"), sum(col("f")).as("sf"),
             sum(expr("f * f")).as("sff"))
@@ -162,7 +162,7 @@ object Round111Queries {
               |ELSE -CAST(floor(CAST(-num AS DOUBLE) / den) AS BIGINT)
               |END""".stripMargin))
           .select(col("source"), col("w"), col("z_e6"))
-          .localCheckpoint(true) // both sides of the source-pair grid
+          .localCheckpoint(false) // both sides of the source-pair grid
         z.as("a").join(broadcast(z.as("b")),
             col("a.w") === col("b.w") && col("a.source") < col("b.source"))
           .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))

@@ -114,7 +114,7 @@ object Round112Queries {
           .withColumn("w4", lead(col("w"), 4).over(wd))
           .filter(col("w4").isNotNull)
           .select(col("doc_id"), col("lang"), col("g"))
-          .localCheckpoint(true) // instance side + the gram-docs rollup
+          .localCheckpoint(false) // instance side + the gram-docs rollup
         val dup = grams.groupBy(col("g"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select(col("g"))
@@ -177,7 +177,7 @@ object Round112Queries {
             Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
           .filter(col("is_stop") === 0L)
           .select(col("doc_id"), col("phrase"), col("w"))
-          .localCheckpoint(true) // member side + the phrase-length rollup
+          .localCheckpoint(false) // member side + the phrase-length rollup
         val plen = tok.groupBy(col("doc_id"), col("phrase"))
           .agg(count(lit(1)).as("plen"))
         tok.join(plen, Seq("doc_id", "phrase"))

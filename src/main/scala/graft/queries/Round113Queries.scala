@@ -35,7 +35,7 @@ object Round113Queries {
           .crossJoin(cell.select(col("mo")).distinct())
         val grid = axes.join(cell, Seq("g", "mo"), "left")
           .select(col("g"), col("mo"), coalesce(col("x"), lit(0L)).as("x"))
-          .localCheckpoint(true) // both pair sides + the group-size rollup
+          .localCheckpoint(false) // both pair sides + the group-size rollup
         val j2 = grid.as("a").join(grid.as("b"), col("a.g") < col("b.g"))
           .agg(sum(when(col("a.x") < col("b.x"), 2L)
             .when(col("a.x") === col("b.x"), 1L).otherwise(0L)).as("j2"))
@@ -108,7 +108,7 @@ object Round113Queries {
           .crossJoin(cell.select(col("mo")).distinct())
         val grid = axes.join(cell, Seq("g", "mo"), "left")
           .select(col("g"), col("mo"), coalesce(col("x"), lit(0L)).as("x"))
-          .localCheckpoint(true) // median rank pass + deviation pass
+          .localCheckpoint(false) // median rank pass + deviation pass
         val med = grid
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("g")).orderBy(col("x"), col("mo"))))

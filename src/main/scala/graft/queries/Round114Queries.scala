@@ -33,7 +33,7 @@ object Round114Queries {
         val tot = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
         val cen = daily.crossJoin(broadcast(tot))
           .select(col("day"), col("n"), expr("n * c - s").as("v"))
-          .localCheckpoint(true) // pair sides + the denominator rollup
+          .localCheckpoint(false) // pair sides + the denominator rollup
         val den = cen.agg(sum(expr("v * v")).as("den"),
           max(col("n")).as("n"))
         val lags = cen.select(col("day"), col("v"),
@@ -102,7 +102,7 @@ object Round114Queries {
           .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
             "div 86400000000").as("day"))
           .groupBy(col("day")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // center + member sides of the window
+          .localCheckpoint(false) // center + member sides of the window
         val mem = daily.select(col("day").as("ctr"), col("c").as("cc"),
             explode(sequence(lit(-3), lit(3))).as("off"))
           .join(daily.select(col("day").as("mday"), col("c").as("mc")),
@@ -118,7 +118,7 @@ object Round114Queries {
             sum(when(col("rn") === expr("(nw + 2) div 2"), col("mc"))
               .otherwise(0L)).as("hi"))
           .select(col("ctr"), col("cc"), (col("lo") + col("hi")).as("m2"))
-          .localCheckpoint(true) // re-joined for the MAD pass
+          .localCheckpoint(false) // re-joined for the MAD pass
         val mad = mem.join(med.select(col("ctr"), col("m2")), "ctr")
           .withColumn("d2", abs(col("mc") * 2 - col("m2")))
           .withColumn("rn", row_number().over(Window.partitionBy(col("ctr"))
@@ -190,7 +190,7 @@ object Round114Queries {
             "div 86400000000").as("day"))
           .groupBy(col("day")).agg(count(lit(1)).as("c"))
           .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
-          .localCheckpoint(true) // one frame, three horizon windows
+          .localCheckpoint(false) // one frame, three horizon windows
         val qs = daily.select(col("c"), col("rn"),
           explode(expr("array(1, 2, 5, 10)")).as("q"))
         val win = Window.partitionBy(col("q")).orderBy(col("rn"))
@@ -211,7 +211,7 @@ object Round114Queries {
           .agg(count(lit(1)).as("m"), sum(col("y")).as("sy"),
             sum(expr("y * y")).as("syy"))
           .withColumn("varnum", expr("m * syy - sy * sy"))
-          .localCheckpoint(true) // tiny horizon axis; joined to its q=1 row
+          .localCheckpoint(false) // tiny horizon axis; joined to its q=1 row
         val base = per.filter(col("q") === 1)
           .select(col("m").as("m1"), col("varnum").as("vn1"))
         per.filter(col("q") =!= 1).crossJoin(broadcast(base))

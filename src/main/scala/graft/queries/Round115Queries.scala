@@ -45,7 +45,7 @@ object Round115Queries {
           .agg(count(lit(1)).as("n"),
             sum(when(col("o_orderpriority") === "1-URGENT", 1L)
               .otherwise(0L)).as("k"))
-          .localCheckpoint(true) // nation axis; reused by the pooled rollup
+          .localCheckpoint(false) // nation axis; reused by the pooled rollup
         val tot = per.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"),
           count(lit(1)).as("m"))
         per.crossJoin(broadcast(tot))
@@ -122,7 +122,7 @@ object Round115Queries {
         val per = grid.groupBy(col("g"))
           .agg(count(lit(1)).as("n"), sum(col("x")).as("sg"),
             sum(expr("x * x")).as("qg"))
-          .localCheckpoint(true) // pair sides + the pooled rollup
+          .localCheckpoint(false) // pair sides + the pooled rollup
         val pool = per.agg(count(lit(1)).as("k"), max(col("n")).as("np"),
           sum(col("sg")).as("s"), sum(expr("sg * sg")).as("ss2"),
           sum(col("qg")).as("q"))

@@ -47,7 +47,7 @@ object Round116Queries {
             Window.partitionBy(col("vehicleId"), col("cls"))
               .orderBy(col("cnt").desc, col("cellId"))))
           .filter(col("rn") === 1)
-          .localCheckpoint(true) // home + work legs of the anchor join
+          .localCheckpoint(false) // home + work legs of the anchor join
         val home = modal.filter(col("cls") === "h")
           .select(col("provider"), col("vehicleId"),
             col("cellId").as("home_cell"))
@@ -122,7 +122,7 @@ object Round116Queries {
           .filter(col("prev").isNotNull && col("prev") =!= col("cellId"))
           .select(col("prev").as("from_cell"), col("cellId").as("to_cell"),
             col("hod"))
-          .localCheckpoint(true) // arrival + departure rollups
+          .localCheckpoint(false) // arrival + departure rollups
         val in = trans.groupBy(col("to_cell").as("cell"), col("hod"))
           .agg(count(lit(1)).as("n_in"))
         val out = trans.groupBy(col("from_cell").as("cell"), col("hod"))
@@ -198,7 +198,7 @@ object Round116Queries {
           .select((Bm25.log2E6(col("d2") + 1) / lit(1000000L))
             .cast("long").as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-          .localCheckpoint(true) // bucket axis; reused by the total
+          .localCheckpoint(false) // bucket axis; reused by the total
         val tot = hist.agg(sum(col("n")).as("tot"))
         hist.crossJoin(broadcast(tot))
           .selectExpr("bucket", "CAST(n AS BIGINT) AS n",

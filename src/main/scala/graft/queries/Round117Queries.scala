@@ -29,7 +29,7 @@ object Round117Queries {
           .groupBy(substring(col("o_orderpriority"), 1, 1).as("g"),
             expr("year(o_orderdate) * 100 + month(o_orderdate)").as("mo"))
           .agg(count(lit(1)).as("x"))
-          .localCheckpoint(true) // pooled walk + the n/m rollup
+          .localCheckpoint(false) // pooled walk + the n/m rollup
         val sizes = cell.agg(
           sum(when(col("g") === "1", 1L).otherwise(0L)).as("n1"),
           count(lit(1)).as("nn"))
@@ -151,7 +151,7 @@ object Round117Queries {
           .crossJoin(cell.select(col("mo")).distinct())
         val grid = axes.join(cell, Seq("g", "mo"), "left")
           .select(col("g"), col("mo"), coalesce(col("x"), lit(0L)).as("x"))
-          .localCheckpoint(true) // in-block ranks + block ranges
+          .localCheckpoint(false) // in-block ranks + block ranges
         val kk = grid.agg(countDistinct(col("g")).as("k"))
         val ranked = grid
           .withColumn("r", row_number().over(

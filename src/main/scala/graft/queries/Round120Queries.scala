@@ -33,7 +33,7 @@ object Round120Queries {
             .cast("long"))
         val cells = rated.groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("o"))
-          .localCheckpoint(true) // margins + the weighted folds
+          .localCheckpoint(false) // margins + the weighted folds
         val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
         val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
         val wo = cells.agg(sum(expr("abs(a - b) * o")).as("swo"),
@@ -133,7 +133,7 @@ object Round120Queries {
         val v = Tables.orders(s, d)
           .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
             .as("v"))
-          .localCheckpoint(true) // histogram + bucket probe + excess pass
+          .localCheckpoint(false) // histogram + bucket probe + excess pass
         val hist = v.groupBy(expr("v div 100000").as("bkt"))
           .agg(count(lit(1)).as("bc"))
         // Bucket axis = value range / 1e5 cents — bounded by the price

@@ -40,7 +40,7 @@ object Round121Queries {
           .withColumn("x1", lag(col("x"), 1).over(w))
           .filter(col("y1").isNotNull)
           .select(col("y"), col("y1"), col("x1"))
-          .localCheckpoint(true) // one moment rollup
+          .localCheckpoint(false) // one moment rollup
         val m = ser.agg(count(lit(1)).as("n"),
           sum(col("y")).as("sy"), sum(col("y1")).as("s1"),
           sum(col("x1")).as("s2"), sum(expr("y * y")).as("syy"),
@@ -135,7 +135,7 @@ object Round121Queries {
           .groupBy(substring(col("o_orderpriority"), 1, 1).as("g"),
             expr("year(o_orderdate) * 100 + month(o_orderdate)").as("mo"))
           .agg(count(lit(1)).as("x"))
-          .localCheckpoint(true) // both sides of the cross grid
+          .localCheckpoint(false) // both sides of the cross grid
         val a = cell.filter(col("g") === "1")
           .select(col("x").as("xa"))
         val b = cell.filter(col("g") === "2")

@@ -44,7 +44,7 @@ object Round122Queries {
           .agg(count(lit(1)).as("n"),
             sum(when(col("o_orderpriority") === "1-URGENT", 1L)
               .otherwise(0L)).as("k"))
-          .localCheckpoint(true) // nation axis; pooled rollup reuses it
+          .localCheckpoint(false) // nation axis; pooled rollup reuses it
         val tot = per.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"),
           count(lit(1)).as("m"),
           expr("aggregate(sequence(1, CAST(count(1) AS INT)), 0L, " +
@@ -137,7 +137,7 @@ object Round122Queries {
           .groupBy(col("l_partkey"), expr("year(l_shipdate)").as("yr"))
           .agg(sum(floor(col("l_extendedprice") * 100 + 0.5)
             .cast("long")).as("r"))
-          .localCheckpoint(true) // both year legs rank independently
+          .localCheckpoint(false) // both year legs rank independently
         def classed(yr: Int) = rev.filter(col("yr") === yr)
           .withColumn("rk", row_number().over(
             Window.orderBy(col("r").desc, col("l_partkey"))).cast("long"))

@@ -97,7 +97,7 @@ object Round123Queries {
             Window.orderBy(col("cw").desc, col("w"))))
           .filter(col("rk") <= 50)
           .select(col("w"), col("cw"))
-          .localCheckpoint(true) // both sides of the pair grid
+          .localCheckpoint(false) // both sides of the pair grid
         top.as("a").join(broadcast(top.as("b")),
             col("a.w") < col("b.w"))
           .withColumn("dist",
@@ -136,10 +136,10 @@ object Round123Queries {
             posexplode(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
               "x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"))
               .as(Seq("i", "v")))
-          .localCheckpoint(true) // centroid build + scatter join-back
+          .localCheckpoint(false) // centroid build + scatter join-back
         val cent = e.groupBy(col("label"), col("i"))
           .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
-          .localCheckpoint(true) // member join + the label-pair grid
+          .localCheckpoint(false) // member join + the label-pair grid
         val scat = e.join(cent, Seq("label", "i"))
           .groupBy(col("label"), col("vec_id"))
           .agg(sum(expr(s"CAST(nv * v - sv AS $dec)" +
@@ -152,7 +152,7 @@ object Round123Queries {
           .groupBy(col("label"))
           .agg(count(lit(1)).as("nl"), sum(col("dist_e6")).as("sd"))
           .select(col("label"), expr("sd div nl").as("s_e6"))
-          .localCheckpoint(true) // joined twice into the pair frame
+          .localCheckpoint(false) // joined twice into the pair frame
         val cpair = cent.as("a").join(cent.as("b"),
             col("a.i") === col("b.i") && col("a.label") < col("b.label"))
           .groupBy(col("a.label").as("la"), col("b.label").as("lb"))

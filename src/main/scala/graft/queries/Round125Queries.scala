@@ -70,7 +70,7 @@ object Round125Queries {
           .groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
             .as("ret"))
-          .localCheckpoint(true) // order rollup + blame leg
+          .localCheckpoint(false) // order rollup + blame leg
         val ord = os.groupBy(col("l_orderkey"))
           .agg(count(lit(1)).as("n_supp"), sum(col("ret")).as("n_ret"))
           .filter(col("n_supp") >= 2 && col("n_ret") === 1)

@@ -39,7 +39,7 @@ object Round128Queries {
           .select(col("part"), col("rank"))
         val test = buys.filter(col("yr") >= 1997)
           .select(col("cust"), col("part")).distinct()
-          .localCheckpoint(true) // relevant-size agg + the hit join
+          .localCheckpoint(false) // relevant-size agg + the hit join
         val rsize = test.groupBy(col("cust")).agg(count(lit(1)).as("r"))
         // hits_so_far at a hit of rank k = # recommended parts of rank ≤k
         // the customer bought; AP numerator folds as Σ hits@k/k over hits.

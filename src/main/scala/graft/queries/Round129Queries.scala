@@ -29,7 +29,7 @@ object Round129Queries {
           .filter(col("w") =!= "")
           .groupBy(col("source"), col("w"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // word totals + source totals + grid
+          .localCheckpoint(false) // word totals + source totals + grid
         val wt = sw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
           .withColumn("rk", row_number().over(
             Window.orderBy(col("cw").desc, col("w"))))
@@ -127,7 +127,7 @@ object Round129Queries {
           .select(col("source"), explode(split(col("text"), " ")).as("w"))
           .filter(col("w") =!= "")
           .select(col("source"), col("w")).distinct()
-          .localCheckpoint(true) // sizes + the intersection self-join
+          .localCheckpoint(false) // sizes + the intersection self-join
         val sz = sv.groupBy(col("source")).agg(count(lit(1)).as("nv"))
         val inter = sv.as("a").join(sv.as("b"),
             col("a.w") === col("b.w") && col("a.source") < col("b.source"))

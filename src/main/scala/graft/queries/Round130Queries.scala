@@ -142,7 +142,7 @@ object Round130Queries {
           .select(col("event_type"), col("freq"),
             expr("CAST((sc * sc + ss * ss) div 1000000000000 AS BIGINT)")
               .as("p"))
-          .localCheckpoint(true) // totals + the entropy fold
+          .localCheckpoint(false) // totals + the entropy fold
         val tot = pw.groupBy(col("event_type"))
           .agg(sum(col("p")).as("ptot"),
             max(expr("named_struct('p', p, 'freq', freq)")).as("pk"))

@@ -55,7 +55,7 @@ object Round131Queries {
         val edges = Tables.lineitem(s, d)
           .select(col("l_suppkey").as("sp"), col("l_partkey").as("pt"))
           .distinct()
-          .localCheckpoint(true) // both degree rollups share it
+          .localCheckpoint(false) // both degree rollups share it
         def side(key: String, name: String) = edges
           .groupBy(col(key)).agg(count(lit(1)).as("deg"))
           .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("e"),
@@ -164,7 +164,7 @@ object Round131Queries {
         val (_, und) = ringGraph(s, d)
         val adj = und.select(col("a").as("u"), col("b").as("v"))
           .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-          .localCheckpoint(true) // degree + both wedge legs
+          .localCheckpoint(false) // degree + both wedge legs
         val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         val tri = adj.as("l").join(adj.as("r"),
             col("l.u") === col("r.u") && col("l.v") < col("r.v"))

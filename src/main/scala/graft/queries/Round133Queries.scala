@@ -33,7 +33,7 @@ object Round133Queries {
               .otherwise(0L)).as("x"),
             sum(when(substring(col("o_orderpriority"), 1, 1) === "2", 1L)
               .otherwise(0L)).as("y"))
-          .localCheckpoint(true) // month axis: tiny; pair grid below
+          .localCheckpoint(false) // month axis: tiny; pair grid below
         m.as("a").join(m.as("b"), col("a.mo") < col("b.mo"))
           .agg(
             sum(when((col("a.x") < col("b.x") && col("a.y") < col("b.y"))
@@ -178,7 +178,7 @@ object Round133Queries {
               .otherwise(0L)).as("x"),
             sum(when(substring(col("o_orderpriority"), 1, 1) === "2", 1L)
               .otherwise(0L)).as("y"))
-          .localCheckpoint(true) // month axis; self-join below
+          .localCheckpoint(false) // month axis; self-join below
         val q = m.as("a").join(m.as("b"), col("a.mo") =!= col("b.mo"))
           .groupBy(col("a.mo").as("mo"))
           .agg(

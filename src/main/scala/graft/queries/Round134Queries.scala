@@ -85,7 +85,7 @@ object Round134Queries {
           .select(expr("CAST(substring(CAST(cents AS STRING), 2, 1) " +
             "AS BIGINT)").as("d2"))
         val hist = cents.groupBy(col("d2")).agg(count(lit(1)).as("n"))
-          .localCheckpoint(true) // 10-row axis; total below
+          .localCheckpoint(false) // 10-row axis; total below
         val tot = hist.agg(sum(col("n")).as("tot"))
         hist.crossJoin(broadcast(tot))
           .withColumn("obs_e6", expr("n * 1000000 div tot"))

@@ -45,7 +45,7 @@ object Round136Queries {
     //    bit axis.
     QueryDef("q_quantization_error",
       (s, d) => {
-        val e = comps(s, d).localCheckpoint(true) // range build + error pass
+        val e = comps(s, d).localCheckpoint(false) // range build + error pass
         val rng = e.groupBy(col("i"))
           .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
           .filter(col("mx") > col("mn"))
@@ -142,7 +142,7 @@ object Round136Queries {
     //    classes separable in sign space alone.
     QueryDef("q_label_signature_hamming",
       (s, d) => {
-        val e = comps(s, d).localCheckpoint(true) // global means + label votes
+        val e = comps(s, d).localCheckpoint(false) // global means + label votes
         val gm = e.groupBy(col("i"))
           .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
         val sig = e.join(broadcast(gm), "i")
@@ -151,7 +151,7 @@ object Round136Queries {
           .agg(sum(when(expr("v * n > sv"), 1L).otherwise(-1L)).as("vote"))
           .select(col("label"), col("i"),
             signum(col("vote")).cast("long").as("bit"))
-          .localCheckpoint(true) // both sides of the pair grid
+          .localCheckpoint(false) // both sides of the pair grid
         sig.as("a").join(sig.as("b"),
             col("a.i") === col("b.i") && col("a.label") < col("b.label"))
           .groupBy(col("a.label").as("la"), col("b.label").as("lb"))

@@ -65,7 +65,7 @@ object Round137Queries {
         val tu = Tables.events(s, d)
           .select(col("event_type").as("t"), col("user_id").as("u"))
           .distinct()
-          .localCheckpoint(true) // sizes + both sides of the self-join
+          .localCheckpoint(false) // sizes + both sides of the self-join
         val sz = tu.groupBy(col("t")).agg(count(lit(1)).as("nu"))
         tu.as("a").join(tu.as("b"),
             col("a.u") === col("b.u") && col("a.t") < col("b.t"))
@@ -104,7 +104,7 @@ object Round137Queries {
         val tu = Tables.events(s, d)
           .select(col("event_type").as("t"), col("user_id").as("u"))
           .distinct()
-          .localCheckpoint(true) // margins + pair counts + user total
+          .localCheckpoint(false) // margins + pair counts + user total
         val sz = tu.groupBy(col("t")).agg(count(lit(1)).as("nu"))
         val nus = tu.select(col("u")).distinct().agg(count(lit(1)).as("n"))
         tu.as("a").join(tu.as("b"),

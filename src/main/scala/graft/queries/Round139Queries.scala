@@ -103,7 +103,7 @@ object Round139Queries {
             .select(col("doc_id"), col("text")))
           .select(col("doc_id"), col("shingle")).distinct()
           .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .localCheckpoint(true) // total + the top-20 rank
+          .localCheckpoint(false) // total + the top-20 rank
         val tot = df.agg(sum(col("df")).as("tot"))
         // top-20 via TakeOrdered (distributed top-k), NOT a global rank
         // window — the shingle vocabulary grows with the corpus, so a
@@ -141,7 +141,7 @@ object Round139Queries {
     QueryDef("q_dedup_threshold_sweep",
       (s, d) => {
         val truth = Dedup.jaccardPrefixJoin(slice(s, d), 300000L)
-          .localCheckpoint(true) // four conditional rollups share it
+          .localCheckpoint(false) // four conditional rollups share it
         val taus = s.range(0, 4)
           .select((col("id") * 200000 + 300000).as("tau_e6"))
         truth.crossJoin(broadcast(taus))

@@ -56,7 +56,7 @@ object Round141Queries {
     QueryDef("q_auto_mutual_info",
       (s, d) => {
         val dec = "decimal(38,0)"
-        val b = binned(s, d).localCheckpoint(true) // 3 lag self-joins
+        val b = binned(s, d).localCheckpoint(false) // 3 lag self-joins
         val lags = s.range(0, 3)
           .select(expr("CAST(CASE id WHEN 0 THEN 1 WHEN 1 THEN 7 " +
             "ELSE 14 END AS BIGINT)").as("lag"))
@@ -65,7 +65,7 @@ object Round141Queries {
           .groupBy(col("lag"), col("a.bin").as("bx"),
             col("f.bin").as("by"))
           .agg(count(lit(1)).as("nxy"))
-          .localCheckpoint(true) // margins re-aggregate from it
+          .localCheckpoint(false) // margins re-aggregate from it
         val mx = pairs.groupBy(col("lag"), col("bx"))
           .agg(sum(col("nxy")).as("nx"))
         val my = pairs.groupBy(col("lag"), col("by"))
@@ -136,7 +136,7 @@ object Round141Queries {
               Window.unboundedFollowing)))
           .filter(col("day") > col("mxd") - 120)
           .select(col("day"), col("c"))
-          .localCheckpoint(true) // mean + both sides of the pair grid
+          .localCheckpoint(false) // mean + both sides of the pair grid
         val m = win.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
         val rec = win.as("a").join(win.as("b"),
             col("b.day") > col("a.day") &&
@@ -146,7 +146,7 @@ object Round141Queries {
           .select(col("a.day").as("di"), col("b.day").as("dj"),
             (abs(col("a.c") - col("b.c")) * 20 * col("n") <= col("sc"))
               .as("r"))
-          .localCheckpoint(true) // diagonal join below
+          .localCheckpoint(false) // diagonal join below
         val det = rec.as("x").join(rec.as("y"),
             col("y.di") === col("x.di") - 1 &&
               col("y.dj") === col("x.dj") - 1, "left")
@@ -203,12 +203,17 @@ object Round141Queries {
         val sp = Tables.lineitem(s, d)
           .select(col("l_suppkey").as("sp"), col("l_partkey").as("pt"))
           .distinct()
-          .localCheckpoint(true) // both sides of the part-keyed join
+          .localCheckpoint(false) // both sides of the part-keyed join
+        // r12 (guide §2.3 "aggregate before you shuffle"): countDistinct
+        // replaces distinct()+count — the (sp, co) dedup then happens in
+        // the PARTIAL aggregate on the map side of one exchange instead
+        // of shuffling the raw ~Σ(suppliers-per-part)² pair stream
+        // through a separate distinct exchange first. Same n_co values.
         val reach = sp.as("a").join(sp.as("b"),
             col("a.pt") === col("b.pt") && col("a.sp") =!= col("b.sp"))
-          .select(col("a.sp").as("sp"), col("b.sp").as("co")).distinct()
-          .groupBy(col("sp")).agg(count(lit(1)).as("n_co"))
-          .localCheckpoint(true) // mean + top-10 rank
+          .select(col("a.sp").as("sp"), col("b.sp").as("co"))
+          .groupBy(col("sp")).agg(countDistinct(col("co")).as("n_co"))
+          .localCheckpoint(false) // mean + top-10 rank
         val tot = reach.agg(count(lit(1)).as("ns"), sum(col("n_co")).as("sc"))
         // top-10 via TakeOrdered — the supplier axis is dimension-sized
         // (grows with SF), so the rank window runs only on the limited

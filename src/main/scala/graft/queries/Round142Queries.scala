@@ -32,7 +32,7 @@ object Round142Queries {
               .as("mi"))
           .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
             .as("rev"))
-          .localCheckpoint(true) // both sides of the month-shift join
+          .localCheckpoint(false) // both sides of the month-shift join
         val prev = cm.select(col("cust"), (col("mi") + 1).as("mi"),
           col("rev").as("rev_prev"))
         cm.join(prev, Seq("cust", "mi"), "full_outer")

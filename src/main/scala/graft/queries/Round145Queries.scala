@@ -68,7 +68,7 @@ object Round145Queries {
               |              substring(w, i + 1, 1)))""".stripMargin))
             .as("pair"))
           .groupBy(col("pair")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // total + top-k
+          .localCheckpoint(false) // total + top-k
         val tot = pairs.agg(sum(col("c")).as("tot"))
         pairs.orderBy(col("c").desc, col("pair")).limit(20)
           .crossJoin(broadcast(tot))

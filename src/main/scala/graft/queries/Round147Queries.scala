@@ -151,7 +151,7 @@ object Round147Queries {
     //    never grows with the fact table.
     QueryDef("q_synth_control",
       (s, d) => {
-        val nm = nationMonth(s, d).localCheckpoint(true)
+        val nm = nationMonth(s, d).localCheckpoint(false)
         val pre0 = nm.filter(col("nk") === 0 && col("m") < 12)
           .select(col("m"), col("c").as("y0"))
         val preJ = nm.filter(col("nk") =!= 0 && col("m") < 12)
@@ -203,7 +203,7 @@ object Round147Queries {
     //    post_gap·1e6 // (1 + pre_gap).
     QueryDef("q_placebo_gaps",
       (s, d) => {
-        val nm = nationMonth(s, d).localCheckpoint(true)
+        val nm = nationMonth(s, d).localCheckpoint(false)
         val pairs = nm.select(col("nk").as("p"), col("m"),
             col("c").as("yp"))
           .join(nm.select(col("nk").as("j"), col("m"), col("c").as("yj")),
@@ -216,7 +216,7 @@ object Round147Queries {
           .agg(sum(abs(col("yp") - col("yj"))).as("dist"))
           .select(col("p"), col("j"),
             expr("1000000000000 div (1 + dist div 1000)").as("w_raw"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val wn = w.join(
             broadcast(w.groupBy(col("p")).agg(sum(col("w_raw")).as("sw"))),
             "p")

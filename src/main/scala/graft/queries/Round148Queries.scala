@@ -53,7 +53,7 @@ object Round148Queries {
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(split(col("text"), " ").as("ws"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val vocab = toks.select(explode(col("ws")).as("wd"))
           .filter(col("wd") =!= "")
           .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
@@ -130,12 +130,12 @@ object Round148Queries {
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val adj = und.select(col("u").as("i"), col("v").as("j"), col("w"))
           .unionByName(und.select(col("v").as("i"), col("u").as("j"),
             col("w")))
         val deg = adj.groupBy(col("i")).agg(sum(col("w")).as("k"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val m2 = deg.agg(sum(col("k")).as("m2"))
         val scored = adj
           .join(broadcast(deg), "i")

@@ -43,7 +43,7 @@ object Round149Queries {
           .selectExpr("event_id", s"$laExpr AS la", s"$loExpr AS lo")
           .selectExpr("event_id", "la", "lo",
             "la div 500 AS cx", "lo div 500 AS cy")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val probes = pts.filter(expr(probeExpr))
         val offsets = expr(
           "explode(transform(sequence(0, 8), i -> named_struct(" +
@@ -105,7 +105,7 @@ object Round149Queries {
             s"$laExpr AS la", s"$loExpr AS lo")
           .selectExpr("event_id", "cents", "la", "lo",
             "la div 500 AS cx", "lo div 500 AS cy")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val probes = pts.filter(expr(probeExpr))
         val offsets = expr(
           "explode(transform(sequence(0, 8), i -> named_struct(" +

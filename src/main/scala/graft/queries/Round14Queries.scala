@@ -148,7 +148,7 @@ object Round14Queries {
         val und = edges.filter(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
-          .distinct().localCheckpoint(true) // edge axis: tiny; ONE raw scan
+          .distinct().localCheckpoint(false) // edge axis: tiny; ONE raw scan
         und.select(col("a").as("u")).unionByName(und.select(col("b").as("u")))
           .groupBy(col("u")).agg(count(lit(1)).as("degree"))
           .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))

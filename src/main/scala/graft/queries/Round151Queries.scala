@@ -104,14 +104,14 @@ object Round151Queries {
             "((user_id * 37 + event_id * 13) % 17000) * 32 div 17000 AS qx",
             "((user_id * 91 + event_id * 29) % 35000) * 32 div 35000 AS qy")
           .groupBy(col("qx"), col("qy")).agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // parents roll up on the ≤4096-cell axis — no fact rescans; each
         // level checkpoints because it feeds TWO consumers (as child and
         // as parent) and would otherwise replay its rollup lineage twice
         def up(df: org.apache.spark.sql.DataFrame) = df
           .groupBy(expr("qx div 2").as("qx"), expr("qy div 2").as("qy"))
           .agg(sum(col("cnt")).as("cnt"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val levels = Iterator.iterate(leaf)(up).take(6).toSeq // d5..d0
         val emitted = (1 to 5).map { dd =>
           val child = levels(5 - dd)
@@ -191,7 +191,7 @@ object Round151Queries {
           .groupBy(col("event_type"),
             expr("unix_micros(ts) div 86400000000").as("day"))
           .agg(count(lit(1)).cast(dec).as("x"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val tot = ax.groupBy(col("event_type"))
           .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("s"),
             max(struct(col("day"), col("x"))).getField("x").as("xn"))
@@ -204,7 +204,7 @@ object Round151Queries {
         val cen = ax.join(broadcast(tot), "event_type")
           .select(col("event_type"), col("day"),
             (col("n") * col("x") - col("s")).as("c"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val den = cen.groupBy(col("event_type"))
           .agg(sum(col("c") * col("c")).as("den"))
         val nums = cen

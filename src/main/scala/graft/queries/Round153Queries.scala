@@ -114,7 +114,7 @@ object Round153Queries {
         val adj = dir.select(col("src"), col("dst"))
           .unionByName(dir.select(col("dst").as("src"),
             col("src").as("dst")))
-          .distinct().localCheckpoint(true)
+          .distinct().localCheckpoint(false)
         val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         val two = adj.select(col("src").as("a"), col("dst").as("b"))
           .join(adj.select(col("src").as("b"), col("dst").as("c")), "b")
@@ -161,7 +161,7 @@ object Round153Queries {
           .select(expr("unix_micros(ts) div 86400000000").as("day"),
             expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
           .groupBy(col("day")).agg(sum(col("c")).as("dc"))
-          .localCheckpoint(true) // bounded day axis: windows ride this
+          .localCheckpoint(false) // bounded day axis: windows ride this
         val mid = daily.agg(
           expr("(min(day) + max(day) + 1) div 2").as("mid"))
         val tagged = daily.crossJoin(broadcast(mid))

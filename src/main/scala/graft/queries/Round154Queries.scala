@@ -45,7 +45,7 @@ object Round154Queries {
             sum(when(expr("year(l_shipdate) = 1997"),
               expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
               .otherwise(0L)).as("r97"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val nat = cell.agg(sum(col("r96")).as("n96"), sum(col("r97")).as("n97"))
           .selectExpr("""CASE WHEN n97 >= n96
             |  THEN (n97 - n96) * 1000000 div greatest(1L, n96)
@@ -142,7 +142,7 @@ object Round154Queries {
             graft.ops.Bm25.log2E6(col("x")).as("l"))
           .selectExpr("o_custkey", "x", "y", "l div 125000 AS band",
             "o_custkey % 2 = 0 AS treated")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val t = cu.filter(col("treated"))
           .select(col("o_custkey").as("tk"), col("x").as("tx"),
             col("y").as("ty"), col("band"))
@@ -207,7 +207,7 @@ object Round154Queries {
           .selectExpr("doc_id", "col AS word", "pos div 20 AS blk")
         val bw = tok.groupBy(col("doc_id"), col("blk"), col("word"))
           .agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val norms = bw.groupBy(col("doc_id"), col("blk"))
           .agg(sum(col("cnt") * col("cnt")).as("nrm"))
         val dots = bw

@@ -39,9 +39,9 @@ object Round155Queries {
           .select(col("vec_id"), col("ev"))
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("ev").as("cv"))
-        val asn = Similarity.ivfAssign(e, cents).localCheckpoint(true)
+        val asn = Similarity.ivfAssign(e, cents).localCheckpoint(false)
         val q = asn.filter(col("vec_id") === 0)
-          .select(col("ev").as("qv")).localCheckpoint(true)
+          .select(col("ev").as("qv")).localCheckpoint(false)
         // centroid ranking for the query (probe order)
         val qc = cents.crossJoin(broadcast(q))
           .withColumn("ccos", Similarity.cosine(col("cv"), col("qv")))
@@ -52,7 +52,7 @@ object Round155Queries {
           .select(col("vec_id"),
             round(Similarity.cosine(col("ev"), col("qv")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_id")).limit(5)
-          .select(col("vec_id")).localCheckpoint(true)
+          .select(col("vec_id")).localCheckpoint(false)
         val nps = s.range(0, 4).selectExpr(
           "CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT) AS np")
         val cand = asn.join(broadcast(qc), "c_id")
@@ -60,7 +60,7 @@ object Round155Queries {
           .crossJoin(broadcast(q))
           .select(col("np"), col("vec_id"),
             round(Similarity.cosine(col("ev"), col("qv")), 6).as("cos"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val ncand = cand.groupBy(col("np")).agg(count(lit(1)).as("n_cand"))
         val top5 = cand.withColumn("rk", row_number().over(
             Window.partitionBy(col("np"))
@@ -129,7 +129,7 @@ object Round155Queries {
             expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
               .as("c"),
             col("l_linenumber").as("ln"), col("p_brand").as("b"))
-          .localCheckpoint(true) // feeds BOTH rank windows below
+          .localCheckpoint(false) // feeds BOTH rank windows below
         // winner/loser via rank windows, NOT struct-max aggregates: the
         // aggregate form is semantically identical but DuckDB's struct
         // max goes superlinear at sf0.1 (minutes for 600k rows) — the
@@ -144,7 +144,7 @@ object Round155Queries {
           .filter(col("rk") === 1).select(col("ok"), col("b").as("l"))
         val m = wtab.join(ltab, "ok")
           .filter(col("w") =!= col("l"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val wins = m.groupBy(col("w").as("b")).agg(count(lit(1)).as("wins"))
         val pairs = m.select(least(col("w"), col("l")).as("u"),
             greatest(col("w"), col("l")).as("v"))
@@ -207,7 +207,7 @@ object Round155Queries {
             "(unix_micros(ts) div 3600000000) % 24 AS hour",
             "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
             "CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END AS y")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val cands = s.range(0, 6).selectExpr(
           "CASE WHEN id < 3 THEN 'hour' ELSE 'cents' END AS f",
           "CASE WHEN id < 3 THEN (id + 1) * 6 ELSE (id - 2) * 2500 END AS thr")
@@ -234,7 +234,7 @@ object Round155Queries {
               "CAST(thr AS BIGINT) AS threshold", "score_e6",
               "CAST(n AS BIGINT) AS n", "CAST(np AS BIGINT) AS n_pos")
         }
-        val root = best(base, "root").localCheckpoint(true)
+        val root = best(base, "root").localCheckpoint(false)
         val withSide = base.crossJoin(broadcast(
             root.selectExpr("feature AS rf", "threshold AS rt")))
           .selectExpr("hour", "cents", "y",

@@ -48,7 +48,7 @@ object Round156Queries {
           .withColumn("run", sum(col("dd")).over(cum))
           .withColumn("w",
             col("run") - least(lit(0L), min(col("run")).over(cum)))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val ranked = base.withColumn("rk", row_number().over(
           Window.partitionBy(col("pr")).orderBy(col("w"), col("t"),
             col("ok"))))
@@ -103,7 +103,7 @@ object Round156Queries {
     QueryDef("q_kmeans_inertia_curve",
       (s, d) => {
         val e = Similarity.cast(Tables.embeddings(s, d))
-          .select(col("vec_id"), col("ev")).localCheckpoint(true)
+          .select(col("vec_id"), col("ev")).localCheckpoint(false)
         val c0 = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("ev").as("cv"))
 
@@ -119,16 +119,16 @@ object Round156Queries {
             .filter(col("rn") === 1)
             .select(col("vec_id"), col("ev"), col("c_id"),
               round(col("rawc"), 6).as("ccos"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         val a0 = assignWithCos(c0)
         val c1 = Similarity.kmeansRecompute(
           a0.select(col("vec_id"), col("ev"), col("c_id")))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val a1 = assignWithCos(c1)
         val c2 = Similarity.kmeansRecompute(
           a1.select(col("vec_id"), col("ev"), col("c_id")))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val a2 = assignWithCos(c2)
 
         def inertia(a: org.apache.spark.sql.DataFrame, r: Int) = a

@@ -57,7 +57,7 @@ object Round157Queries {
         row_number().over(Window.orderBy(col("red").desc, col("v"))))
       .filter(col("rk") === 1)
       .select(col("v").as("s"))
-      .localCheckpoint(true) // one-row boundary: later rounds reuse it
+      .localCheckpoint(false) // one-row boundary: later rounds reuse it
   }
 
   /** SQL twin of one [[voptPick]] round: `src` is the boundary CTE list
@@ -114,7 +114,7 @@ object Round157Queries {
         "CAST(thr AS BIGINT) AS threshold", "CAST(nl AS BIGINT) AS n_left",
         "CAST(nr AS BIGINT) AS n_right", "lv AS left_val",
         "rv AS right_val", "sse_after")
-      .localCheckpoint(true) // one-row model: the residual update reuses it
+      .localCheckpoint(false) // one-row model: the residual update reuses it
 
   /** SQL twin of one [[fitStump]] round over relation `src(hour,dow,r)`. */
   private def fitStumpSql(src: String, round: Int): String =
@@ -160,7 +160,7 @@ object Round157Queries {
         val freq = Tables.lineitem(s, d)
           .selectExpr("CAST(l_quantity AS BIGINT) AS v")
           .groupBy(col("v")).agg(count(lit(1)).as("f"))
-          .localCheckpoint(true) // ≤50-value axis; the ONE raw scan
+          .localCheckpoint(false) // ≤50-value axis; the ONE raw scan
         val none = s.range(0).selectExpr("id AS s")
         val s1 = voptPick(freq, none)
         val s2 = voptPick(freq, s1)
@@ -217,7 +217,7 @@ object Round157Queries {
             "CAST(floor(value) AS BIGINT) AS y",
             "(unix_micros(ts) div 3600000000) % 24 AS hour",
             "(unix_micros(ts) div 86400000000) % 7 AS dow")
-          .localCheckpoint(true) // both rounds + the mean share one scan
+          .localCheckpoint(false) // both rounds + the mean share one scan
         val mean = base.agg(expr("sum(y) div count(1)").as("m"))
         val r1 = base.crossJoin(broadcast(mean))
           .selectExpr("hour", "dow", "y - m AS r")

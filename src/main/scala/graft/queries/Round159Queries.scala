@@ -44,7 +44,7 @@ object Round159Queries {
           .select(col("g"), col("value").as("med_h"))
         val z = x.join(broadcast(med), "g")
           .select(col("g"), col("med_h"), abs(col("x") - col("med_h")).as("z"))
-          .localCheckpoint(true) // one scan feeds group AND global moments
+          .localCheckpoint(false) // one scan feeds group AND global moments
         val grp = z.groupBy(col("g"))
           .agg(first(col("med_h")).as("med_h"), count(lit(1)).as("n"),
             sum(col("z")).as("sz"), sum(col("z") * col("z")).as("sz2"))
@@ -52,7 +52,7 @@ object Round159Queries {
           // within_g = Σz² − 2·z̄Σz + n·z̄² (exact given truncated z̄)
           .withColumn("w_g",
             expr("sz2 - 2 * zbar * sz + n * zbar * zbar"))
-          .localCheckpoint(true) // 3-row axis
+          .localCheckpoint(false) // 3-row axis
         val tot = grp.agg(sum(col("n")).as("nn"), sum(col("sz")).as("szt"),
           count(lit(1)).as("k"))
           .withColumn("zbart", expr("szt div nn"))
@@ -126,7 +126,7 @@ object Round159Queries {
           .drop("s7")
           .withColumn("detr", col("n") - col("trend"))
           .withColumn("dow", col("day") % 7)
-          .localCheckpoint(true) // 30-row axis; seas + final join share it
+          .localCheckpoint(false) // 30-row axis; seas + final join share it
         val seas = tr.filter(col("detr").isNotNull)
           .groupBy(col("dow"))
           .agg(expr("sum(detr) div count(1)").as("s_raw"))
@@ -181,11 +181,11 @@ object Round159Queries {
             posexplode(col("ev")).as(Seq("i", "v")))
           .selectExpr("vec_id", "label", "i",
             "CAST(round(v * 10000) AS BIGINT) AS v_e4")
-          .localCheckpoint(true) // one explode feeds centroids AND W
+          .localCheckpoint(false) // one explode feeds centroids AND W
         val cent = el.groupBy(col("label"), col("i"))
           .agg(expr("sum(v_e4) div count(1)").as("c_e4"),
             count(lit(1)).as("n_l"))
-          .localCheckpoint(true) // label×dim axis (10×64)
+          .localCheckpoint(false) // label×dim axis (10×64)
         val gcent = cent.groupBy(col("i"))
           .agg(expr("sum(c_e4) div count(1)").as("gc_e4"))
         val bPer = cent.join(broadcast(gcent), "i")

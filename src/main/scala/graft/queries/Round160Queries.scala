@@ -67,7 +67,7 @@ object Round160Queries {
               "THEN 1L ELSE 0L END AS x1",
             "CASE WHEN (unix_micros(ts) div 86400000000) % 7 <= 3 " +
               "THEN 1L ELSE 0L END AS x2")
-          .localCheckpoint(true) // both steps ride one scan
+          .localCheckpoint(false) // both steps ride one scan
         def step(w: DataFrame, k: Int): DataFrame =
           sigmoidE6(base.crossJoin(broadcast(w))
             .withColumn("z", expr("w0 + w1 * x1 + w2 * x2")))
@@ -80,7 +80,7 @@ object Round160Queries {
             .selectExpr(s"CAST($k AS BIGINT) AS step",
               "w0 + g0 div n AS w0", "w1 + g1 div n AS w1",
               "w2 + g2 div n AS w2", "sp div n AS mean_p_e6")
-            .localCheckpoint(true) // one-row model
+            .localCheckpoint(false) // one-row model
         val w0 = s.range(1).selectExpr("0L AS w0", "0L AS w1", "0L AS w2")
         val s1 = step(w0, 1)
         val s2 = step(s1.selectExpr("w0", "w1", "w2"), 2)
@@ -124,11 +124,11 @@ object Round160Queries {
         val k = 20000L
         val x = Tables.orders(s, d)
           .selectExpr("CAST(floor(o_totalprice) AS BIGINT) AS x")
-          .localCheckpoint(true) // all rounds ride one scan
+          .localCheckpoint(false) // all rounds ride one scan
         val m0 = x.agg(expr("sum(x) div count(1)").as("m"),
           count(lit(1)).as("n"))
           .selectExpr("0L AS step", "m", "n", "CAST(NULL AS BIGINT) AS sw_e6")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         def irls(prev: DataFrame, kk: Int): DataFrame =
           x.crossJoin(broadcast(prev.selectExpr("m AS mp")))
             .withColumn("w_e6",
@@ -138,7 +138,7 @@ object Round160Queries {
               sum(expr("w_e6 * x")).as("swx"))
             .selectExpr(s"CAST($kk AS BIGINT) AS step",
               "swx div greatest(1L, sw) AS m", "n", "sw AS sw_e6")
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         val m1 = irls(m0, 1)
         val m2 = irls(m1, 2)
         m0.unionByName(m1).unionByName(m2)
@@ -179,7 +179,7 @@ object Round160Queries {
             col("o_orderkey").as("l_orderkey"),
             expr("CAST(floor(o_totalprice) AS BIGINT)").as("y")),
             "l_orderkey")
-          .localCheckpoint(true) // sample AND scoring share one build
+          .localCheckpoint(false) // sample AND scoring share one build
         // TakeOrdered(16) bounds the sample — the rank window then runs
         // on a Limit-bounded 16-row frame (no global sort of the facts)
         val seeds = pts

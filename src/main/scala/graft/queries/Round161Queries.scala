@@ -52,7 +52,7 @@ object Round161Queries {
           .withColumn("o", (col("n") > col("mean_n")).cast("long"))
           .withColumn("idx", row_number().over(Window.orderBy(col("day"))) - 1)
           .select(col("idx"), col("o"))
-          .localCheckpoint(true) // bounded day axis, feeds v0 AND chain
+          .localCheckpoint(false) // bounded day axis, feeds v0 AND chain
         val mats = obs.filter(col("idx") > 0)
           .selectExpr("idx - 1 AS idx",
             s"CASE WHEN o = 0 THEN ${T00 + E00}L ELSE ${T00 + E01}L END AS m00",
@@ -119,7 +119,7 @@ object Round161Queries {
           .agg(count(lit(1)).as("sz"),
             expr("CAST(sum(floor(c_acctbal)) AS BIGINT) div count(1)")
               .as("x"))
-          .localCheckpoint(true) // 25-row axis: pairs AND output share it
+          .localCheckpoint(false) // 25-row axis: pairs AND output share it
         val pairs = cent.as("a").join(cent.as("b"),
             col("a.nk") < col("b.nk"))
           .selectExpr("a.nk AS an", "b.nk AS bn",
@@ -174,10 +174,10 @@ object Round161Queries {
             posexplode(col("ev")).as(Seq("i", "v")))
           .selectExpr("vec_id", "label", "i",
             "CAST(round(v * 10000) AS BIGINT) AS v_e4")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val cent = el.groupBy(col("label"), col("i"))
           .agg(expr("sum(v_e4) div count(1)").as("c_e4"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val inter = cent.as("a").join(cent.as("b"),
             col("a.i") === col("b.i") && col("a.label") < col("b.label"))
           .groupBy(col("a.label"), col("b.label"))

@@ -45,7 +45,7 @@ object Round162Queries {
           .agg(count(lit(1)).as("cnt"))
           .selectExpr("nm", "cnt", "split(nm, ' ')[0] AS tok0",
             "length(nm) div 4 AS lenb")
-          .localCheckpoint(true) // distinct-name axis: pairs + totals
+          .localCheckpoint(false) // distinct-name axis: pairs + totals
         val exact = names.agg(sum(expr("cnt * (cnt - 1) div 2")).as("d0"),
           sum(col("cnt")).as("n_parts"), count(lit(1)).as("n_names"))
         val cross = names.as("a").join(names.as("b"),
@@ -198,7 +198,7 @@ object Round162Queries {
             "greatest(1L, pvar * (n1 + n0) div (n1 * n0)) AS se2")
           .withColumn("w", least(lit(1000000000L),
             expr("1000000000000L div se2")))
-          .localCheckpoint(true) // nation axis; pooled + Q share it
+          .localCheckpoint(false) // nation axis; pooled + Q share it
         val pooled = eff.agg(expr("sum(w * theta) div sum(w)").as("th"),
           count(lit(1)).as("k"))
         eff.crossJoin(broadcast(pooled))

@@ -39,7 +39,7 @@ object Round163Queries {
           .withColumn("o", (col("n") > col("mean_n")).cast("long"))
           .withColumn("idx", row_number().over(Window.orderBy(col("day"))) - 1)
           .select(col("idx"), col("o"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val mats = obs.filter(col("idx") > 0)
           .selectExpr("idx",
             s"CASE WHEN o = 0 THEN ${T00 + E00}L ELSE ${T00 + E01}L END AS m00",

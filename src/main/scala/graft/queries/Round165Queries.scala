@@ -41,11 +41,11 @@ object Round165Queries {
         val bands = Tables.events(s, d)
           .select(expr("(user_id * 37 % 17000) div 500").as("band"))
           .groupBy(col("band")).agg(count(lit(1)).as("x"))
-          .localCheckpoint(true) // reused: z build + both neighbor shifts
+          .localCheckpoint(false) // reused: z build + both neighbor shifts
         val tot = bands.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
         val z = bands.crossJoin(broadcast(tot))
           .withColumn("z", expr(s"CAST(n * x - sx AS $dec)"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val nb = z.select((col("band") + 1).as("band"), col("z").as("zn"))
           .unionByName(
             z.select((col("band") - 1).as("band"), col("z").as("zn")))
@@ -102,11 +102,11 @@ object Round165Queries {
         val bands = Tables.events(s, d)
           .select(expr("(user_id * 37 % 17000) div 500").as("band"))
           .groupBy(col("band")).agg(count(lit(1)).as("x"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val tot = bands.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
         val z = bands.crossJoin(broadcast(tot))
           .withColumn("z", expr(s"CAST(n * x - sx AS $dec)"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val adj = z.join(z.select((col("band") + 1).as("band"),
             col("z").as("z2")), "band")
           .agg(sum(expr("(z - z2) * (z - z2)")).as("dsum"),
@@ -145,12 +145,12 @@ object Round165Queries {
         val bands = Tables.events(s, d)
           .select(expr("(user_id * 37 % 17000) div 500").as("band"))
           .groupBy(col("band")).agg(count(lit(1)).as("x"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val tot = bands.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
         val h = bands.crossJoin(broadcast(tot))
           .withColumn("hot",
             expr("CASE WHEN n * x - sx > 0 THEN 1 ELSE 0 END"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val pairs = h.join(h.select((col("band") + 1).as("band"),
             col("hot").as("hot2")), "band")
           .agg(sum(expr("hot * hot2")).as("bb"),

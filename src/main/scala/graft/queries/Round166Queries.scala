@@ -203,7 +203,7 @@ object Round166Queries {
             when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
           .groupBy(col("mo"))
           .agg(count(lit(1)).as("nt"), sum(col("r")).as("rt"))
-          .localCheckpoint(true) // reused: pooled p̄ + per-month rows
+          .localCheckpoint(false) // reused: pooled p̄ + per-month rows
         val pool = mo.agg(sum(col("nt")).as("nn"), sum(col("rt")).as("rr"))
         mo.crossJoin(broadcast(pool))
           .selectExpr("mo", "nt", "rt",

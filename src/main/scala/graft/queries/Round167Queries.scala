@@ -141,7 +141,7 @@ object Round167Queries {
         val docs = Tables.documents(s, d)
         val counts = docs.groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // grid fill + totals
+          .localCheckpoint(false) // grid fill + totals
         val tots = counts.groupBy(col("source")).agg(sum(col("c")).as("t"))
         val grid = counts.select(col("source")).distinct()
           .crossJoin(counts.select(col("lang")).distinct())
@@ -150,7 +150,7 @@ object Round167Queries {
           .join(tots, "source")
           .selectExpr("source", "lang",
             "coalesce(c, 0L) * 1000000 div t AS p")
-          .localCheckpoint(true) // both sides of the pair join
+          .localCheckpoint(false) // both sides of the pair join
         probs.select(col("source").as("s1"), col("lang"),
             col("p").as("p1"))
           .join(probs.select(col("source").as("s2"), col("lang"),

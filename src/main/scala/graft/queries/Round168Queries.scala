@@ -57,7 +57,7 @@ object Round168Queries {
             Window.orderBy(col("r97").desc, col("p_brand"))))
           .select(col("p_brand"), col("k1").cast("long").as("k1"),
             col("k2").cast("long").as("k2"))
-          .localCheckpoint(true) // footrule agg + pairwise join
+          .localCheckpoint(false) // footrule agg + pairwise join
         val foot = ranked.agg(count(lit(1)).as("n"),
           sum(expr("abs(k1 - k2)")).as("footrule"))
         val kend = ranked.as("a")
@@ -212,7 +212,7 @@ object Round168Queries {
             sum(when(col("n_regionkey") === 1,
               floor(col("o_totalprice") * 100 + 0.5).cast("long"))
               .otherwise(0L)).as("x"))
-          .localCheckpoint(true) // OLS moments + residual window
+          .localCheckpoint(false) // OLS moments + residual window
         val mom = monthly.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("y")).as("sy"),
           sum(expr(s"CAST(x AS $dec) * x")).as("sxx"),

@@ -47,7 +47,7 @@ object Round169Queries {
             "CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END" +
               " AS g",
             "CAST(floor(o_totalprice) AS BIGINT) div 100 AS y")
-          .localCheckpoint(true) // propensity map + outcome map + terms
+          .localCheckpoint(false) // propensity map + outcome map + terms
         val prop = base.groupBy(col("seg"))
           .agg(count(lit(1)).as("n"), sum(col("g")).as("n1"))
           .selectExpr("seg",

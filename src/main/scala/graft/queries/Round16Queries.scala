@@ -201,7 +201,7 @@ object Round16Queries {
           .orderBy(col("rel").desc, col("vec_id").asc).limit(8)
           .select(col("vec_id").as("id") +: col("rel") +:
             (0 until mmrDims).map(i => col(s"c$i")): _*)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val right = cand.select(col("id").as("b") +:
           (0 until mmrDims).map(i => col(s"c$i").as(s"q$i")): _*)
         val sims = cand.crossJoin(right)

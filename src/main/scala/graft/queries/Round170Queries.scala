@@ -97,7 +97,7 @@ object Round170Queries {
           .select(col("user_id").as("u"),
             expr("unix_micros(ts) div 2592000000000").as("m"))
           .distinct()
-          .localCheckpoint(true) // mau + retained join + first month
+          .localCheckpoint(false) // mau + retained join + first month
         val firstM = act.groupBy(col("u")).agg(min(col("m")).as("fm"))
         val prev = act.select(col("u"), (col("m") + 1).as("m"),
           lit(1L).as("was_active"))

@@ -115,7 +115,7 @@ object Round171Queries {
             "n_active * 1000000 div n_cust AS part_e6",
             "tot div greatest(1L, n_active) AS intensity_cents",
             "tot div n_cust AS expected_cents")
-          .localCheckpoint(true) // per-seg rows + decomposition row
+          .localCheckpoint(false) // per-seg rows + decomposition row
         val b = seg.where(col("seg") === "BUILDING")
           .selectExpr("part_e6 AS p1", "intensity_cents AS i1")
         val m = seg.where(col("seg") === "MACHINERY")
@@ -185,7 +185,7 @@ object Round171Queries {
           .selectExpr("c_custkey", "seg", "bal",
             "coalesce(sp, 0L) AS sp",
             "CASE WHEN c_custkey % 11 = 0 THEN 1L ELSE 0L END AS miss")
-          .localCheckpoint(true) // fit on observed + score on masked
+          .localCheckpoint(false) // fit on observed + score on masked
         val fit = base.where(col("miss") === 0)
           .groupBy(col("seg"))
           .agg(count(lit(1)).as("n"), sum(col("sp")).as("sx"),

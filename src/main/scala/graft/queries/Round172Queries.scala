@@ -46,7 +46,7 @@ object Round172Queries {
             """least(1000000000L, (n1 * 1000000 div n) * 1000000
               | div greatest(1L, 1000000 - n1 * 1000000 div n))
               | AS w_e6""".stripMargin)
-          .localCheckpoint(true) // per-stratum rows + pooled rollup
+          .localCheckpoint(false) // per-stratum rows + pooled rollup
         val per = st.selectExpr("seg", "n0", "w_e6",
           s"CAST(n0 AS $dec) * w_e6 AS sw",
           s"CAST(n0 AS $dec) * w_e6 * w_e6 AS sww")
@@ -109,7 +109,7 @@ object Round172Queries {
           .selectExpr("seg", "x",
             "CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END" +
               " AS g")
-          .localCheckpoint(true) // weight map + moment agg
+          .localCheckpoint(false) // weight map + moment agg
         val wmap = base.groupBy(col("seg"))
           .agg(count(lit(1)).as("n"), sum(col("g")).as("n1"))
           .selectExpr("seg",
@@ -210,7 +210,7 @@ object Round172Queries {
               " * 100 div count(*)").as("disc_e2"),
             expr("CAST(count(DISTINCT l_partkey) AS BIGINT)")
               .as("variety"))
-          .localCheckpoint(true) // bounds + normalize
+          .localCheckpoint(false) // bounds + normalize
         val bounds = crit.agg(
           min(col("rev")).as("rev_lo"), max(col("rev")).as("rev_hi"),
           min(col("disc_e2")).as("d_lo"), max(col("disc_e2")).as("d_hi"),

@@ -109,13 +109,13 @@ object Round173Queries {
             sum(when(col("n_regionkey") === 1,
               floor(col("o_totalprice") * 100 + 0.5).cast("long"))
               .otherwise(0L)).as("b"))
-          .localCheckpoint(true) // pair join ×2 sides + moments
+          .localCheckpoint(false) // pair join ×2 sides + moments
         val pairs = monthly.select(col("mo").as("i"), col("a").as("ai"),
             col("b").as("bi"))
           .crossJoin(monthly.select(col("mo").as("j"), col("a").as("aj"),
             col("b").as("bj")))
           .selectExpr("i", "j", "abs(ai - aj) AS da", "abs(bi - bj) AS db")
-          .localCheckpoint(true) // row sums + centered products
+          .localCheckpoint(false) // row sums + centered products
         val rows = pairs.groupBy(col("i"))
           .agg(sum(col("da")).as("ra"), sum(col("db")).as("rb"))
         val tot = rows.agg(sum(col("ra")).as("ta"), sum(col("rb")).as("tb"),

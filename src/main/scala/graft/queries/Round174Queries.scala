@@ -125,7 +125,7 @@ object Round174Queries {
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("m"))
               .orderBy(col("rev").desc, col("p_brand"))).cast("long"))
-          .localCheckpoint(true) // borda agg + pairwise majority
+          .localCheckpoint(false) // borda agg + pairwise majority
         val nb = ranks.agg(countDistinct(col("p_brand")).as("nb"))
         val borda = ranks.crossJoin(broadcast(nb))
           .groupBy(col("p_brand"))

@@ -49,25 +49,25 @@ object Round175Queries {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("p2", sum(expr("t * dq")).over(Window.orderBy("t")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .localCheckpoint(true) // both prefix endpoints of every edge
+          .localCheckpoint(false) // both prefix endpoints of every edge
         // prefix rows: P(j) = sums over t < j → shift by one; add j=0
         val pfx = idx.select((col("t") + 1).as("j"), col("p1"), col("p2"))
           .unionByName(s.range(1)
             .selectExpr("CAST(0 AS BIGINT) AS j", "CAST(0 AS BIGINT) AS p1",
               "CAST(0 AS BIGINT) AS p2"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val edges = pfx.as("a").join(pfx.as("b"),
             col("b.j") > col("a.j"))
           .selectExpr("a.j AS i", "b.j AS j",
             s"$K + (b.p2 - a.p2) - a.j * (b.p1 - a.p1) AS c")
         val ident = pfx.selectExpr("j AS i", "j AS j",
           "CAST(0 AS BIGINT) AS c")
-        var dk = edges.unionByName(ident).localCheckpoint(true)
+        var dk = edges.unionByName(ident).localCheckpoint(false)
         for (_ <- 1 to 7) {
           dk = dk.as("x").join(dk.as("y"), col("y.i") === col("x.j"))
             .selectExpr("x.i AS i", "y.j AS j", "x.c + y.c AS c")
             .groupBy(col("i"), col("j")).agg(min(col("c")).as("c"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         val horizon = pfx.agg(max(col("j")).as("tt"))
         val best = dk.crossJoin(broadcast(horizon))
@@ -131,7 +131,7 @@ object Round175Queries {
         val y = Tables.orders(s, d)
           .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
             .as("y"))
-          .localCheckpoint(true) // threshold + excess moments
+          .localCheckpoint(false) // threshold + excess moments
         val u = y.agg(expr("3 * (sum(y) div count(*)) div 2").as("u"))
         y.crossJoin(broadcast(u))
           .where(col("y") > col("u"))

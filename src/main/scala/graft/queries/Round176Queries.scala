@@ -50,7 +50,7 @@ object Round176Queries {
             .select(col("n_nationkey"), col("n_regionkey").as("rg"))),
             col("c_nationkey") === col("n_nationkey"))
           .selectExpr("CAST(rg AS BIGINT) AS rg", "seg")
-          .localCheckpoint(true) // row + column marginals
+          .localCheckpoint(false) // row + column marginals
         val rowM = base.groupBy(col("rg")).agg(count(lit(1)).as("r"))
         val colM = base.groupBy(col("seg")).agg(count(lit(1)).as("cm"))
         val segIdx = colM.selectExpr("seg", "cm",
@@ -82,7 +82,7 @@ object Round176Queries {
             org.apache.spark.sql.expressions.Window.partitionBy("seg")))
           .selectExpr("rg", "seg", "r", "cm",
             s"CAST(p AS $dec) * cm * 1000000 div cs AS p")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // marginal errors of the final plan (plan mass is e6 units)
         val rowErr = c2.groupBy(col("rg"), col("r"))
           .agg(sum(col("p")).as("rs"))
@@ -162,7 +162,7 @@ object Round176Queries {
             sum(when(col("n_regionkey") === 1,
               floor(col("o_totalprice") * 100 + 0.5).cast("long"))
               .otherwise(0L)).as("x"))
-          .localCheckpoint(true) // OLS + residual ρ + refit
+          .localCheckpoint(false) // OLS + residual ρ + refit
         def slope(df: org.apache.spark.sql.DataFrame, xc: String,
                   yc: String, out: String) = df
           .agg(count(lit(1)).as("n"), sum(col(xc)).as("sx"),
@@ -190,7 +190,7 @@ object Round176Queries {
           .withColumn("el", lag(col("e"), 1).over(Window.orderBy("mo")))
           .withColumn("xl", lag(col("x"), 1).over(Window.orderBy("mo")))
           .withColumn("yl", lag(col("y"), 1).over(Window.orderBy("mo")))
-          .localCheckpoint(true) // ρ moments + quasi-differenced refit
+          .localCheckpoint(false) // ρ moments + quasi-differenced refit
         val rho = resid.where(col("el").isNotNull)
           .agg(sum(expr(s"CAST(e AS $dec) * el")).as("num"),
             sum(expr(s"CAST(el AS $dec) * el")).as("den"),
@@ -301,15 +301,15 @@ object Round176Queries {
           val matched = edges.join(minA, "a").join(minB, "b")
             .where(col("pri") === col("pa") && col("pri") === col("pb"))
             .select(col("a"), col("b"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           val mv = matched.select(col("a").as("v"))
             .unionByName(matched.select(col("b").as("v")))
             .distinct()
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           val rest = edges
             .join(mv.select(col("v").as("a")), Seq("a"), "left_anti")
             .join(mv.select(col("v").as("b")), Seq("b"), "left_anti")
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           (matched, rest)
         }
         val e0 = Tables.events(s, d)
@@ -319,7 +319,7 @@ object Round176Queries {
           .selectExpr("a", "b",
             "md5(concat(CAST(a AS STRING), '_', CAST(b AS STRING)))" +
               " AS pri")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val (m1, r1) = round(e0)
         val (m2, r2) = round(r1)
         val (m3, r3) = round(r2)

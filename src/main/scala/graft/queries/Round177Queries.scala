@@ -231,7 +231,7 @@ object Round177Queries {
               | - CAST(floor(l_quantity + 0.5) AS BIGINT)
               |   * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
               | AS dd""".stripMargin)
-          .localCheckpoint(true) // moments + outside count
+          .localCheckpoint(false) // moments + outside count
         val lim = diffs.agg(count(lit(1)).as("n"), sum(col("dd")).as("sd"),
             sum(expr(s"CAST(dd AS $dec) * dd")).as("qd"))
           .selectExpr("n", "sd div n AS md_cents",

@@ -101,7 +101,7 @@ object Round178Queries {
           .selectExpr(
             "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) % 100" +
               " AS cents")
-          .localCheckpoint(true) // bucket counts + total
+          .localCheckpoint(false) // bucket counts + total
         val tot = c.agg(count(lit(1)).as("n"))
         c.selectExpr(
             """CASE WHEN cents IN (0, 50, 95, 99)

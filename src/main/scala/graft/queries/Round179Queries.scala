@@ -132,7 +132,7 @@ object Round179Queries {
             .select(col("n_nationkey"), col("n_regionkey").as("rg"))),
             col("c_nationkey") === col("n_nationkey"))
           .selectExpr("CAST(rg AS BIGINT) AS rg", "seg")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val rowM = base.groupBy(col("rg")).agg(count(lit(1)).as("r"))
         val colM = base.groupBy(col("seg")).agg(count(lit(1)).as("cm"))
         val segIdx = colM.selectExpr("seg", "cm",
@@ -155,7 +155,7 @@ object Round179Queries {
           .selectExpr("rg", "seg", "r", "cm",
             s"CAST(p AS $dec) * cm * 1000000 div cs AS p")
         val c2 = colScale(rowScale(colScale(rowScale(grid))))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val rowErr = c2.groupBy(col("rg"), col("r"))
           .agg(sum(col("p")).as("rs"))
           .agg(sum(expr(s"abs(rs - CAST(r AS $dec) * 1000000)"))
@@ -231,7 +231,7 @@ object Round179Queries {
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("m"))
               .orderBy(col("rev").desc, col("p_brand"))).cast("long"))
-          .localCheckpoint(true) // duel matrix + three candidate orders
+          .localCheckpoint(false) // duel matrix + three candidate orders
         // duel margins: wins of a over b across months
         val duels = ranks.as("a")
           .join(ranks.as("b"),
@@ -240,7 +240,7 @@ object Round179Queries {
           .groupBy(col("a.p_brand").as("x"), col("b.p_brand").as("y"))
           .agg(sum(expr("CASE WHEN a.rk < b.rk THEN 1 ELSE 0 END"))
             .as("wx"), count(lit(1)).as("mm"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val nb = ranks.agg(countDistinct(col("p_brand")).as("nbr"))
         // candidate orders (rank 1 = best): borda, copeland2, revenue
         val borda = ranks.crossJoin(broadcast(nb))
@@ -263,7 +263,7 @@ object Round179Queries {
         val cand = order(borda, "borda")
           .unionByName(order(cope, "copeland"))
           .unionByName(order(revenue, "revenue"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // violations: pair (x<y) where majority says x beats y but the
         // candidate ranks x AFTER y (or vice versa); 6-6 months = no
         // majority, never a violation

@@ -89,7 +89,7 @@ object Round180Queries {
             floor(col("c_acctbal") * 100 + 0.5).cast("long").as("y"))
           .join(spend, col("c_custkey") === col("o_custkey"))
           .select(col("x"), col("y"))
-          .localCheckpoint(true) // moments + per-row deleted residuals
+          .localCheckpoint(false) // moments + per-row deleted residuals
         val mom = base.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
             sum(col("y")).as("sy"),
             sum(expr(s"CAST(x AS $dec) * x")).as("qx"),

@@ -146,7 +146,7 @@ object Round181Queries {
             explode(expr(bigramsExpr)).as("w"))
           .groupBy(col("pair"), col("role"), col("w"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // shared by match + ref-total legs
+          .localCheckpoint(false) // shared by match + ref-total legs
         val h = bcnt.filter(col("role") === 0)
           .select(col("pair"), col("w"), col("c").as("hc"))
         val r = bcnt.filter(col("role") === 1)
@@ -181,13 +181,13 @@ object Round181Queries {
             explode(col("tok")).as("w"))
           .groupBy(col("pair"), col("role"), col("w"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val bcnt = pd.filter(size(col("tok")) >= 2)
           .select(col("pair"), col("role"),
             explode(expr(bigramsExpr)).as("w"))
           .groupBy(col("pair"), col("role"), col("w"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         def clipped(cnt: org.apache.spark.sql.DataFrame) =
           cnt.filter(col("role") === 0)
             .select(col("pair"), col("w"), col("c").as("hc"))
@@ -300,7 +300,7 @@ object Round181Queries {
           .select(col("label"),
             expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
               "x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))").as("v"))
-          .localCheckpoint(true) // shared by the dim sums + group counts
+          .localCheckpoint(false) // shared by the dim sums + group counts
         val n = e.groupBy()
           .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("n0"),
             sum(when(col("label") === 1, 1L).otherwise(0L)).as("n1"))

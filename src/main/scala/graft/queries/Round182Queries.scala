@@ -289,7 +289,7 @@ object Round182Queries {
               " div 100000").as("bucket"))
           .groupBy(col("pri"), col("bucket"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // bounded: 5 strata × ≤500 buckets
+          .localCheckpoint(false) // bounded: 5 strata × ≤500 buckets
         val axis = cells.select(col("bucket")).distinct()
         val pris = cells.select(col("pri")).distinct()
         val dense = axis.crossJoin(broadcast(pris))
@@ -352,7 +352,7 @@ object Round182Queries {
     // ── Cox–Stuart sign trend test on monthly revenue.
     QueryDef("q_cox_stuart",
       (s, d) => {
-        val m = monthAxis(s, d).localCheckpoint(true)
+        val m = monthAxis(s, d).localCheckpoint(false)
         val n = m.agg(count(lit(1)).as("n_months"))
         val h = m.crossJoin(broadcast(n))
           .withColumn("h", expr("n_months div 2"))
@@ -398,7 +398,7 @@ object Round182Queries {
     // ── Pettitt changepoint on monthly revenue: U_t = Σ_{s≤t} V_s.
     QueryDef("q_pettitt_revenue",
       (s, d) => {
-        val m = monthAxis(s, d).localCheckpoint(true)
+        val m = monthAxis(s, d).localCheckpoint(false)
         val v = m.crossJoin(broadcast(m.select(col("x").as("xb"))))
           .groupBy(col("rn"), col("mo"))
           .agg(sum(signum(col("x") - col("xb")).cast("long")).as("vt"))

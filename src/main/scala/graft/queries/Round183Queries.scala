@@ -48,7 +48,7 @@ object Round183Queries {
           .select(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("x"),
             expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("y"))
           .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // ≤ 50×11 cells at any SF
+          .localCheckpoint(false) // ≤ 50×11 cells at any SF
         val n = cells.agg(sum(col("c")).as("n"))
         val pairs = cells.crossJoin(
           broadcast(cells.select(col("x").as("x2"), col("y").as("y2"),
@@ -111,7 +111,7 @@ object Round183Queries {
           .groupBy(col("c_nationkey").as("nk"),
             col("c_mktsegment").as("seg"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // ≤ 25×5 cells
+          .localCheckpoint(false) // ≤ 25×5 cells
         val rowmax = cells.groupBy(col("nk")).agg(max(col("c")).as("mx"))
           .agg(sum(col("mx")).as("sum_rowmax"))
         val colmax = cells.groupBy(col("seg")).agg(sum(col("c")).as("cc"))
@@ -292,12 +292,19 @@ object Round183Queries {
           .select(expr("doc_id div 2").as("pair"),
             (col("doc_id") % 2).as("role"), col("text"))
           .filter(length(col("text")) >= 2)
-        val cnt = pd.select(col("pair"), col("role"),
-            explode(expr("transform(sequence(1, length(text) - 1)," +
-              " i -> substring(text, i, 2))")).as("g"))
+        // r12: substring(text, i, 2) re-scans the string from offset 0
+        // for every i (UTF8String char addressing), making the bigram
+        // expansion O(len²) per document; one split('') plus a zip_with
+        // of the two shifted slices emits the IDENTICAL bigram sequence
+        // in O(len). Guide §1.2 step 2 (per-task work).
+        val cnt = pd.withColumn("cs", split(col("text"), ""))
+          .select(col("pair"), col("role"),
+            explode(expr("zip_with(slice(cs, 1, length(text) - 1)," +
+              " slice(cs, 2, length(text) - 1), (x, y) -> concat(x, y))"))
+              .as("g"))
           .groupBy(col("pair"), col("role"), col("g"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // shared by match / hyp / ref legs
+          .localCheckpoint(false) // shared by match / hyp / ref legs
         val m = cnt.filter(col("role") === 0)
           .select(col("pair"), col("g"), col("c").as("hc"))
           .join(cnt.filter(col("role") === 1)

@@ -44,7 +44,7 @@ object Round184Queries {
             expr("least(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)" +
               " div 2, 5)").as("j"))
           .groupBy(col("i"), col("j")).agg(count(lit(1)).as("o"))
-          .localCheckpoint(true) // ≤ 36 cells at any SF
+          .localCheckpoint(false) // ≤ 36 cells at any SF
         val n = cells.agg(sum(col("o")).as("n"))
         val wo = cells.agg(
           sum(expr("(i - j) * (i - j) * o")).as("swo"))

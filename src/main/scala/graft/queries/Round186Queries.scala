@@ -80,7 +80,7 @@ object Round186Queries {
       .select(col("o_orderpriority").as("v"),
         (col("o_totalprice") >= 150000.0).as("yy"))
       .groupBy(col("v"), col("yy")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // ≤ 10 cells, reused by every margin
+      .localCheckpoint(false) // ≤ 10 cells, reused by every margin
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -294,7 +294,7 @@ object Round186Queries {
           .withColumn("t", row_number().over(Window.orderBy(col("mk")))
             .cast("long"))
           .select(col("t"), col("y"))
-          .localCheckpoint(true) // bounded month axis, self-joined
+          .localCheckpoint(false) // bounded month axis, self-joined
         val pairs = ax.as("i").join(ax.as("j"),
             col("i.t") < col("j.t"))
           .selectExpr(

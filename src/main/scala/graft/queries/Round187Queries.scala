@@ -95,7 +95,7 @@ object Round187Queries {
     // ── Breusch–Pagan heteroskedasticity LM on the month axis.
     QueryDef("q_breusch_pagan",
       (s, d) => {
-        val ax = monthAxis(s, d).localCheckpoint(true) // moments + z pass
+        val ax = monthAxis(s, d).localCheckpoint(false) // moments + z pass
         val m = ax.agg(count(lit(1)).as("n"), sum(col("t")).as("sx"),
           sum(col("y")).as("sy"), sum(col("t") * col("t")).as("sxx"),
           sum(col("t") * col("y")).as("sxy"))
@@ -140,7 +140,7 @@ object Round187Queries {
     // ── White test: auxiliary regression of e² on (t, t²), df = 2.
     QueryDef("q_white_test",
       (s, d) => {
-        val ax = monthAxis(s, d).localCheckpoint(true)
+        val ax = monthAxis(s, d).localCheckpoint(false)
         val m = ax.agg(count(lit(1)).as("n"), sum(col("t")).as("sx"),
           sum(col("y")).as("sy"), sum(col("t") * col("t")).as("sxx"),
           sum(col("t") * col("y")).as("sxy"))
@@ -216,7 +216,7 @@ object Round187Queries {
             .as(Seq("p", "x")))
           .select(col("vec_id"), (col("p") + 1).as("i"),
             expr("CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)").as("v"))
-          .localCheckpoint(true) // bounds + both distance scans
+          .localCheckpoint(false) // bounds + both distance scans
         val bounds = comp.groupBy(col("i"))
           .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
         val ks = comp.sparkSession.range(0, 16).toDF("k")

@@ -52,7 +52,7 @@ object Round188Queries {
         expr("least(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)" +
           " div 2, 5)").as("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("o"))
-      .localCheckpoint(true) // ≤ 36 cells, self-joined
+      .localCheckpoint(false) // ≤ 36 cells, self-joined
 
   /** priority × high-value cells (≤ 10 at any SF) + per-customer spend
     * in hecto-dollars — shared shapes for U and the inequality pair. */
@@ -121,7 +121,7 @@ object Round188Queries {
           .select(col("o_orderpriority").as("v"),
             (col("o_totalprice") >= 150000.0).as("yy"))
           .groupBy(col("v"), col("yy")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val tc = cells.agg(sum(col("c")).as("n"),
           sum(col("c") * Bm25.log2E6(col("c"))).as("t_cells"))
         val tv = cells.groupBy(col("v")).agg(sum(col("c")).as("nv"))
@@ -185,7 +185,7 @@ object Round188Queries {
     // ── Hoover (Robin Hood) index over per-customer spend.
     QueryDef("q_hoover_index",
       (s, d) => {
-        val sp = spend(s, d).localCheckpoint(true) // totals + positive part
+        val sp = spend(s, d).localCheckpoint(false) // totals + positive part
         val tot = sp.agg(count(lit(1)).as("n"), sum(col("x")).as("xt"))
         sp.crossJoin(broadcast(tot))
           .agg(max(col("n")).as("n"), max(col("xt")).as("xt"),
@@ -212,7 +212,7 @@ object Round188Queries {
     // ── Mean log deviation GE(0) over positive customer spends.
     QueryDef("q_mean_log_deviation",
       (s, d) => {
-        val sp = spend(s, d).filter(col("x") >= 1L).localCheckpoint(true)
+        val sp = spend(s, d).filter(col("x") >= 1L).localCheckpoint(false)
         val tot = sp.agg(count(lit(1)).as("n"), sum(col("x")).as("xt"),
           sum(Bm25.log2E6(col("x"))).as("slx"))
         tot

@@ -56,7 +56,7 @@ object Round189Queries {
         expr("least(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)" +
           " div 2, 5)").as("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("o"))
-      .localCheckpoint(true) // ≤ 36 cells, self-joined
+      .localCheckpoint(false) // ≤ 36 cells, self-joined
 
   /** returned-vs-kept counts per quantity decile (≤ 6 cells). */
   private val rfCellsSql =
@@ -80,7 +80,7 @@ object Round189Queries {
           .groupBy(col("i"))
           .agg(sum(when(col("rf") === "R", 1L).otherwise(0L)).as("p"),
             sum(when(col("rf") =!= "R", 1L).otherwise(0L)).as("q"))
-          .localCheckpoint(true) // ≤ 6 cells
+          .localCheckpoint(false) // ≤ 6 cells
         val tot = cells.agg(sum(col("p")).as("pt"), sum(col("q")).as("qt"))
         val terms = cells.crossJoin(broadcast(tot))
           .withColumn("den", expr("p * qt + q * pt"))

@@ -44,7 +44,7 @@ object Round190Queries {
           .where(col("l_returnflag") === "R")
           .select(trunc(col("l_shipdate"), "month").as("mo"))
           .groupBy(col("mo")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // calendar-bounded, reused for c̄
+          .localCheckpoint(false) // calendar-bounded, reused for c̄
         val pool = mo.agg(count(lit(1)).as("m"), sum(col("c")).as("ct"))
         mo.crossJoin(broadcast(pool))
           .selectExpr("mo", "c",
@@ -136,7 +136,7 @@ object Round190Queries {
           .select(col("o_orderpriority").as("v"),
             (col("o_totalprice") >= 150000.0).as("yy"))
           .groupBy(col("v"), col("yy")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // ≤ 10 cells
+          .localCheckpoint(false) // ≤ 10 cells
         val perV = cells.groupBy(col("v"))
           .agg(sum(col("c")).as("nv"), sum(col("c") * col("c")).as("s2v"),
             sum(col("c") * Bm25.log2E6(col("c"))).as("slcv"))
@@ -208,7 +208,7 @@ object Round190Queries {
           .groupBy(col("o_orderdate").as("dt"))
           .agg(sum(expr("CAST(floor(o_totalprice / 100 + 0.5) AS BIGINT)"))
             .as("x"))
-          .localCheckpoint(true) // calendar-bounded (~days, not SF)
+          .localCheckpoint(false) // calendar-bounded (~days, not SF)
         val lagged = daily
           .withColumn("h", explode(array((1 to 7).map(lit(_)): _*)))
           .withColumn("dt2", date_add(col("dt"), col("h")))

@@ -49,7 +49,7 @@ object Round191Queries {
         expr("CAST(month(o_orderdate) AS BIGINT)")).as("m"))
       .agg(sum(expr("CAST(floor(o_totalprice / 100 + 0.5) AS BIGINT)"))
         .as("x"))
-      .localCheckpoint(true) // calendar-bounded, joined at two lags
+      .localCheckpoint(false) // calendar-bounded, joined at two lags
 
   /** per-month (x, naive lag-1, seasonal lag-12), months with both. */
   private def lagged(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -83,7 +83,7 @@ object Round191Queries {
       Seq("ok")).where(col("ln") === col("b")).select(col("ok"), col("j"))
     fi.join(la, Seq("ok")).groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // ≤ 36 cells
+      .localCheckpoint(false) // ≤ 36 cells
   }
 
   private val bandPairsSql =
@@ -112,7 +112,7 @@ object Round191Queries {
           .agg(count(lit(1)).as("t"),
             sum(when(col("o_totalprice") >= lit(150000.0), 1L)
               .otherwise(0L)).as("h"))
-          .localCheckpoint(true) // 25 nations
+          .localCheckpoint(false) // 25 nations
         val tot = nat.agg(sum(col("h")).as("hh"))
         nat.crossJoin(broadcast(tot))
           .agg(count(lit(1)).as("n_nations"), max(col("hh")).as("hh"),

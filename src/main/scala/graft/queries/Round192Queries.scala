@@ -49,7 +49,7 @@ object Round192Queries {
       Seq("ok")).where(col("ln") === col("b")).select(col("ok"), col("j"))
     fi.join(la, Seq("ok")).groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // ≤ 36 cells
+      .localCheckpoint(false) // ≤ 36 cells
   }
 
   private val bandPairsSql =
@@ -80,7 +80,7 @@ object Round192Queries {
         expr("CAST(month(o_orderdate) AS BIGINT)")).as("m"))
       .agg(sum(expr("CAST(floor(o_totalprice / 100 + 0.5) AS BIGINT)"))
         .as("x"))
-      .localCheckpoint(true) // calendar-bounded
+      .localCheckpoint(false) // calendar-bounded
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -151,7 +151,7 @@ object Round192Queries {
           expr("(max(m) - min(m)) div 2")).as("thr"))
         val tagged = mo.crossJoin(broadcast(thr))
           .withColumn("ens", col("m") <= col("thr"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val ens = tagged.where(col("ens")).select(col("x").as("xe"))
         val tg = tagged.where(!col("ens")).select(col("x").as("xt"))
         val a = tg.crossJoin(broadcast(ens))
@@ -202,7 +202,7 @@ object Round192Queries {
             expr("CAST(quarter(o_orderdate) AS BIGINT)").as("q"))
           .agg(sum(expr("CAST(floor(o_totalprice / 100 + 0.5) AS BIGINT)"))
             .as("x"))
-          .localCheckpoint(true) // calendar-bounded
+          .localCheckpoint(false) // calendar-bounded
         val full = yq.groupBy(col("y")).agg(count(lit(1)).as("nq"))
           .where(col("nq") === 4L).select(col("y"))
         val yq4 = yq.join(broadcast(full), Seq("y"))

@@ -45,7 +45,7 @@ object Round193Queries {
           .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
             .as("x"))
           .orderBy(col("x").desc).limit(101)
-          .localCheckpoint(true) // 101 rows
+          .localCheckpoint(false) // 101 rows
         val thr = topk.agg(min(col("x")).as("xk"))
         topk.crossJoin(broadcast(thr))
           .where(col("x") > col("xk"))
@@ -142,7 +142,7 @@ object Round193Queries {
           .groupBy(col("o_orderdate").as("dt"))
           .agg(sum(expr("CAST(floor(o_totalprice / 100 + 0.5) AS BIGINT)"))
             .as("x"))
-          .localCheckpoint(true) // calendar-bounded, self-joined
+          .localCheckpoint(false) // calendar-bounded, self-joined
         val idx = daily.as("a")
           .join(broadcast(daily.as("b")), col("b.dt") < col("a.dt"),
             "left")

@@ -167,7 +167,7 @@ object Round194Queries {
           .agg(count(lit(1)).as("ni"), sum(col("x")).as("sx"),
             sum(expr(s"CAST(x AS $dec) * x")).as("sx2"))
           .withColumn("mean_i", expr("sx div ni"))
-          .localCheckpoint(true) // 25 nations
+          .localCheckpoint(false) // 25 nations
         val pooled = grp.agg(count(lit(1)).as("k"),
           sum(col("ni")).as("n"), sum(col("sx")).as("sxt"),
           sum(expr(s"CAST(sx2 AS $dec)" +

@@ -50,7 +50,7 @@ object Round195Queries {
       .groupBy(col("o_orderdate").as("dt"))
       .agg(sum(expr("CAST(floor(o_totalprice / 100 + 0.5) AS BIGINT)"))
         .as("x"))
-      .localCheckpoint(true) // calendar-bounded, self-joined
+      .localCheckpoint(false) // calendar-bounded, self-joined
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -63,7 +63,7 @@ object Round195Queries {
           .groupBy(col("brand"))
           .agg(sum(expr("CAST(floor(l_extendedprice * (1 - l_discount)" +
             " * 100 + 0.5) AS BIGINT)")).as("v"))
-          .localCheckpoint(true) // ≤ 25 brands
+          .localCheckpoint(false) // ≤ 25 brands
         val tot = brands.agg(count(lit(1)).as("nb"), sum(col("v")).as("vt"))
         brands.crossJoin(broadcast(tot))
           .agg(max(col("nb")).as("nb"), max(col("vt")).as("vt"),
@@ -115,7 +115,7 @@ object Round195Queries {
             expr("b.dt = date_add(a.dt, 1)"))
           .select(col("a.dt").as("dt"), col("a.x").as("x"),
             col("b.x").as("xn"))
-          .localCheckpoint(true) // days with a next calendar day
+          .localCheckpoint(false) // days with a next calendar day
         val r = dl.agg(expr("(sum(x) div count(*)) div 10").as("r"))
         val pairs = nxt.as("p").join(broadcast(nxt.as("q")),
             col("p.dt") < col("q.dt"))
@@ -171,7 +171,7 @@ object Round195Queries {
             "rv div shiftleft(1, k) AS bv")
           .groupBy(col("k"))
           .agg(countDistinct(col("bt"), col("bv")).as("nb"))
-          .localCheckpoint(true) // 8 rows
+          .localCheckpoint(false) // 8 rows
         scales
           .agg(count(lit(1)).as("m"), sum(col("k")).as("sk"),
             sum(col("k") * col("k")).as("sk2"),
@@ -227,7 +227,7 @@ object Round195Queries {
           .agg((lit(1L) + sum(when(col("b.x") < col("a.x") ||
             (col("b.x") === col("a.x") && col("b.dt") < col("a.dt")), 1L)
             .otherwise(0L))).as("r"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val sq = ranked.as("p").join(broadcast(ranked.as("q")),
             expr("q.dt = date_add(p.dt, 1)"))
           .agg(sum(expr("(p.r - q.r) * (p.r - q.r)")).as("sd2"),

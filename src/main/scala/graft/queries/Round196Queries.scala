@@ -44,12 +44,12 @@ object Round196Queries {
           .groupBy(col("o_orderdate").as("dt"))
           .agg(sum(expr("CAST(floor(o_totalprice / 100 + 0.5) AS BIGINT)"))
             .as("x"))
-          .localCheckpoint(true) // calendar-bounded
+          .localCheckpoint(false) // calendar-bounded
         val diffs = dl.as("a").join(broadcast(dl.as("b")),
             expr("b.dt = date_add(a.dt, 1)"))
           .select(col("a.dt").as("dt"),
             when(col("b.x") >= col("a.x"), 1L).otherwise(-1L).as("sg"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val chg = diffs.as("p").join(broadcast(diffs.as("q")),
             expr("q.dt = date_add(p.dt, 1)"))
           .agg(count(lit(1)).as("pairs"),
@@ -120,7 +120,7 @@ object Round196Queries {
             "transform(sequence(0, size(ws) - 2)," +
               " i -> concat(ws[i], ' ', ws[i + 1]))")).as("b"))
           .distinct()
-          .localCheckpoint(true) // distinct (source, bigram)
+          .localCheckpoint(false) // distinct (source, bigram)
         val sizes = bg.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val inter = bg.as("x").join(bg.as("y"), Seq("b"))
           .where(col("x.source") < col("y.source"))
@@ -171,7 +171,7 @@ object Round196Queries {
           .select(col("lang"), length(col("w")).cast("long").as("len"))
         val byLen = words.groupBy(col("lang"), col("len"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // langs × lengths grid
+          .localCheckpoint(false) // langs × lengths grid
         val prof = byLen.groupBy(col("lang"))
           .agg(sum(col("c")).as("n"),
             sum(col("len") * col("c")).as("sl"),

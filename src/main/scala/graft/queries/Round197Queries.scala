@@ -94,7 +94,7 @@ object Round197Queries {
               col("s_nationkey").as("nk")), Seq("l_suppkey"))
           .select(col("nk"), col("l_partkey").as("pk"))
           .distinct()
-          .localCheckpoint(true) // distinct (nation, part)
+          .localCheckpoint(false) // distinct (nation, part)
         val sizes = np.groupBy(col("nk")).agg(count(lit(1)).as("n"))
         val inter = np.as("x").join(np.as("y"), Seq("pk"))
           .where(col("x.nk") < col("y.nk"))
@@ -135,7 +135,7 @@ object Round197Queries {
           .groupBy(col("o_orderdate").as("dt"))
           .agg(sum(expr("CAST(floor(o_totalprice / 100 + 0.5) AS BIGINT)"))
             .as("x"))
-          .localCheckpoint(true) // calendar-bounded
+          .localCheckpoint(false) // calendar-bounded
         // dow 0 = Monday via epoch-day arithmetic — Spark's dayofweek
         // (Sun=1) and DuckDB's (Sun=0) disagree, this does not.
         val dow = daily

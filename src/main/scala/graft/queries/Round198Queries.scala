@@ -50,7 +50,7 @@ object Round198Queries {
       .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
         .as("x"))
       .select(col("x"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val line = sp.agg(count(lit(1)).as("n"),
       expr("(sum(x) div count(*)) div 2").as("z"))
     (sp, line)
@@ -186,7 +186,7 @@ object Round198Queries {
           .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)" +
             " % 100").as("e"))
           .groupBy(col("e")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // 100 cells
+          .localCheckpoint(false) // 100 cells
         val tot = ends.agg(sum(col("c")).as("n"))
         ends.crossJoin(broadcast(tot))
           .agg(max(col("n")).as("n"),

@@ -117,7 +117,7 @@ object Round25Queries {
           Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
           .select(col("l_orderkey"), col("l_partkey"), col("o_orderdate"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val train = li.filter(expr("o_orderdate < TIMESTAMP_NTZ'1999-01-01'"))
           .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
         val test = li.filter(expr("o_orderdate >= TIMESTAMP_NTZ'1999-01-01'"))

@@ -157,7 +157,7 @@ object Round3Queries {
         val ev = Tables.events(s, d)
         val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
         val top = exact.orderBy(col("exact_cnt").desc, col("user_id").asc).limit(10)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         Sketches.cmsEstimate(top, Sketches.cmsBuild(ev, "user_id"), "user_id")
           .join(top, "user_id")
           .select(col("user_id"), col("exact_cnt"), col("cms_est"))

@@ -29,7 +29,7 @@ object Round41Queries {
             (length(col("text")) -
               length(regexp_replace(col("text"), " ", "")))
               .cast("long").as("x3"))
-          .localCheckpoint(true) // one scan feeds both rounds
+          .localCheckpoint(false) // one scan feeds both rounds
         val w1 = base.agg(count(lit(1)).as("n_upd"),
           sum(col("y") * col("x1")).as("w1b"),
           sum(col("y") * col("x2")).as("w1c"),
@@ -93,7 +93,7 @@ object Round41Queries {
           .select(col("a_id"), col("b_id"),
             expr("""aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)),
                    |0L, (acc, v) -> acc + v)""".stripMargin).as("d2_e12"))
-          .localCheckpoint(true) // both argmin windows read ONE pair scan
+          .localCheckpoint(false) // both argmin windows read ONE pair scan
         val bestA = pairs.withColumn("rk", row_number().over(
             Window.partitionBy(col("a_id"))
               .orderBy(col("d2_e12"), col("b_id"))))

@@ -159,7 +159,7 @@ object Round43Queries {
       (s, d) => {
         val conf = Classify.naiveBayesConfusion(
           Tables.documents(s, d), "doc_id", "lang", "text", 0L)
-          .localCheckpoint(true) // k×k frame feeds 2 marginals
+          .localCheckpoint(false) // k×k frame feeds 2 marginals
         val byLabel = conf.groupBy(col("label"))
           .agg(sum(col("n_docs")).as("n_label"))
         val byPred = conf.groupBy(col("pred"))

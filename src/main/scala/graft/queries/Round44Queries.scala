@@ -85,7 +85,7 @@ object Round44Queries {
           .groupBy(col("event_type").as("k"),
             expr("unix_micros(ts) div 86400000000").as("day"))
           .agg(count(lit(1)).as("c"))
-        val p = paa(daily).localCheckpoint(true)
+        val p = paa(daily).localCheckpoint(false)
         val a = p.select(col("k").as("ka") +:
           (1 to N).map(i => col(s"p$i").as(s"a$i")): _*)
         val b = p.select(col("k").as("kb") +:

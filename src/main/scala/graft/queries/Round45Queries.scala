@@ -25,7 +25,7 @@ object Round45Queries {
         val recs = Recsys.itemCf(
           Tables.lineitem(s, d)
             .select(col("l_orderkey").as("b"), col("l_partkey").as("i")),
-          "b", "i", 2L, 5).localCheckpoint(true)
+          "b", "i", 2L, 5).localCheckpoint(false)
         val catalog = Tables.part(s, d)
           .agg(countDistinct(col("p_partkey")).as("catalog_sz"))
         val exposure = recs.groupBy(col("rec"))
@@ -82,7 +82,7 @@ object Round45Queries {
             (col("l_orderkey") * 8 + col("l_linenumber")).as("tie"),
             col("l_quantity").cast("long").as("qty"),
             (col("l_returnflag") === "R").as("isdep"))
-          .localCheckpoint(true) // one scan feeds both classes
+          .localCheckpoint(false) // one scan feeds both classes
         val wk = Window.partitionBy(col("k")).orderBy(col("t"), col("tie"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val sup = base.filter(!col("isdep"))

@@ -106,26 +106,45 @@ object Round57Queries {
           .select(least(col("user_id") % 500, col("event_id") % 500).as("a"),
             greatest(col("user_id") % 500, col("event_id") % 500).as("b"))
           .where(col("a") =!= col("b")).distinct()
-          .localCheckpoint(true) // reused by degrees + 3 removal rounds
+          .localCheckpoint(false) // reused by degrees + 3 removal rounds
         val deg = und.select(col("a").as("id"))
           .union(und.select(col("b").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("dg"))
           .withColumn("rn", row_number().over(
             Window.orderBy(col("dg").desc, col("id"))))
-        val ids = deg.select(col("id"), col("rn"))
-        Seq(0, 50, 200).map { kk =>
-          val keep = ids.where(col("rn") > kk).select(col("id"))
+        val ids = deg.select(col("id"), col("rn")).localCheckpoint(false)
+        // r12: ONE star-CC run over the disjoint union of the three
+        // removal variants (variant i lives on ids offset by i*1000 —
+        // node ids are < 500 by construction) instead of three
+        // sequential iterative CC loops; rounds = max over variants,
+        // not their sum, and per-variant labels/sizes are unchanged
+        // (components never cross the offset blocks). Guide §2.4.
+        val variants = Seq(0L, 50L, 200L)
+        val shifted = variants.zipWithIndex.map { case (kk, i) =>
+          val off = i * 1000L
+          val keep = ids.where(col("rn") > kk)
+            .select((col("id") + off).as("id"))
           val edges = und
-            .join(keep.select(col("id").as("a")), "a")
-            .join(keep.select(col("id").as("b")), "b")
-            .select(col("a"), col("b"))
-          StarComponents.connectedComponents(keep, edges)
-            .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
-            .agg(count(lit(1)).as("n_components"),
-              sum(col("sz")).as("n_nodes"), max(col("sz")).as("largest_cc"))
-            .select(lit(kk.toLong).as("k_removed"), col("n_nodes"),
-              col("n_components"), col("largest_cc"))
-        }.reduce(_ unionByName _)
+            .join(ids.where(col("rn") > kk).select(col("id").as("a")), "a")
+            .join(ids.where(col("rn") > kk).select(col("id").as("b")), "b")
+            .select((col("a") + off).as("a"), (col("b") + off).as("b"))
+          (keep, edges)
+        }
+        val allKeep = shifted.map(_._1).reduce(_ unionByName _)
+        val allEdges = shifted.map(_._2).reduce(_ unionByName _)
+        val kOf = variants.zipWithIndex.foldLeft(lit(-1L)) {
+          case (acc, (kk, i)) =>
+            when(col("variant") === i.toLong, lit(kk)).otherwise(acc)
+        }
+        StarComponents.connectedComponents(allKeep, allEdges)
+          .withColumn("variant", expr("id div 1000"))
+          .groupBy(col("variant"), col("cluster_id"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_components"),
+            sum(col("sz")).as("n_nodes"), max(col("sz")).as("largest_cc"))
+          .select(kOf.as("k_removed"), col("n_nodes"),
+            col("n_components"), col("largest_cc"))
       },
       Some {
         def piece(kk: Int) =

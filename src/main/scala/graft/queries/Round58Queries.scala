@@ -96,7 +96,7 @@ object Round58Queries {
           .select(col("p_brand").as("g"),
             floor(col("l_discount") * 100 + 0.5).cast(dec).as("x"),
             floor(col("l_quantity") + 0.5).cast(dec).as("y"))
-          .localCheckpoint(true) // reused: per-group + pooled moments
+          .localCheckpoint(false) // reused: per-group + pooled moments
         val grp = li.groupBy(col("g"))
           .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("sx"),
             sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))

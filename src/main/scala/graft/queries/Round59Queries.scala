@@ -75,7 +75,7 @@ object Round59Queries {
             expr("(user_id * 37 % 17000) div 50").as("cx"),
             expr("(event_id * 91 % 35000) div 50").as("cy"))
           .distinct()
-          .localCheckpoint(true) // both pair sides read it
+          .localCheckpoint(false) // both pair sides read it
         val b = cells.select(col("u").as("ub"), col("cx").as("bx"),
           col("cy").as("by"))
         val dmin = cells.join(b, col("cx") === col("bx") &&
@@ -135,7 +135,7 @@ object Round59Queries {
           .withColumn("rb", row_number().over(
             Window.orderBy(col("qty").desc, col("l_partkey"))).cast("long"))
           .where(col("ra") <= 20 || col("rb") <= 20)
-          .localCheckpoint(true) // reused by all 20 depths
+          .localCheckpoint(false) // reused by all 20 depths
         val depths = s.range(1, 21).select(col("id").as("dpt"))
         ranked.crossJoin(broadcast(depths))
           .where(col("ra") <= col("dpt") && col("rb") <= col("dpt"))

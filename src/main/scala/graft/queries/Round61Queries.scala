@@ -129,7 +129,7 @@ object Round61Queries {
           .withColumn("bd", expr(s"snap div $dayUs"))
         val labs = ev.where(col("eid") % 17 === 0)
           .select(col("u"), col("t").as("lt"), col("et").as("let"))
-          .localCheckpoint(true) // reused: label counts + pair join
+          .localCheckpoint(false) // reused: label counts + pair join
         val lb = labs.withColumn("ld", expr(s"lt div $dayUs"))
           .withColumn("bd", explode(array(col("ld") - 1, col("ld"))))
         val pairs = feats.join(lb, Seq("u", "bd"))

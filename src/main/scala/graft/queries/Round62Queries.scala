@@ -83,7 +83,7 @@ object Round62Queries {
           .agg(expr("sum(c) div count(1)").as("mean_c"))
         val resid = cnt.join(broadcast(base), Seq("dow", "hod"))
           .withColumn("resid", col("c") - col("mean_c"))
-          .localCheckpoint(true) // reused: MAD + anomaly filter
+          .localCheckpoint(false) // reused: MAD + anomaly filter
         val mad = resid
           .withColumn("rn", row_number().over(
             Window.orderBy(abs(col("resid")), col("h"))))

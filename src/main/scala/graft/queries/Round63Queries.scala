@@ -80,7 +80,7 @@ object Round63Queries {
           .withColumn("cumw", sum(col("wgt")).over(win))
           .withColumn("totw", sum(col("wgt")).over(
             Window.partitionBy(col("seg"))))
-          .localCheckpoint(true) // reused by the 3 quartile picks
+          .localCheckpoint(false) // reused by the 3 quartile picks
         Seq(1, 2, 3).map { k =>
           cum.where(col("cumw") * 4 >= col("totw") * k)
             .withColumn("rn", row_number().over(

@@ -55,7 +55,7 @@ object Round64Queries {
         val pos = Tables.events(s, d)
           .select(col("user_id").as("u"), (col("event_id") % 200).as("item"))
           .distinct()
-          .localCheckpoint(true) // reused: per-user counts + anti-join
+          .localCheckpoint(false) // reused: per-user counts + anti-join
         val nPos = pos.groupBy(col("u")).agg(count(lit(1)).as("n_pos"))
         val cand = nPos.select(col("u"))
           .withColumn("j", explode(expr("sequence(1, 8)")))
@@ -115,7 +115,7 @@ object Round64Queries {
           // one materialization; before r10 the rank layout and the
           // count each re-tokenized the corpus (the r9 0.42→1.10 s
           // regression the VERDICT flagged)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // ntile from the distributed global rank (see q_ntile_buckets):
         // same buckets, no single-partition sort of the corpus.
         val ranked = graft.ops.Ranks.globalRowNumber(docs,

@@ -45,7 +45,7 @@ object Round65Queries {
             when(col("ccnt") === 0L, lit(1000000000000L))
               .otherwise(expr("cs * 1000000 div ccnt")))
           .withColumn("day_mu_e6", expr("s * 1000000 div greatest(cnt, 1)"))
-          .localCheckpoint(true) // reused: chosen pick + best-arm scan
+          .localCheckpoint(false) // reused: chosen pick + best-arm scan
         val chosen = scored
           .withColumn("pk", row_number().over(Window.partitionBy(col("day"))
             .orderBy(col("mu_prior_e6").desc, col("arm"))))

@@ -92,12 +92,24 @@ object Round66Queries {
           .select(col("id").as("src"), (col("id") + 5).as("dst"))
         val e = chain.unionByName(c1).unionByName(c2).distinct()
           .withColumn("w", col("dst") - col("src"))
-        val es = Graph.dagLongestPath(nodes, e, 10)
+          .localCheckpoint(false) // feeds both direction legs below
+        // r12: ONE dagLongestPath run carries BOTH directions — the
+        // reversed graph lives on ids offset by 1000 (node ids are
+        // p_partkey % 100 < 100), so the relaxation rounds of the two
+        // sweeps share every frontier join and the round count is
+        // max(fwd, bwd) instead of fwd + bwd (guide §2.4; the q_bowtie
+        // parity-fusion trick on the offset encoding).
+        val both = Graph.dagLongestPath(
+          nodes.select(col("id"))
+            .unionByName(nodes.select((col("id") + 1000L).as("id"))),
+          e.select(col("src"), col("dst"), col("w"))
+            .unionByName(e.select((col("dst") + 1000L).as("src"),
+              (col("src") + 1000L).as("dst"), col("w"))),
+          10).localCheckpoint(false)
+        val es = both.filter(col("id") < 1000L)
           .select(col("id"), col("dist").as("es"))
-        val tail = Graph.dagLongestPath(nodes,
-            e.select(col("dst").as("src"), col("src").as("dst"), col("w")),
-            10)
-          .select(col("id"), col("dist").as("tail_len"))
+        val tail = both.filter(col("id") >= 1000L)
+          .select((col("id") - 1000L).as("id"), col("dist").as("tail_len"))
         val j = es.join(tail, "id")
         val hz = j.agg(max(col("es") + col("tail_len")).as("horizon"))
         j.crossJoin(broadcast(hz))
@@ -138,7 +150,7 @@ object Round66Queries {
         val units = Tables.customer(s, d)
           .select(col("c_mktsegment").as("seg"), col("c_custkey").as("ck"),
             floor(col("c_acctbal") * 100 + 0.5).cast("long").as("v"))
-          .localCheckpoint(true) // reused: fit + eval split
+          .localCheckpoint(false) // reused: fit + eval split
         val fit = units.where(col("ck") % 2 === 0)
         val win = Window.partitionBy(col("seg")).orderBy(col("v"), col("ck"))
         val ranked = fit

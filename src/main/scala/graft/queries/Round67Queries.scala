@@ -30,7 +30,7 @@ object Round67Queries {
         val adj = und.select(col("a").as("v"), col("b").as("n"))
           .unionByName(und.select(col("b").as("v"), col("a").as("n")))
           .unionByName(nodes.select(col("v"), col("v").as("n")))
-          .localCheckpoint(true) // reused by all 3 greedy steps
+          .localCheckpoint(false) // reused by all 3 greedy steps
         var covered = adj.sparkSession.emptyDataFrame
           .sparkSession.range(0).select(col("id").as("n"))
         var out: org.apache.spark.sql.DataFrame = null
@@ -43,10 +43,10 @@ object Round67Queries {
             .where(col("rk") === 1)
             .select(lit(step.toLong).as("step"), col("v").as("seed"),
               col("gain"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           val seedN = adj.join(
             gain.select(col("seed").as("v")), "v").select(col("n"))
-          covered = covered.union(seedN).distinct().localCheckpoint(true)
+          covered = covered.union(seedN).distinct().localCheckpoint(false)
           coveredCount = covered.count()
           val row = gain.withColumn("covered_total", lit(coveredCount))
           out = if (out == null) row else out.unionByName(row)
@@ -99,7 +99,7 @@ object Round67Queries {
           .where(col("o").isNotNull)
           .groupBy(col("o"), col("band").as("dst"))
           .agg(count(lit(1)).as("obs"))
-          .localCheckpoint(true) // reused: margins + normalization + fit
+          .localCheckpoint(false) // reused: margins + normalization + fit
         val wo = obs.groupBy(col("o")).agg(sum(col("obs")).as("wo"))
         val wd = obs.groupBy(col("dst")).agg(sum(col("obs")).as("wd"))
         val tot = obs.agg(sum(col("obs")).as("tot"))
@@ -161,7 +161,7 @@ object Round67Queries {
           .where(col("rk") === 1)
           .select(col("u"), col("node").as(s"a$n"))
         val j = assign(4).join(assign(5), "u")
-          .localCheckpoint(true) // reused: per-node loads + move total
+          .localCheckpoint(false) // reused: per-node loads + move total
         val moves = j.agg(count(lit(1)).as("n_keys"),
           sum(when(col("a4") =!= col("a5"), 1L).otherwise(0L)).as("moved"))
         val perNode = j.groupBy(col("a5").as("node"))

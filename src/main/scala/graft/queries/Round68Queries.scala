@@ -25,7 +25,7 @@ object Round68Queries {
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("br"))
           .distinct()
-          .localCheckpoint(true) // three self-join sides + total
+          .localCheckpoint(false) // three self-join sides + total
         val tot = b.select(col("ok")).distinct()
           .agg(count(lit(1)).as("tot"))
         val x = b.select(col("ok"), col("br").as("b1"))

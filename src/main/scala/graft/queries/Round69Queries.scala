@@ -26,7 +26,7 @@ object Round69Queries {
             expr("h % 24").as("hod"))
           .agg(count(lit(1)).as("orig"))
           .withColumn("v", col("orig"))
-          .localCheckpoint(true) // 168-row grid; each sweep re-reads it
+          .localCheckpoint(false) // 168-row grid; each sweep re-reads it
         def sweep(df: org.apache.spark.sql.DataFrame, byCol: String,
                   ordTie: String) = {
           val w = Window.partitionBy(col(byCol))
@@ -40,7 +40,7 @@ object Round69Queries {
             .withColumn("v", col("v") - col("med")).drop("med")
             // truncate lineage: without this the 4-sweep chain re-derives
             // the grid per sweep (31 exchanges in the r8 gate probe)
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         val once = sweep(sweep(grid, "dow", "hod"), "hod", "dow")
         val twice = sweep(sweep(once, "dow", "hod"), "hod", "dow")
@@ -82,7 +82,7 @@ object Round69Queries {
           .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
             sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
           .where(col("ca") + col("cb") >= 20)
-          .localCheckpoint(true) // reused: totals + scoring
+          .localCheckpoint(false) // reused: totals + scoring
         val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
           count(lit(1)).as("vocab"))
         counts.crossJoin(broadcast(tot))

@@ -99,7 +99,7 @@ object Round71Queries {
             count(lit(1)).over(Window.partitionBy(col("hod"), col("v")))
             - 1L)
         val sums = r2.groupBy(col("dow")).agg(sum(col("r2")).as("r2_sum"))
-          .localCheckpoint(true) // reused: per-dow rows + chi2 scalar
+          .localCheckpoint(false) // reused: per-dow rows + chi2 scalar
         val stats = sums.agg(count(lit(1)).as("k"),
           sum(expr("r2_sum * r2_sum")).as("sq"))
         val nb = grid.select(col("hod")).distinct()
@@ -145,7 +145,7 @@ object Round71Queries {
         val days = Tables.events(s, d)
           .select(expr("unix_micros(ts) div 86400000000").as("day"))
           .groupBy(col("day")).agg(count(lit(1)).as("x"))
-          .localCheckpoint(true) // both pair sides
+          .localCheckpoint(false) // both pair sides
         val b = days.select(col("day").as("d2"), col("x").as("x2"))
         val slopes = days.crossJoin(b).where(col("day") =!= col("d2"))
           .selectExpr("day", "d2",

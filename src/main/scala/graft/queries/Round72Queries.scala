@@ -44,7 +44,7 @@ object Round72Queries {
       (s, d) => {
         val nll = TextAnalysis.bigramNll(
             Tables.documents(s, d).select(col("doc_id"), col("text")))
-          .localCheckpoint(true) // reused: threshold + rollup
+          .localCheckpoint(false) // reused: threshold + rollup
         // Percentile THRESHOLD via the distinct-score axis (group → cum
         // counts → select the value at position ⌈0.9n⌉): the selected
         // VALUE is identical to the positional pick regardless of
@@ -121,12 +121,12 @@ object Round72Queries {
             col("vec_id").cast("long").as("vec_id"),
             expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
               "x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))").as("qv"))
-          .localCheckpoint(true) // rescanned once per greedy round
+          .localCheckpoint(false) // rescanned once per greedy round
         val seed0 = pts.agg(min(col("vec_id")).as("vec_id"))
           .join(pts, "vec_id")
           .select(lit(1L).as("step"), col("vec_id"), col("qv"),
             lit(0L).as("d2"))
-        var centers: DataFrame = seed0.localCheckpoint(true)
+        var centers: DataFrame = seed0.localCheckpoint(false)
         for (step <- 2 to 4) {
           val cand = pts.crossJoin(broadcast(
               centers.select(col("qv").as("cv"))))
@@ -141,7 +141,7 @@ object Round72Queries {
             .where(col("rk") === 1)
             .select(lit(step.toLong).as("step"), col("vec_id"), col("qv"),
               col("mind").as("d2"))
-          centers = centers.unionByName(pick).localCheckpoint(true)
+          centers = centers.unionByName(pick).localCheckpoint(false)
         }
         centers.select(col("step"), col("vec_id"), col("d2").as("d2_e12"))
       },

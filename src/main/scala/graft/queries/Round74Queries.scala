@@ -71,7 +71,7 @@ object Round74Queries {
           .select(col("o_custkey").as("ck"),
             expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
           .distinct()
-          .localCheckpoint(true) // current/previous sides + counts
+          .localCheckpoint(false) // current/previous sides + counts
         val nm = act.groupBy(col("m")).agg(count(lit(1)).as("n_active"))
         val common = act.join(act.select(col("ck"),
             (col("m") + 1).as("m")), Seq("ck", "m"))

@@ -28,7 +28,7 @@ object Round75Queries {
             Window.orderBy(col("v").desc, col("ok"))))
           .where(col("rk") <= 101)
           .withColumn("lg", Bm25.log2E6(col("v")))
-          .localCheckpoint(true) // top axis reused: head sum + reference
+          .localCheckpoint(false) // top axis reused: head sum + reference
         val ref = ranked.where(col("rk") === 101)
           .select(col("lg").as("lg_ref"))
         ranked.where(col("rk") <= 100).crossJoin(broadcast(ref))
@@ -69,7 +69,7 @@ object Round75Queries {
           .select((col("user_id") % 500).as("src"),
             (col("event_id") % 500).as("dst"))
           .where(col("src") =!= col("dst")).distinct()
-          .localCheckpoint(true) // reused by all 3 rounds
+          .localCheckpoint(false) // reused by all 3 rounds
         val nodes = e.select(col("src").as("id"))
           .union(e.select(col("dst").as("id"))).distinct()
         var x = nodes.withColumn("x", lit(1000000L))
@@ -79,7 +79,7 @@ object Round75Queries {
           x = nodes.join(in, Seq("id"), "left")
             .select(col("id"),
               (lit(1000000L) + expr("coalesce(sx, 0L) div 10")).as("x"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         x.select(col("id"), col("x").as("katz_e6"))
       },

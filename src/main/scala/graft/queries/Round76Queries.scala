@@ -27,7 +27,7 @@ object Round76Queries {
               .as("bit"))
           .groupBy(col("et"), col("w"))
           .agg(expr("bit_or(bit)").as("bits"))
-          .localCheckpoint(true) // both pair sides + per-type counts
+          .localCheckpoint(false) // both pair sides + per-type counts
         val sizes = bm.groupBy(col("et"))
           .agg(sum(expr("bit_count(bits)")).as("n_users"))
         val b = bm.select(col("et").as("eb"), col("w"),
@@ -77,7 +77,7 @@ object Round76Queries {
           .withColumn("dx", col("x") - lag(col("x"), 1).over(
             Window.partitionBy(col("et")).orderBy(col("day"))))
           .where(col("dx").isNotNull)
-          .localCheckpoint(true) // reused: quantile pick + tail mean
+          .localCheckpoint(false) // reused: quantile pick + tail mean
         val varq = chg
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("et")).orderBy(col("dx"), col("day"))))
@@ -134,7 +134,7 @@ object Round76Queries {
             Window.partitionBy(col("seg")).orderBy(col("v"), col("ck"))))
           .withColumn("n", count(lit(1)).over(
             Window.partitionBy(col("seg"))))
-          .localCheckpoint(true) // 7 octile picks off one rank pass
+          .localCheckpoint(false) // 7 octile picks off one rank pass
         val oct = (1 to 7).map { k =>
           ranked.where(col("rn") === expr(s"($k * n + 7) div 8"))
             .select(col("seg"), col("n"), lit(k).as("k"),

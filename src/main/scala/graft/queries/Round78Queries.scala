@@ -36,7 +36,7 @@ object Round78Queries {
             col("c_nationkey").cast("long").as("nk"),
             col("c_custkey").as("ck"),
             coalesce(col("spend"), lit(0L)).as("y"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // Top-quartile threshold = y of the rank-k row under
         // (y desc, ck asc), k = (n+3) div 4 — found by per-partition
         // top-k (TakeOrderedAndProject) + a one-row argmin over the k
@@ -100,7 +100,7 @@ object Round78Queries {
           .join(spend, col("c_custkey") === col("o_custkey"), "left")
           .select(col("c_mktsegment").as("seg"), col("c_custkey").as("ck"),
             coalesce(col("spend"), lit(0L)).as("y"))
-          .localCheckpoint(true) // fit/calibration/test splits
+          .localCheckpoint(false) // fit/calibration/test splits
         val fit = u.where(col("ck") % 4 === 0).groupBy(col("seg"))
           .agg(expr("sum(y) div count(1)").as("yhat"))
         val cal = u.where(col("ck") % 4 === 1).join(broadcast(fit), "seg")

@@ -29,7 +29,7 @@ object Round79Queries {
               " div 86400000000").as("day"),
             floor(col("l_quantity") + 0.5).cast("long").as("q"))
           .groupBy(col("g"), col("day")).agg(sum(col("q")).as("demand"))
-          .localCheckpoint(true) // reused: quantile pick + cost eval
+          .localCheckpoint(false) // reused: quantile pick + cost eval
         val qstar = daily
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("g"))
@@ -146,7 +146,7 @@ object Round79Queries {
           .select(col("c_mktsegment").as("seg"),
             col("c_nationkey").cast("long").as("nk"),
             col("c_custkey").as("ck"))
-          .localCheckpoint(true) // population + sample margins
+          .localCheckpoint(false) // population + sample margins
         val cells = u.where(col("ck") % 2 === 0)
           .groupBy(col("seg"), col("nk")).agg(count(lit(1)).as("n_cell"))
         val targetRow = u.groupBy(col("seg")).agg(count(lit(1)).as("t_row"))

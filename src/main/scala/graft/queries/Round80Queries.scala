@@ -28,7 +28,7 @@ object Round80Queries {
           .withColumn("late_s",
             expr("(max(t) OVER (PARTITION BY et ORDER BY arr, eid " +
               "ROWS UNBOUNDED PRECEDING) - t) div 1000000"))
-          .localCheckpoint(true) // reused: 3 percentile picks + tail frac
+          .localCheckpoint(false) // reused: 3 percentile picks + tail frac
         val w = Window.partitionBy(col("et"))
         val ranked = late
           .withColumn("rn", row_number().over(
@@ -134,7 +134,7 @@ object Round80Queries {
             (col("ship_day") -
               expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
                 " div 86400000000")).as("lag_d"))
-          .localCheckpoint(true) // reused: p90 pick + attainment rollup
+          .localCheckpoint(false) // reused: p90 pick + attainment rollup
         val w = Window.partitionBy(col("pri"))
         val p90 = lags
           .withColumn("rn", row_number().over(

@@ -40,7 +40,7 @@ object Round81Queries {
     //    synthetic = per-dim truncated midpoint.
     QueryDef("q_smote_midpoints",
       (s, d) => {
-        val q = qvec(Tables.embeddings(s, d)).localCheckpoint(true)
+        val q = qvec(Tables.embeddings(s, d)).localCheckpoint(false)
         val minority = q.groupBy(col("label"))
           .agg(count(lit(1)).as("n"))
           .withColumn("rk", row_number().over(
@@ -92,7 +92,7 @@ object Round81Queries {
     //    worst margins are the mislabel/OOD suspects.
     QueryDef("q_ood_margin",
       (s, d) => {
-        val q = qvec(Tables.embeddings(s, d)).localCheckpoint(true)
+        val q = qvec(Tables.embeddings(s, d)).localCheckpoint(false)
         val cent = q
           .select(col("label"), posexplode(col("qv")).as(Seq("i", "v")))
           .groupBy(col("label"), col("i"))
@@ -150,7 +150,7 @@ object Round81Queries {
       (s, d) => {
         val dec = "decimal(38,0)"
         val gram = Similarity.gramMatrix(Tables.embeddings(s, d), 8)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val x1 = Similarity.powerIteration(gram, 8, 3)
         val sym = gram.select(col("i"), col("j"), col("g_e12"),
             col("n_rows"))
@@ -160,7 +160,7 @@ object Round81Queries {
         val gsc = sym.select(col("i"), col("j"),
           expr("""(CASE WHEN g_e12 >= 0 THEN g_e12 div n_rows
                  |ELSE -((-g_e12) div n_rows) END)""".stripMargin).as("g"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val trace = gsc.where(col("i") === col("j"))
           .agg(sum(col("g")).as("tr"))
         val xx = x1.agg(sum(col("x_e4") * col("x_e4")).as("xx"))

@@ -29,7 +29,7 @@ object Round82Queries {
           .select((col("lang") === "en").as("isA"), col("n_chars"))
           .groupBy(col("isA"), col("n_chars"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // both quantile ladders
+          .localCheckpoint(false) // both quantile ladders
         def ladder(isA: Boolean, nm: String) = {
           val side = cells.where(col("isA") === isA)
             .withColumn("cum", sum(col("c")).over(

@@ -71,11 +71,11 @@ object Round83Queries {
         val bands = Tables.events(s, d)
           .select(expr("(user_id * 37 % 17000) div 500").as("band"))
           .groupBy(col("band")).agg(count(lit(1)).as("x"))
-          .localCheckpoint(true) // both adjacency sides + moments
+          .localCheckpoint(false) // both adjacency sides + moments
         val tot = bands.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
         val z = bands.crossJoin(broadcast(tot))
           .withColumn("z", expr(s"CAST(n * x - sx AS $dec)"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val num = z.join(z.select((col("band") + 1).as("band"),
             col("z").as("z2")), "band")
           .agg(sum(expr("z * z2")).as("cross2"), count(lit(1)).as("w_half"))
@@ -116,7 +116,7 @@ object Round83Queries {
           .select(least(col("user_id") % 500, col("event_id") % 500).as("a"),
             greatest(col("user_id") % 500, col("event_id") % 500).as("b"))
           .where(col("a") =!= col("b")).distinct()
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         Seq(125L, 250L, 375L).map { c =>
           e.agg(
               sum(when((col("a") < c) =!= (col("b") < c), 1L).otherwise(0L))

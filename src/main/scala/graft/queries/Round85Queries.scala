@@ -32,7 +32,7 @@ object Round85Queries {
           .select(col("c_custkey").as("ck"),
             (col("c_custkey") % 2 === 0).as("arm_a"),
             col("o_custkey").isNotNull.as("cv"))
-          .localCheckpoint(true) // reused by the 4 looks
+          .localCheckpoint(false) // reused by the 4 looks
         (1 to 4).map { k =>
           u.where(col("ck") % 4 < k)
             .agg(
@@ -177,7 +177,7 @@ object Round85Queries {
           .join(spend, col("c_custkey") === col("o_custkey"))
           .select(col("c_nationkey").cast("long").as("nk"), col("y"))
           .where(col("y") > 0)
-          .localCheckpoint(true) // member terms + margins
+          .localCheckpoint(false) // member terms + margins
         val g = u.groupBy(col("nk"))
           .agg(count(lit(1)).as("ng"), sum(col("y")).as("sg"))
         val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"))

@@ -32,7 +32,7 @@ object Round86Queries {
           .select(col("c_mktsegment").as("seg"), col("c_custkey").as("ck"),
             col("y")).where(col("y") > 0)
           .withColumn("lg", Bm25.log2E6(col("y")))
-          .localCheckpoint(true) // moments + positional median
+          .localCheckpoint(false) // moments + positional median
         val mom = u.groupBy(col("seg"))
           .agg(count(lit(1)).cast(dec).as("n"),
             sum(col("lg").cast(dec)).as("sl"),

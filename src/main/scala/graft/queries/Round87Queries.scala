@@ -37,7 +37,7 @@ object Round87Queries {
             "least(CAST(floor((CAST(n AS DOUBLE) + CAST('1.96' AS DOUBLE)" +
               " * sqrt(CAST(n AS DOUBLE))) / CAST('2.0' AS DOUBLE))" +
               " AS BIGINT) + 1, n)"))
-          .localCheckpoint(true) // three positional picks
+          .localCheckpoint(false) // three positional picks
         def pick(cond: String, nm: String) = ranked
           .where(expr(cond)).select(col("seg"), col("n"), col("v").as(nm))
         pick("rn = (n + 1) div 2", "median_cents")
@@ -89,7 +89,7 @@ object Round87Queries {
               " div 86400000000").as("day"),
             floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"),
             floor(col("l_quantity") + 0.5).cast("long").as("q"))
-          .localCheckpoint(true) // revenue rollup + daily variability
+          .localCheckpoint(false) // revenue rollup + daily variability
         val rev = li.groupBy(col("g")).agg(sum(col("v")).as("rev"))
           .withColumn("cum", sum(col("rev")).over(
             Window.orderBy(col("rev").desc, col("g"))

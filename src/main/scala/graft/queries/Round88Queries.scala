@@ -72,7 +72,7 @@ object Round88Queries {
         val daily = Tables.events(s, d)
           .select(expr("unix_micros(ts) div 86400000000").as("day"))
           .groupBy(col("day")).agg(count(lit(1)).as("x"))
-          .localCheckpoint(true) // both pair sides
+          .localCheckpoint(false) // both pair sides
         val b = daily.select(col("day").as("d2"), col("x").as("x2"))
         val u = daily.join(b, col("day") < col("d2"))
           .withColumn("sgn",

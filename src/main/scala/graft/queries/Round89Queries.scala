@@ -32,7 +32,7 @@ object Round89Queries {
           .select(col("g"), col("rev").as("rev_a"))
         val b = rev.where(col("yr") === 1997)
           .select(col("g"), col("rev").as("rev_b"))
-        val j0 = a.join(b, "g").localCheckpoint(true) // brand axis, tiny
+        val j0 = a.join(b, "g").localCheckpoint(false) // brand axis, tiny
         val mx = j0.select(col("g").as("g2"), col("rev_b").as("rb2"))
         val j = j0.join(mx, col("g") =!= col("g2"))
           .groupBy(col("g"), col("rev_a"), col("rev_b"))
@@ -150,7 +150,7 @@ object Round89Queries {
           .select(col("c_nationkey").cast("long").as("nk"),
             col("c_mktsegment").as("seg"),
             when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("cv"))
-          .localCheckpoint(true) // rates + cells off one frame
+          .localCheckpoint(false) // rates + cells off one frame
         val rates = u.groupBy(col("seg"))
           .agg(expr("sum(cv) * 1000000 div count(1)").as("rate_e6"))
         val cells = u.groupBy(col("nk"), col("seg"))

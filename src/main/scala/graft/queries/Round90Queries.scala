@@ -121,7 +121,7 @@ object Round90Queries {
           .select(col("c_mktsegment").as("seg"),
             (col("c_custkey") % 3 === 0).as("t"),
             coalesce(col("y"), lit(0L)).cast(dec).as("y"))
-          .localCheckpoint(true) // per-seg + pooled moments
+          .localCheckpoint(false) // per-seg + pooled moments
         def mom(df: org.apache.spark.sql.DataFrame,
                 keys: Seq[String]) = {
           val g = if (keys.isEmpty) df.groupBy() else

@@ -30,7 +30,7 @@ object Round91Queries {
           .pivot("dw", 0 to 6).agg(first(col("c")))
           .na.fill(0L)
           .withColumn("n_days", expr((0 to 6).map(i => s"CAST(`$i` IS NOT NULL AS INT)").mkString(" + ")))
-          .localCheckpoint(true) // both pair sides
+          .localCheckpoint(false) // both pair sides
         val b = weeks.columns.filter(_ != "w").foldLeft(
           weeks.withColumnRenamed("w", "w2")) { (df, c) =>
           df.withColumnRenamed(c, c + "_b")
@@ -123,7 +123,7 @@ object Round91Queries {
             .select(col("o_orderkey"), (col("o_custkey") % 200).as("cg")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("cg"), col("l_partkey").as("pk")).distinct()
-          .localCheckpoint(true) // index + both sizes
+          .localCheckpoint(false) // index + both sizes
         val sizes = b.groupBy(col("cg")).agg(count(lit(1)).as("sz"))
         val p2 = b.select(col("pk"), col("cg").as("cg2"))
         val inter = b.join(p2, "pk").where(col("cg") < col("cg2"))

@@ -99,13 +99,13 @@ object Round95Queries {
           .distinct()
           .withColumn("h", greatest(
             graft.ops.Dedup.hash48(col("w"), lit("kmvset")), lit(1L)))
-          .localCheckpoint(true) // sketches + exact audit share one scan
+          .localCheckpoint(false) // sketches + exact audit share one scan
         val ka = toks.filter(col("isA")).select(col("h")).distinct()
-          .orderBy(col("h")).limit(k).localCheckpoint(true)
+          .orderBy(col("h")).limit(k).localCheckpoint(false)
         val kb = toks.filter(!col("isA")).select(col("h")).distinct()
-          .orderBy(col("h")).limit(k).localCheckpoint(true)
+          .orderBy(col("h")).limit(k).localCheckpoint(false)
         val un = ka.unionByName(kb).distinct().orderBy(col("h")).limit(k)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val stats = un.agg(count(lit(1)).as("ku"), max(col("h")).as("theta"))
         val common = ka.join(kb, "h").crossJoin(broadcast(stats))
           .where(col("h") < col("theta"))

@@ -34,7 +34,7 @@ object Round96Queries {
     leads.where(col(s"v${m - 1}").isNotNull)
       .select(Seq(col("day"), col("i")) ++
         (0 until m).map(k => col(s"v$k")): _*)
-      .localCheckpoint(true) // both pair sides
+      .localCheckpoint(false) // both pair sides
   }
 
   private def windowsSql: String = {
@@ -128,7 +128,7 @@ object Round96Queries {
             graft.ops.Curation.splitAssign(col("doc_id").cast("string")))
           .select(col("doc_id"), col("split"), col("shingle"))
           .distinct()
-          .localCheckpoint(true) // train index + eval probes
+          .localCheckpoint(false) // train index + eval probes
         val trainSh = sh.where(col("split") === "train")
           .select(col("shingle")).distinct()
         val evalDocs = docs.where(col("split") =!= "train")
@@ -194,7 +194,7 @@ object Round96Queries {
         val ranked = freq
           .withColumn("rk", row_number().over(
             Window.orderBy(col("f").desc, col("w"))))
-          .localCheckpoint(true) // three budgets + the total
+          .localCheckpoint(false) // three budgets + the total
         val tot = ranked.agg(sum(col("f")).as("total_occ"),
           count(lit(1)).as("n_vocab"))
         Seq(100, 500, 1000).map { n =>
