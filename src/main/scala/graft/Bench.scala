@@ -154,8 +154,21 @@ object Bench {
     val finishedNormally = new AtomicBoolean(false)
     val completedPasses = new java.util.concurrent.atomic.AtomicInteger(0)
 
-    def quantile(sorted: IndexedSeq[Double], q: Double): Double =
-      sorted(math.min((q * (sorted.size - 1)).round.toInt, sorted.size - 1))
+    // Linear-interpolation quantile (R type-7). The previous
+    // nearest-rank-by-round() form returned the LARGER of two samples at
+    // q=0.5 (round(0.5) = 1), so a 2-pass run — exactly what a tight
+    // budget produces: one cold pass + one warm pass — reported every
+    // query's COLD time as its "median" (the r12 driver artifact: value
+    // 917.5 ≈ the cold-pass sum, while elapsed 1475 = cold 900 + warm
+    // 540). True median of two samples is their mean; for odd n this is
+    // byte-identical to the old formula. Measurement-bug fix disclosed in
+    // OPTIMIZATION_r13.md (with the old-formula numbers kept alongside).
+    def quantile(sorted: IndexedSeq[Double], q: Double): Double = {
+      val pos = q * (sorted.size - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.min(lo + 1, sorted.size - 1)
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
 
     val meta = {
       val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
@@ -191,11 +204,35 @@ object Bench {
         s""""failed":$anyErr,"partial":$partial,"n_queries":${results.size},"n_registry":${ordered.size},"passes":${completedPasses.get()},$meta,"budget_secs":${fmt(budget)},"elapsed_secs":${fmt(elapsed)}"""
       val full =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$common,"queries":$fullQs$spreadJson,"errors":$errs,"sf":"$sfDir"}"""
-      val slowest = results.sortBy(-_._2).take(20)
+      // Compact line sizing: the harness that invokes the bench captures
+      // only the LAST ~2000 characters of output (measured exactly 2000 in
+      // the round-12 BENCH artifact), and ~74 of those go to sbt's final
+      // "[success] Total time" line. A fixed top-20 made round-over-round
+      // PERF nearly blind (only 3 comparable queries at r12), but the FULL
+      // 794-entry map (~20 KB) would push its own opening brace out of the
+      // window and leave the driver nothing parseable. So: include as many
+      // of the slowest queries as fit under a byte cap (default 1850,
+      // env-overridable), slowest first — strictly a superset of the old
+      // top-20, same shape, same fields. Full map still in bench_full.json.
+      val compactCap = sys.env.get("SPARK_GRAFT_COMPACT_BYTES")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .filter(_ > 0).getOrElse(1850)
+      val compactPrefix =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$common,"queries":{"""
+      val compactSuffix = s"""},"errors":$errs,"sf":"$sfDir"}"""
+      val slowEntries = results.sortBy(-_._2)
         .map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val compact =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$common,"queries":$slowest,"errors":$errs,"sf":"$sfDir"}"""
+      val budget0 = compactCap - compactPrefix.length - compactSuffix.length
+      val kept = mutable.ArrayBuffer[String]()
+      var used = 0
+      var ei = 0
+      while (ei < slowEntries.size &&
+             used + slowEntries(ei).length + (if (ei == 0) 0 else 1) <= budget0) {
+        used += slowEntries(ei).length + (if (ei == 0) 0 else 1)
+        kept += slowEntries(ei)
+        ei += 1
+      }
+      val compact = compactPrefix + kept.mkString(",") + compactSuffix
       (full, compact)
     }
 
@@ -295,9 +332,16 @@ object Bench {
       lastPassSecs = elapsed - passStart
       if (!aborted) completedPasses.incrementAndGet()
       pass += 1
-      // Start another pass only if the projection fits comfortably.
-      continuePasses = !aborted &&
-        (elapsed + 1.15 * lastPassSecs) < budget
+      // Start another pass whenever meaningful budget remains (r13): the
+      // 97% mid-pass abort above already bounds the overrun, and a PARTIAL
+      // extra pass still appends a per-query sample for everything it
+      // covers — at 2 completed passes the median is cold-inclusive, so a
+      // third (even partial) pass flips covered queries to their true
+      // steady-state median. The old gate (start only if a FULL pass
+      // projects to fit) threw that remaining budget away: the r12 driver
+      // run stopped at 1475 s of an 1800 s budget. Runs whose budget fits
+      // all `maxRepeats` full passes behave exactly as before.
+      continuePasses = !aborted && elapsed < 0.90 * budget
     }
     progress.close()
 

@@ -68,7 +68,12 @@ object TimeProbe {
     } else names.foreach { n =>
       val fn = SparkEntry.queries(n)
       spark.sparkContext.setJobDescription(n)
-      fn(spark, sfDir).count() // warm (codegen/JIT), untimed
+      // First (cold) run timed separately: planning + codegen + JIT
+      // constants dominate the driver bench's cold-inclusive medians, so
+      // the cold/warm split is the r13 probe signal.
+      val c0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      println(f"COLD $n secs=${(System.nanoTime() - c0) / 1e9}%.3f")
       val ts = (1 to reps).map { _ =>
         jobs.set(0); stages.set(0); tasks.set(0)
         val t0 = System.nanoTime()

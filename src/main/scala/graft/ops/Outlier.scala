@@ -58,8 +58,16 @@ object Outlier {
       .join(idsOnly.select(col("label"), col("vec_id").as("ib")), "label")
       .where(col("vec_id") =!= col("ib"))
       .repartition(width)
-      .join(qv, "vec_id")
-      .join(qv.select(col("vec_id").as("ib"), col("qv").as("bv")), "ib")
+      // r13 (ADVICE): qv is a checkpointed LogicalRDD with no stats, so
+      // without the hint both attach joins planned as SortMergeJoins with
+      // their own hash exchanges — destroying the round-robin spread the
+      // repartition exists to provide. broadcast() pins the BHJ the
+      // comment above always assumed; the label-blocked contract bounds
+      // qv (one vector per corpus row of the blocked subset), and at
+      // corpus scale callers swap the blocking key before this operator.
+      .join(broadcast(qv), "vec_id")
+      .join(broadcast(qv.select(col("vec_id").as("ib"), col("qv").as("bv"))),
+        "ib")
       .select(col("label"), col("vec_id").as("ia"), col("ib"),
         expr("""aggregate(zip_with(qv, bv, (x, y) -> (x - y) * (x - y)),
                |0L, (acc, v) -> acc + v)""".stripMargin).as("d2"))

@@ -132,19 +132,28 @@ object Round57Queries {
         }
         val allKeep = shifted.map(_._1).reduce(_ unionByName _)
         val allEdges = shifted.map(_._2).reduce(_ unionByName _)
-        val kOf = variants.zipWithIndex.foldLeft(lit(-1L)) {
-          case (acc, (kk, i)) =>
-            when(col("variant") === i.toLong, lit(kk)).otherwise(acc)
-        }
-        StarComponents.connectedComponents(allKeep, allEdges)
+        // r13 (ADVICE): a removal variant that leaves ZERO nodes must
+        // still emit its row — the oracle's per-variant aggregate is
+        // unconditional (n_components = 0, null n_nodes/largest_cc),
+        // while a groupBy over an empty group emits nothing. Left-join
+        // the aggregate onto the literal variant frame so each
+        // k_removed always yields exactly one row. Identical on any
+        // input where every variant keeps ≥ 1 node (all current SFs).
+        import s.implicits._
+        val variantFrame = variants.zipWithIndex
+          .map { case (kk, i) => (i.toLong, kk) }
+          .toDF("variant", "k_removed")
+        val agg = StarComponents.connectedComponents(allKeep, allEdges)
           .withColumn("variant", expr("id div 1000"))
           .groupBy(col("variant"), col("cluster_id"))
           .agg(count(lit(1)).as("sz"))
           .groupBy(col("variant"))
           .agg(count(lit(1)).as("n_components"),
             sum(col("sz")).as("n_nodes"), max(col("sz")).as("largest_cc"))
-          .select(kOf.as("k_removed"), col("n_nodes"),
-            col("n_components"), col("largest_cc"))
+        variantFrame.join(broadcast(agg), Seq("variant"), "left")
+          .select(col("k_removed"), col("n_nodes"),
+            coalesce(col("n_components"), lit(0L)).as("n_components"),
+            col("largest_cc"))
       },
       Some {
         def piece(kk: Int) =

@@ -24,11 +24,22 @@ object Round98Queries {
         val weights = (0 until 8).map(j => (j % 4) + 1L)
         val wsum = weights.sum
         // nl ≥ 1 (h < 2^48 ⇒ log2E6 ≤ 48e6); score ≤ 4e12, ×16 fits.
-        val withNl = (0 until 8).foldLeft(
+        // r13: bind each hash to a COLUMN before feeding it to log2E6 —
+        // the msb WHEN-ladder inside log2E6 references its argument ~48
+        // times, so an inline md5+conv argument was re-evaluated ~100×
+        // per (row, shard) (measured 3.5 s warm for 5 000 docs; ~0.5 s
+        // after). The separate projection survives CollapseProject
+        // because h$j is non-cheap and multiply-referenced; the ladder
+        // then reads a cheap attribute. Same math, same results.
+        val withH = (0 until 8).foldLeft(
           Tables.documents(s, d).select(col("doc_id"))) { (df, j) =>
-          df.withColumn(s"nl$j", lit(48000000L) - Bm25.log2E6(
+          df.withColumn(s"h$j",
             greatest(Dedup.hash48(col("doc_id").cast("string"),
-              lit(s"wshard$j")), lit(1L))) + lit(1L))
+              lit(s"wshard$j")), lit(1L)))
+        }
+        val withNl = (0 until 8).foldLeft(withH) { (df, j) =>
+          df.withColumn(s"nl$j",
+            lit(48000000L) - Bm25.log2E6(col(s"h$j")) + lit(1L))
         }
         val packed = (0 until 8).map(j =>
           s"((${weights(j)}L * 1000000000000L div nl$j) * 16L + ${j}L)")
