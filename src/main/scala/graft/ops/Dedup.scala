@@ -77,6 +77,18 @@ object Dedup {
     * work per shingle, same independence for banding purposes. */
   def minhash(sh: DataFrame, k: Int = 8): DataFrame = {
     require(k <= 8, "k hashes are sliced from two md5 digests (64 hex chars)")
+    // r13 negative results, recorded so they are not re-chased (both
+    // variants oracle-identical but MEASURED no better or worse at sf0.1;
+    // medians of the q_dedup_* family):
+    //  - hash each DISTINCT shingle once + join back (9.6x occurrence
+    //    duplication at sf0.1): the two shingle-string exchanges the
+    //    distinct+join add cost more than the ~0.3 s of md5 they save
+    //    (q_dedup_canonical 1.99 -> 2.78 s). Revisit only where hashing
+    //    dominates the exchange (very long shingles / costly digests).
+    //  - wide 8-min aggregate (no k-wide explode, 1 row/doc through the
+    //    exchange): within noise of this form (2.0 -> 2.2-2.5 s) — the
+    //    partial aggregate already collapses the exploded rows map-side,
+    //    so the explode never reaches the exchange to begin with.
     sh.withColumn("hx", concat(md5(col("shingle")), md5(concat(lit("x"), col("shingle")))))
       .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("j"), col("hx"))
       .select(col("doc_id"), col("j"),

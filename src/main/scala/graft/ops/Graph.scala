@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
   * bands, fuzzy matches). Complements the component finders
   * ([[Dedup.connectedComponents]], [[StarComponents]]) with local
   * structure: triangles and degree.
+  *
+  * == Lazy-checkpoint trade-off (all iterative loops in this file) ==
+  * Every loop round ends in `localCheckpoint(eager = false)`: the logical
+  * plan flattens to a LogicalRDD leaf immediately, but materialization
+  * defers into the next driver action. Convergence-gated loops (BFS, CC,
+  * dagLongestPath, …) still materialize every round through their
+  * per-round count/sum gate, so their peak footprint is one round frame
+  * plus the accumulated result. FIXED-iteration loops with no per-round
+  * action (pageRank×5, hits, katz, labelPropagation, lubyMis,
+  * jonesPlassmann, deepwalkVisits, Similarity.powerIteration) run with NO
+  * driver action inside the loop — the caller's FIRST action computes the
+  * whole iters-deep persisted-RDD chain in one job. Two costs on a
+  * cluster, accepted deliberately: (a) peak storage memory briefly pins
+  * every round's frame at once (the ContextCleaner unpersists superseded
+  * rounds only after their references drop); (b) localCheckpoint truncates
+  * lineage, so losing an executor mid-chain is unrecoverable — the job
+  * fails and restarts, it does not recompute. Deployments that prefer the
+  * eager per-round profile (smaller peak, one driver round trip per
+  * iteration) or durable recovery should swap `localCheckpoint(false)` →
+  * `(true)` / `checkpoint()` at these sites; at bench scale lazy measured
+  * 15-30 % fewer jobs per query (OPTIMIZATION_r12.md §1).
   */
 object Graph {
 
@@ -221,6 +242,24 @@ object Graph {
     *     visited with periodic folds: 25% fewer scheduler jobs but
     *     still ~1.6x slower wall (q_diameter_sweep 6.6 s vs 3.5 s,
     *     q_bowtie 10.6 s vs 6.7 s min-of-6 at sf0.1).
+    *   - r13: TWO-HOP rounds (n1 = N(F)\V, n2 = N(n1)\V\n1 inside one
+    *     action, both frontier sizes off a single 2-row aggregate) —
+    *     a same-session env-guarded A/B was a WASH (q_bowtie med 5.75
+    *     one-hop vs 5.83 two-hop, q_diameter_sweep 3.43 vs 3.41; jobs
+    *     201 vs 204): with AQE each shuffle stage is its own job, so
+    *     halving the driver ACTIONS leaves the per-depth stage-job
+    *     count unchanged and only complicates the loop. Don't re-chase
+    *     action-count reductions here; the job floor is the exchange
+    *     count per depth.
+    *   - r13: pinning the EDGE side's partitioning once before the loop
+    *     (repartition(8, src) + checkpoint, hoping the preserved
+    *     LogicalRDD outputPartitioning lets every round's expansion
+    *     join skip the edge exchange) did NOT remove the exchange
+    *     (jobs 201 → 202) and grew tasks 770 → 988 (fixed-width stages
+    *     replace AQE-coalesced 1-2-task stages); wall ~flat-to-worse
+    *     (q_bowtie 5.10 → 5.26, q_diameter_sweep 2.79 → 3.01). The same
+    *     mechanism would be needed for the betweenness σ-layer reuse
+    *     idea — measured dead on arrival at this scale.
     * Checkpointing the visited set each round keeps the anti-join plan a
     * single flat leaf; a lazy union of frontiers WITHOUT the checkpoint
     * was measured SLOWER (analyzer cost grows with the round count).
@@ -244,9 +283,11 @@ object Graph {
     var done = false
     while (depth < maxDepth && !done) {
       depth += 1
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(e("dst").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
+      val next = graft.PlanTap.tap(
+        frontier.join(e, frontier("id") === e("src"))
+          .select(e("dst").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti"),
+        "bfs.round_expansion_pre_checkpoint")
         .localCheckpoint(false)
       if (next.count() == 0L) done = true
       else {
@@ -657,10 +698,12 @@ object Graph {
           struct(col("w"), col("a"), col("b")).as("edge"))
         .unionByName(out.select(col("cb").as("c"),
           struct(col("w"), col("a"), col("b")).as("edge")))
-      val sel = cand.groupBy(col("c")).agg(min(col("edge")).as("edge"))
-        .select(col("edge.a").as("a"), col("edge.b").as("b"),
-          col("edge.w").as("w"))
-        .distinct().localCheckpoint(false)
+      val sel = graft.PlanTap.tap(
+        cand.groupBy(col("c")).agg(min(col("edge")).as("edge"))
+          .select(col("edge.a").as("a"), col("edge.b").as("b"),
+            col("edge.w").as("w"))
+          .distinct(), "msf.round_selection_pre_checkpoint")
+        .localCheckpoint(false)
       if (sel.count() == 0L) done = true
       else {
         forestParts += sel

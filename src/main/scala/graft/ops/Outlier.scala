@@ -54,7 +54,7 @@ object Outlier {
     val qv = q.select(col("vec_id"), col("qv")).localCheckpoint(false)
     val idsOnly = q.select(col("label"), col("vec_id"))
     val width = emb.sparkSession.sessionState.conf.numShufflePartitions
-    val knn = idsOnly
+    val knn0 = idsOnly
       .join(idsOnly.select(col("label"), col("vec_id").as("ib")), "label")
       .where(col("vec_id") =!= col("ib"))
       .repartition(width)
@@ -74,6 +74,7 @@ object Outlier {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("ia")).orderBy(col("d2"), col("ib"))))
       .filter(col("rk") <= k)
+    val knn = graft.PlanTap.tap(knn0, "q_lof.knn_pre_checkpoint")
       .localCheckpoint(false) // O(k·n) rows; reused by 3 aggregates below
     val kdist = knn.groupBy(col("ia"))
       .agg(max(col("d2")).as("kdist"))

@@ -118,7 +118,8 @@ object StarComponents {
     // ~2x on the bench chain graph, where per-round fixed job overhead
     // dominates at test scale).
     def checkpointWithStats(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
-      val cp = df.localCheckpoint(false)
+      val cp = graft.PlanTap.tap(df, "starcc.round_pre_checkpoint")
+        .localCheckpoint(false)
       val r = cp.agg(count(lit(1)),
         sum((col("a") + col("b")).cast("decimal(38,0)"))).head()
       (cp, (r.getLong(0), r.getDecimal(1)))
